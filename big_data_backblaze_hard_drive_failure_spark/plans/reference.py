@@ -1,0 +1,450 @@
+"""Reference-parity queries over the ``events`` fixture table.
+
+Column mapping (FIXTURES.md §3): the reference's drive-day telemetry
+(serial_number / date / smart_* / failure) maps onto events as
+user_id / ts / value / (event_type = 'error'). Every query cites the
+reference operator rows from SURVEY.md §2 it covers.
+
+All windows use the deterministic order (ts, event_id) — the
+reference orders by date alone (daily grain); at event grain a
+tie-breaker is required for cross-engine reproducibility.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.features import add_drive_age, add_rolling_features
+from ..operators.labeling import lead_label, leakage_filter
+from ..operators.metrics import alert_decision, alerts_per_day, confusion_matrix
+from ..operators.splits import deterministic_downsample_negatives
+from ..sources.catalog import load
+from . import query
+
+ENTITY = "user_id"
+ORDER = ["ts", "event_id"]
+ALERT_THRESHOLD = 150.0  # stand-in for the reference's deployed 0.136154
+
+
+def _failure() -> F.Column:
+    """events analog of the reference's ``failure`` flag."""
+    return F.when(F.col("event_type") == "error", F.lit(1)).otherwise(F.lit(0))
+
+
+_FAILURE_SQL = "CASE WHEN event_type = 'error' THEN 1 ELSE 0 END"
+
+
+# --------------------------------------------------------------------
+# S1-S3 / A4: ingestion-shaped scan + count checkpoint
+# (reference 01_data_ingestion.py:17-28)
+# --------------------------------------------------------------------
+@query(
+    "ref_ingest_profile",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(CAST(ts AS DATE)) AS first_day,
+           MAX(CAST(ts AS DATE)) AS last_day
+    FROM events
+    """,
+)
+def ref_ingest_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+
+
+# --------------------------------------------------------------------
+# P1/P2: column-list projection + type normalization
+# (reference 02_label_engineering.py:55-86)
+# --------------------------------------------------------------------
+@query(
+    "ref_project_cast",
+    oracle="""
+    SELECT event_id,
+           CAST(ts AS DATE) AS event_day,
+           user_id,
+           event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events
+    """,
+)
+def ref_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        F.to_date("ts").alias("event_day"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+# --------------------------------------------------------------------
+# W1 + P7: forward-looking lead label
+# (reference 02_label_engineering.py:106-123)
+# --------------------------------------------------------------------
+@query(
+    "ref_label_lead",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, event_id, ts, {_FAILURE_SQL} AS failure
+        FROM events
+    )
+    SELECT user_id, event_id, failure,
+           CASE WHEN LEAD(failure, 1) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) = 1
+                THEN 1 ELSE 0 END AS failure_next_24h
+    FROM base
+    """,
+)
+def ref_label_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", _failure().alias("failure")
+    )
+    df = lead_label(df, ENTITY, ORDER, "failure")
+    return df.select("user_id", "event_id", "failure", "failure_next_24h")
+
+
+# --------------------------------------------------------------------
+# A1: label-distribution sanity aggregate
+# (reference 02_label_engineering.py:136-138)
+# --------------------------------------------------------------------
+@query(
+    "ref_label_distribution",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, event_id, ts, {_FAILURE_SQL} AS failure
+        FROM events
+    ), labeled AS (
+        SELECT *,
+               CASE WHEN LEAD(failure, 1) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS failure_next_24h
+        FROM base
+    )
+    SELECT failure_next_24h, COUNT(*) AS n
+    FROM labeled GROUP BY failure_next_24h
+    """,
+)
+def ref_label_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        ref_label_lead(spark, sf_dir)
+        .groupBy("failure_next_24h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------
+# P4: leakage filter (drop already-failing rows) + survivor profile
+# (reference 02_label_engineering.py:131)
+# --------------------------------------------------------------------
+@query(
+    "ref_leakage_filter",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, event_id, ts, event_type, {_FAILURE_SQL} AS failure
+        FROM events
+    ), labeled AS (
+        SELECT *,
+               CASE WHEN LEAD(failure, 1) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS failure_next_24h
+        FROM base
+    )
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(failure_next_24h) AS BIGINT) AS positives
+    FROM labeled WHERE failure = 0
+    GROUP BY event_type
+    """,
+)
+def ref_leakage_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", _failure().alias("failure")
+    )
+    df = leakage_filter(lead_label(df, ENTITY, ORDER, "failure"), "failure")
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("failure_next_24h").alias("positives"),
+    )
+
+
+# --------------------------------------------------------------------
+# W2-W7 + P8: the analytical core — rolling features, delta, age
+# (reference 03_feature_engineering.py:90-154) — flagship query
+#
+# Cross-engine exactness: ``value`` is a 2-decimal double, so naive
+# AVG/STDDEV accumulate different low bits in Spark vs DuckDB and the
+# true mean of N two-decimal values lands EXACTLY on 4-decimal
+# rounding boundaries (denominator 100*N) — rounding then diverges by
+# 1 ulp. We therefore aggregate exact integer cents and derive
+# mean/stddev from integer sums: both engines divide identical
+# integers, yielding bit-identical doubles before ROUND. Semantics are
+# unchanged (cents are exact for 2-decimal data).
+# --------------------------------------------------------------------
+_ROLLING_ORACLE = """
+WITH base AS (
+    SELECT user_id, event_id, ts, value,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+), agg AS (
+    SELECT user_id, event_id, value,
+           SUM(cents) OVER w7 AS sx7,
+           SUM(cents * cents) OVER w7 AS sxx7,
+           COUNT(*) OVER w7 AS n7,
+           SUM(cents) OVER w14 AS sx14,
+           COUNT(*) OVER w14 AS n14,
+           MAX(value) OVER w7 AS max7,
+           value - LAG(value, 1) OVER w1 AS delta1,
+           ROW_NUMBER() OVER w1 AS obs_age
+    FROM base
+    WINDOW
+        w1 AS (PARTITION BY user_id ORDER BY ts, event_id),
+        w7 AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+        w14 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+       sx7 / (n7 * 100.0) AS value_avg_7d,
+       sx14 / (n14 * 100.0) AS value_avg_14d,
+       CASE WHEN n7 > 1
+            THEN SQRT((n7 * sxx7 - sx7 * sx7) * 1.0
+                      / (n7 * (n7 - 1))) / 100.0
+            ELSE 0.0 END AS value_std_7d,
+       max7 AS value_max_7d,
+       COALESCE(delta1, 0) AS value_delta_1d,
+       obs_age
+FROM agg
+"""
+
+
+@query("ref_rolling_features", oracle=_ROLLING_ORACLE)
+def ref_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w1 = Window.partitionBy(ENTITY).orderBy(*ORDER)
+    w7 = w1.rowsBetween(-6, 0)
+    w14 = w1.rowsBetween(-13, 0)
+    cents = F.round(F.col("value") * 100).cast("long")
+    df = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .withColumn("cents", cents)
+        .withColumns(
+            {
+                "sx7": F.sum("cents").over(w7),
+                "sxx7": F.sum(F.col("cents") * F.col("cents")).over(w7),
+                "n7": F.count(F.lit(1)).over(w7),
+                "sx14": F.sum("cents").over(w14),
+                "n14": F.count(F.lit(1)).over(w14),
+                "max7": F.max("value").over(w7),
+                "delta1": F.col("value") - F.lag("value", 1).over(w1),
+                "obs_age": F.row_number().over(w1),
+            }
+        )
+    )
+    return df.select(
+        "user_id",
+        "event_id",
+        (F.col("sx7") / (F.col("n7") * 100.0)).alias("value_avg_7d"),
+        (F.col("sx14") / (F.col("n14") * 100.0)).alias("value_avg_14d"),
+        F.when(
+            F.col("n7") > 1,
+            F.sqrt(
+                (F.col("n7") * F.col("sxx7") - F.col("sx7") * F.col("sx7"))
+                * 1.0
+                / (F.col("n7") * (F.col("n7") - 1))
+            )
+            / 100.0,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("value_std_7d"),
+        F.col("max7").alias("value_max_7d"),
+        F.coalesce(F.col("delta1"), F.lit(0)).alias("value_delta_1d"),
+        "obs_age",
+    )
+
+
+# --------------------------------------------------------------------
+# M1 / P5: chronological 3-way split profile
+# (reference 04_prepare_training_data.py:29-40)
+# --------------------------------------------------------------------
+@query(
+    "ref_chrono_split_counts",
+    oracle=f"""
+    SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15' THEN 'train'
+                WHEN CAST(ts AS DATE) < DATE '2024-01-25' THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n,
+           CAST(SUM({_FAILURE_SQL}) AS BIGINT) AS failures
+    FROM events GROUP BY split
+    """,
+)
+def ref_chrono_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = F.to_date("ts")
+    split = (
+        F.when(day < F.lit("2024-01-15").cast("date"), "train")
+        .when(day < F.lit("2024-01-25").cast("date"), "val")
+        .otherwise("test")
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_failure()).alias("failures"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# M2 / U1: deterministic downsample + union (oracle-checkable twin of
+# the seeded Bernoulli sample, reference 04:44-70)
+# --------------------------------------------------------------------
+@query(
+    "ref_union_downsample",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_id, user_id, {_FAILURE_SQL} AS label FROM events
+    )
+    SELECT event_id, user_id, label
+    FROM base WHERE label = 1 OR event_id % 20 = 0
+    """,
+)
+def ref_union_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", _failure().alias("label")
+    )
+    return deterministic_downsample_negatives(df, "label", "event_id", 20)
+
+
+# --------------------------------------------------------------------
+# X1: seeded Bernoulli downsample — NOT cross-engine reproducible, so
+# no oracle (driver's rows-only check). Reference 04:60-66.
+# --------------------------------------------------------------------
+@query("ref_sample_seeded")
+def ref_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", _failure().alias("label")
+    )
+    pos = df.filter(F.col("label") == 1)
+    neg = df.filter(F.col("label") == 0).sample(fraction=0.1, seed=42)
+    return pos.unionByName(neg)
+
+
+# --------------------------------------------------------------------
+# P6/P7 + M8: alert decision + single-pass confusion matrix
+# (reference 06_deployment_code.py:137-162; engine replaces the four
+# filtered count() jobs with one groupBy)
+# --------------------------------------------------------------------
+@query(
+    "ref_confusion_matrix",
+    oracle=f"""
+    SELECT CASE WHEN value >= {ALERT_THRESHOLD} THEN 1 ELSE 0 END AS alert,
+           {_FAILURE_SQL} AS target,
+           COUNT(*) AS n
+    FROM events GROUP BY alert, target
+    """,
+)
+def ref_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "events")
+    return confusion_matrix(
+        df, alert_decision("value", ALERT_THRESHOLD), _failure()
+    )
+
+
+# --------------------------------------------------------------------
+# A2: alerts per calendar day (reference 06:177-182)
+# --------------------------------------------------------------------
+@query(
+    "ref_alerts_daily",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CASE WHEN value >= {ALERT_THRESHOLD} THEN 1 ELSE 0 END)
+                AS BIGINT) AS alerts
+    FROM events GROUP BY day
+    """,
+)
+def ref_alerts_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "events").withColumn(
+        "alert", alert_decision("value", ALERT_THRESHOLD)
+    )
+    return alerts_per_day(df, "ts", "alert")
+
+
+# --------------------------------------------------------------------
+# A3: grand aggregate over the daily aggregate (reference 06:183)
+# --------------------------------------------------------------------
+@query(
+    "ref_avg_alerts_per_day",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(CASE WHEN value >= {ALERT_THRESHOLD} THEN 1 ELSE 0 END)
+                   AS alerts
+        FROM events GROUP BY day
+    )
+    SELECT AVG(alerts) AS avg_alerts_per_day FROM daily
+    """,
+)
+def ref_avg_alerts_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "events").withColumn(
+        "alert", alert_decision("value", ALERT_THRESHOLD)
+    )
+    daily = alerts_per_day(df, "ts", "alert")
+    return daily.agg(F.avg("alerts").alias("avg_alerts_per_day"))
+
+
+# --------------------------------------------------------------------
+# P7: multi-branch conditional expression (when/otherwise chain)
+# --------------------------------------------------------------------
+@query(
+    "ref_when_otherwise",
+    oracle="""
+    SELECT CASE WHEN value >= 180 THEN 'high'
+                WHEN value >= 100 THEN 'mid'
+                ELSE 'low' END AS severity,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / (COUNT(*) * 100.0)
+               AS avg_value
+    FROM events GROUP BY severity
+    """,
+)
+def ref_when_otherwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact-cents mean: see ref_rolling_features comment — group sums of
+    # raw doubles are accumulation-order-sensitive across engines
+    severity = (
+        F.when(F.col("value") >= 180, "high")
+        .when(F.col("value") >= 100, "mid")
+        .otherwise("low")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(severity.alias("severity"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents) / (F.count(F.lit(1)) * 100.0)).alias("avg_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# O1/O4: deterministic order-by + limit (reference 02:149-152, 05_SHAP:116)
+# --------------------------------------------------------------------
+@query(
+    "ref_order_limit",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events ORDER BY value DESC, event_id LIMIT 100
+    """,
+)
+def ref_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .orderBy(F.col("value").desc(), F.col("event_id"))
+        .limit(100)
+        .select("event_id", "user_id", "value")
+    )

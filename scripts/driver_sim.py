@@ -1,0 +1,86 @@
+"""Driver simulation — consumes __spark_entry__ exactly as the driver's
+verify harness does, under a deliberately hostile (vanilla, non-UTC)
+SparkSession. Run: ``python scripts/driver_sim.py [sf_dir]``.
+
+Checks: entry() smoke at sf0.001; every queries() entry vs its
+oracle_sql() in DuckDB (column names, row count, order-insensitive
+canonicalized values). Exit 0 = all match.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import sys
+
+import duckdb
+from pyspark.sql import SparkSession
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return v
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[8]")
+        # hostile on purpose: the driver does NOT use our session factory
+        .config("spark.sql.session.timeZone", "America/Los_Angeles")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    import __spark_entry__ as e
+
+    n = e.entry(spark).count()
+    print(f"entry() rows: {n}")
+    assert n > 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs, osql = e.queries(), e.oracle_sql()
+    fails = []
+    for name in sorted(qs):
+        sdf = qs[name](spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in osql:
+            print(f"{name}: rows-only, {len(srows)} rows")
+            continue
+        cur = con.execute(osql[name])
+        dcols = [d[0] for d in cur.description]
+        drows = cur.fetchall()
+        scols = sdf.columns
+        cs = sorted(scols)
+        si = {c: i for i, c in enumerate(scols)}
+        di = {c: i for i, c in enumerate(dcols)}
+        ok = sorted(scols) == sorted(dcols) and len(srows) == len(drows)
+        if ok:
+            sm = sorted((tuple(canon(r[si[c]]) for c in cs) for r in srows), key=repr)
+            dm = sorted((tuple(canon(r[di[c]]) for c in cs) for r in drows), key=repr)
+            ok = sm == dm
+        print(f"{name}: {'MATCH' if ok else 'MISMATCH'} ({len(srows)} rows)")
+        if not ok:
+            fails.append(name)
+    print("FAILURES:", fails if fails else "none")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
