@@ -1,1 +1,438 @@
-"""Placeholder — populated in later milestones."""
+"""Star-schema queries: joins, set ops, grouping sets, top-k, pivot.
+
+The reference pipeline is single-table — it has NO joins (SURVEY.md
+§2.3) — but a complete engine must cover them, and the driver's TPC-H
+style fixtures exercise exactly this surface. All [beyond-reference].
+
+Scale design notes (100 TB):
+  * dimension joins (region/nation/customer/supplier) are explicitly
+    ``broadcast()`` — no shuffle of the fact table;
+  * fact-fact joins (lineitem ⋈ orders) are equi-joins on the key
+    Catalyst sort-merges; AQE handles skew splitting;
+  * revenue aggregates use exact integer cents (see plans.reference)
+    so partial aggregation order cannot perturb results;
+  * top-k uses window rank with rank-limit pushdown (WindowGroupLimit)
+    rather than a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.topk import top_k_per_group
+from ..sources.catalog import load, register_all
+from . import query
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+# --------------------------------------------------------------------
+# TPC-H Q1 shape: scan + filter + 8-agg groupBy (pricing summary).
+# Shows filter pushdown into the parquet scan + partial aggregation.
+# --------------------------------------------------------------------
+@query(
+    "star_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0
+               AS sum_base_price,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0
+               AS sum_disc_price,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+               * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) / 1000000.0
+               AS sum_charge,
+           SUM(CAST(l_quantity AS BIGINT)) / (COUNT(*) * 1.0) AS avg_qty,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+               / (COUNT(*) * 100.0) AS avg_price,
+           SUM(CAST(ROUND(l_discount * 100) AS BIGINT))
+               / (COUNT(*) * 100.0) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def star_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    price_c = _cents("l_extendedprice")
+    disc_c = _cents("l_discount")
+    tax_c = _cents("l_tax")
+    qty_l = F.col("l_quantity").cast("long")
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty_l).alias("sum_qty"),
+            (F.sum(price_c) / 100.0).alias("sum_base_price"),
+            (F.sum(price_c * (100 - disc_c)) / 10000.0).alias("sum_disc_price"),
+            (F.sum(price_c * (100 - disc_c) * (100 + tax_c)) / 1000000.0).alias(
+                "sum_charge"
+            ),
+            (F.sum(qty_l) / (F.count(F.lit(1)) * 1.0)).alias("avg_qty"),
+            (F.sum(price_c) / (F.count(F.lit(1)) * 100.0)).alias("avg_price"),
+            (F.sum(disc_c) / (F.count(F.lit(1)) * 100.0)).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# 5-table star join: fact ⋈ fact ⋈ broadcast dims, grouped revenue.
+# --------------------------------------------------------------------
+@query(
+    "star_revenue_by_nation",
+    oracle="""
+    SELECT r_name, n_name,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def star_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    price_c = _cents("l_extendedprice")
+    disc_c = _cents("l_discount")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (price_c * (100 - disc_c)).alias("rev_e4")
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            (F.sum("rev_e4") / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Q3 shape: join + grouped revenue + deterministic global top-10.
+# --------------------------------------------------------------------
+@query(
+    "star_top_orders",
+    oracle="""
+    WITH rev AS (
+        SELECT l_orderkey,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                   AS rev_e4
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_orderdate AS DATE) AS order_day,
+           rev_e4 / 10000.0 AS revenue
+    FROM rev JOIN orders ON l_orderkey = o_orderkey
+    ORDER BY rev_e4 DESC, o_orderkey LIMIT 10
+    """,
+)
+def star_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    price_c = _cents("l_extendedprice")
+    disc_c = _cents("l_discount")
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(price_c * (100 - disc_c)).alias("rev_e4"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    return (
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
+        .orderBy(F.col("rev_e4").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.to_date("o_orderdate").alias("order_day"),
+            (F.col("rev_e4") / 10000.0).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Semi / anti joins (EXISTS / NOT EXISTS)
+# --------------------------------------------------------------------
+@query(
+    "star_semi_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers_with_orders
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def star_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers_with_orders"))
+    )
+
+
+@query(
+    "star_anti_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers_without_orders
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def star_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers_without_orders"))
+    )
+
+
+# --------------------------------------------------------------------
+# Left outer join preserving zero-order customers
+# --------------------------------------------------------------------
+@query(
+    "star_left_join_counts",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def star_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT (distinct semantics)
+# --------------------------------------------------------------------
+@query(
+    "star_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def star_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    full_c = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return open_c.intersect(full_c)
+
+
+@query(
+    "star_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    full_c = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    # subtract == EXCEPT DISTINCT (exceptAll would keep duplicates)
+    return open_c.subtract(full_c)
+
+
+# --------------------------------------------------------------------
+# ROLLUP / CUBE grouping sets
+# --------------------------------------------------------------------
+@query(
+    "star_rollup",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_customers,
+           SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 AS acctbal_sum
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum(_cents("c_acctbal")) / 100.0).alias("acctbal_sum"),
+        )
+    )
+
+
+@query(
+    "star_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def star_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------
+# Top-k per group — the reference's missing "Top-K/day alert budget"
+# (readme.md:205-208), via the topk operator (WindowGroupLimit path)
+# --------------------------------------------------------------------
+@query(
+    "star_topk_per_segment",
+    oracle="""
+    SELECT * FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY o_totalprice DESC, o_orderkey)
+                   AS rank
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rank <= 3
+    """,
+)
+def star_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    top = top_k_per_group(
+        joined,
+        ["c_mktsegment"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    )
+    return top.select("c_mktsegment", "o_orderkey", "o_totalprice", "rank")
+
+
+# --------------------------------------------------------------------
+# rank / dense_rank windows (ties share ranks — deterministic)
+# --------------------------------------------------------------------
+@query(
+    "star_window_rank",
+    oracle="""
+    SELECT n_name, c_custkey, c_acctbal,
+           RANK() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC) AS bal_rank,
+           DENSE_RANK() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC)
+               AS bal_dense_rank
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def star_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc())
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            "c_custkey",
+            "c_acctbal",
+            F.rank().over(w).alias("bal_rank"),
+            F.dense_rank().over(w).alias("bal_dense_rank"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Pivot (conditional aggregation shape shared with the oracle)
+# --------------------------------------------------------------------
+@query(
+    "star_pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_open,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_full,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_partial
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def star_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+        .withColumnsRenamed({"O": "n_open", "F": "n_full", "P": "n_partial"})
+    )
+
+
+# --------------------------------------------------------------------
+# Correlated-subquery SQL surface: the engine accepts SQL strings too
+# (spark.sql over registered views; identical text runs on DuckDB)
+# --------------------------------------------------------------------
+_EXISTS_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders_with_max_qty
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity = 50)
+GROUP BY o_orderstatus
+"""
+
+
+@query("star_exists_sql", oracle=_EXISTS_SQL)
+def star_exists_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)
+
+
+# --------------------------------------------------------------------
+# Distinct aggregation
+# --------------------------------------------------------------------
+@query(
+    "star_distinct_customers",
+    oracle="""
+    SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def star_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+    )
