@@ -1,1 +1,327 @@
-"""Placeholder — populated in later milestones."""
+"""ML-pipeline queries (reference M3-M9, F1-F3, S5/S6, A5).
+
+The reference's deliverable is train -> score -> threshold -> alert
+(/root/reference/scripts/05_01_model_training_xgboost_oom_fix.py,
+06_deployment_code.py). Here that capability is re-expressed
+Spark-first over the ``events`` fixture:
+
+  * positive class    = ``event_type = 'error'`` (stand-in for
+    ``failure``; same 0/1 contract)
+  * model             = deployed ``LinearModel`` scoring features
+    ``(value, is_error)`` — stands in for the reference's booster
+    artifact; scored BOTH via Arrow pandas_udf (broadcast model,
+    F1/F2 replacement) and via a pure JVM column expression, each
+    checked against the same DuckDB oracle
+  * threshold         = exact (1 - recall) percentile of positive
+    scores (M6 Spark-native twin of 05_01:227-237)
+  * alerting/metrics  = single-pass confusion + PR curve (M8/M5)
+
+Determinism: the scorer uses the softsign sigmoid (see ml/scorer.py)
+so scores are bit-identical across Spark, pandas/numpy, and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..ml.scorer import LinearModel, score_column, score_pandas_udf
+from ..ml.threshold import threshold_at_recall
+from ..sources.catalog import load
+from . import query
+
+# Deployed model stand-in (reference models/xgboost_backblaze.json):
+# z = -2.5 + 0.02*value + 0.3*is_error, p = softsign_sigmoid(z)
+MODEL = LinearModel(
+    features=("value", "is_error"),
+    weights=(0.02, 0.3),
+    intercept=-2.5,
+)
+RECALL_TARGET = 0.8
+
+# Exact same arithmetic, same evaluation order, in ANSI SQL. Explicit
+# DOUBLE casts keep DuckDB from doing DECIMAL arithmetic on literals.
+_Z_SQL = (
+    "CAST(-2.5 AS DOUBLE) + CAST(0.02 AS DOUBLE) * value "
+    "+ CAST(0.3 AS DOUBLE) * is_error"
+)
+_SCORED_SQL = f"""
+    SELECT event_id, user_id, ts, value, is_error,
+           0.5 * (1.0 + z / (1.0 + ABS(z))) AS failure_probability
+    FROM (
+        SELECT *, {_Z_SQL} AS z
+        FROM (
+            SELECT event_id, user_id, ts, value,
+                   CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                        END AS DOUBLE) AS is_error
+            FROM events
+        )
+    )
+"""
+
+
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature frame the deployed model consumes (reference
+    06_deployment_code.py:89-100 FEATURES contract)."""
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "error", 1.0)
+        .otherwise(0.0)
+        .alias("is_error"),
+    )
+
+
+def scored_frame(
+    spark: SparkSession, sf_dir: str, via: str = "pandas_udf"
+) -> DataFrame:
+    """events scored by the deployed model; ``via`` picks the
+    pandas_udf (broadcast model) or JVM column-expression plan."""
+    df = _features(spark, sf_dir)
+    if via == "pandas_udf":
+        udf = score_pandas_udf(spark, MODEL)
+        return df.withColumn("failure_probability", udf(*MODEL.features))
+    return df.withColumn("failure_probability", score_column(MODEL))
+
+
+# --------------------------------------------------------------------
+# F1/F2: vectorized model scoring via pandas_udf (broadcast model).
+# Replaces the reference's per-row UDF (05_01:135-139, 06:110-124).
+# --------------------------------------------------------------------
+@query(
+    "mlops_score_pandas_udf",
+    oracle=f"""
+    SELECT event_id, user_id, is_error, failure_probability
+    FROM ({_SCORED_SQL})
+    """,
+)
+def mlops_score_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scored_frame(spark, sf_dir, via="pandas_udf").select(
+        "event_id", "user_id", "is_error", "failure_probability"
+    )
+
+
+# --------------------------------------------------------------------
+# Same semantics as a pure JVM column expression (whole-stage codegen,
+# no Python worker) — the plan a linear model should actually use.
+# Shares the oracle with the pandas_udf path: three-way agreement.
+# --------------------------------------------------------------------
+@query(
+    "mlops_score_column_expr",
+    oracle=f"""
+    SELECT event_id, user_id, is_error, failure_probability
+    FROM ({_SCORED_SQL})
+    """,
+)
+def mlops_score_column_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scored_frame(spark, sf_dir, via="column").select(
+        "event_id", "user_id", "is_error", "failure_probability"
+    )
+
+
+# --------------------------------------------------------------------
+# A5: scale_pos_weight ratio in ONE conditional-aggregation pass
+# (reference 05_01:103 runs two count() jobs).
+# --------------------------------------------------------------------
+@query(
+    "mlops_scale_pos_weight",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_neg,
+           SUM(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END) * 1.0
+               / SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS scale_pos_weight
+    FROM events
+    """,
+)
+def mlops_scale_pos_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    return load(spark, sf_dir, "events").agg(
+        F.sum(is_err).alias("n_pos"),
+        F.sum(1 - is_err).alias("n_neg"),
+        (F.sum(1 - is_err) * 1.0 / F.sum(is_err)).alias("scale_pos_weight"),
+    )
+
+
+# --------------------------------------------------------------------
+# M6: threshold-at-recall — exact percentile on positives, no driver
+# collect (Spark-native twin of 05_01:227-237).
+# --------------------------------------------------------------------
+@query(
+    "mlops_threshold_at_recall",
+    oracle=f"""
+    SELECT quantile_cont(failure_probability, {1.0 - RECALL_TARGET})
+               AS threshold,
+           COUNT(*) AS n_pos
+    FROM ({_SCORED_SQL}) WHERE is_error = 1
+    """,
+)
+def mlops_threshold_at_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = scored_frame(spark, sf_dir, via="column")
+    return threshold_at_recall(
+        scored, "failure_probability", "is_error", RECALL_TARGET
+    )
+
+
+# --------------------------------------------------------------------
+# End-to-end M6+M7+M8: score -> select threshold -> alert -> one-pass
+# confusion matrix. The 1-row threshold is broadcast into the scored
+# frame (a crossJoin of a 1-row frame — scale-free). Threshold is
+# rounded to 6dp on BOTH sides so interpolation ulp noise cannot flip
+# boundary rows differently per engine.
+# --------------------------------------------------------------------
+@query(
+    "mlops_alert_confusion",
+    oracle=f"""
+    WITH scored AS ({_SCORED_SQL}),
+    thr AS (
+        SELECT ROUND(quantile_cont(failure_probability,
+                                   {1.0 - RECALL_TARGET}), 6) AS threshold
+        FROM scored WHERE is_error = 1
+    )
+    SELECT CASE WHEN failure_probability >= threshold THEN 1 ELSE 0
+           END AS alert,
+           CAST(is_error AS INT) AS target,
+           COUNT(*) AS n
+    FROM scored, thr
+    GROUP BY alert, target
+    """,
+)
+def mlops_alert_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = scored_frame(spark, sf_dir, via="column")
+    thr = (
+        threshold_at_recall(
+            scored, "failure_probability", "is_error", RECALL_TARGET
+        )
+        .select(F.round("threshold", 6).alias("threshold"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy(
+            F.when(F.col("failure_probability") >= F.col("threshold"), 1)
+            .otherwise(0)
+            .alias("alert"),
+            F.col("is_error").cast("int").alias("target"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------
+# M5: full precision-recall curve, Spark-native (reference computes it
+# in sklearn on a driver-side sample, Appendix:130-162). One window
+# sort by score desc; cumulative TP/alert counts give precision/recall
+# at every cut point. All-integer cumulative counts -> exact division
+# -> cross-engine reproducible.
+# --------------------------------------------------------------------
+@query(
+    "mlops_pr_curve",
+    oracle=f"""
+    WITH scored AS ({_SCORED_SQL}),
+    ranked AS (
+        SELECT is_error,
+               ROW_NUMBER() OVER w AS n_alerts,
+               CAST(SUM(is_error) OVER w AS BIGINT) AS n_tp
+        FROM scored
+        WINDOW w AS (ORDER BY failure_probability DESC, event_id)
+    )
+    SELECT n_alerts,
+           n_tp * 1.0 / n_alerts AS precision,
+           n_tp * 1.0 / (SELECT SUM(is_error) FROM scored) AS recall
+    FROM ranked
+    WHERE n_alerts % 100 = 0 OR n_alerts = 1
+    """,
+)
+def mlops_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = scored_frame(spark, sf_dir, via="column")
+    w = Window.orderBy(F.col("failure_probability").desc(), F.col("event_id"))
+    total_pos = scored.agg(
+        F.sum("is_error").cast("long").alias("total_pos")
+    )
+    ranked = scored.select(
+        F.row_number().over(w).alias("n_alerts"),
+        F.sum("is_error").over(w).cast("long").alias("n_tp"),
+    )
+    return (
+        ranked.filter((F.col("n_alerts") % 100 == 0) | (F.col("n_alerts") == 1))
+        .crossJoin(F.broadcast(total_pos))
+        .select(
+            "n_alerts",
+            (F.col("n_tp") * 1.0 / F.col("n_alerts")).alias("precision"),
+            (F.col("n_tp") * 1.0 / F.col("total_pos")).alias("recall"),
+        )
+    )
+
+
+def run_deployment_pipeline(
+    spark: SparkSession, sf_dir: str, artifact_dir: str
+) -> dict:
+    """The reference's full deployment loop (05_01 + 06) end-to-end:
+    score -> select threshold at recall -> persist JSON threshold +
+    model artifacts (S5/S6) -> reload -> alert -> one-pass confusion ->
+    operational summary. Returns the summary dict."""
+    import os
+
+    from ..ml.artifacts import (
+        load_model_artifact,
+        load_threshold_artifact,
+        save_model_artifact,
+        save_threshold_artifact,
+    )
+    from ..operators.metrics import (
+        alert_decision,
+        confusion_matrix,
+        operational_summary,
+    )
+
+    scored = scored_frame(spark, sf_dir, via="column")
+    thr_row = threshold_at_recall(
+        scored, "failure_probability", "is_error", RECALL_TARGET
+    ).first()
+    thr_path = os.path.join(artifact_dir, "threshold.json")
+    model_path = os.path.join(artifact_dir, "model.json")
+    save_threshold_artifact(
+        thr_path, thr_row["threshold"], RECALL_TARGET, thr_row["n_pos"]
+    )
+    save_model_artifact(model_path, MODEL)
+
+    # deployment side: reload artifacts, score fresh, alert (06:73-140)
+    model = load_model_artifact(model_path)
+    threshold = load_threshold_artifact(thr_path)["threshold"]
+    fresh = _features(spark, sf_dir).withColumn(
+        "failure_probability", score_column(model)
+    )
+    cm = confusion_matrix(
+        fresh,
+        alert_decision("failure_probability", threshold),
+        F.col("is_error").cast("int"),
+    )
+    summary = operational_summary([r.asDict() for r in cm.collect()])
+    summary["threshold"] = threshold
+    return summary
+
+
+# --------------------------------------------------------------------
+# M3/M4: distributed MLlib training + PR-AUC. Cross-engine training is
+# not SQL-expressible -> rows-only check (driver records the weaker
+# gate; SURVEY §2.8 note). Kept cheap: logistic regression on the
+# model features at the given scale factor.
+# --------------------------------------------------------------------
+@query("mlops_train_eval")
+def mlops_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.training import pr_auc, score_with_model, train_logistic
+
+    df = _features(spark, sf_dir).withColumn(
+        "label", F.col("is_error").cast("double")
+    )
+    model = train_logistic(df, ["value"], "label", max_iter=10)
+    scored = score_with_model(model, df, ["value"])
+    auc = pr_auc(scored, "failure_probability", "label")
+    n = df.count()
+    return spark.createDataFrame(
+        [(n, round(auc, 4))], "n_train BIGINT, pr_auc DOUBLE"
+    )

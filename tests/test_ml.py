@@ -1,0 +1,138 @@
+"""ML-layer tests: training, scoring, threshold, artifacts, guards.
+
+Covers SURVEY.md §2.13 (M3-M9) and §2.11 (F1-F3) beyond what the
+oracle-parity gate already checks for the mlops_* queries.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_backblaze_hard_drive_failure_spark.ml.artifacts import (
+    load_model_artifact,
+    load_threshold_artifact,
+    save_model_artifact,
+    save_threshold_artifact,
+)
+from big_data_backblaze_hard_drive_failure_spark.ml.scorer import (
+    LinearModel,
+    score_column,
+    score_pandas_udf,
+)
+from big_data_backblaze_hard_drive_failure_spark.ml.training import (
+    guarded_to_pandas,
+    pr_auc,
+    score_with_model,
+    train_gbt,
+    train_logistic,
+)
+from big_data_backblaze_hard_drive_failure_spark.plans.mlops import (
+    MODEL,
+    run_deployment_pipeline,
+    scored_frame,
+)
+
+
+def test_pandas_udf_matches_column_expr(spark, sf_smoke):
+    """The broadcast pandas_udf scorer and the JVM column expression
+    must agree bitwise (same op order by construction)."""
+    a = scored_frame(spark, sf_smoke, via="pandas_udf").select(
+        "event_id", "failure_probability"
+    )
+    b = scored_frame(spark, sf_smoke, via="column").select(
+        "event_id", "failure_probability"
+    )
+    diff = a.join(b, "event_id").filter(
+        a["failure_probability"] != b["failure_probability"]
+    )
+    assert diff.count() == 0
+
+
+def test_scores_are_probabilities(spark, sf_smoke):
+    stats = (
+        scored_frame(spark, sf_smoke, via="column")
+        .agg(
+            F.min("failure_probability").alias("lo"),
+            F.max("failure_probability").alias("hi"),
+        )
+        .first()
+    )
+    assert 0.0 <= stats["lo"] <= stats["hi"] <= 1.0
+
+
+def test_mllib_logistic_and_gbt(spark, sf_smoke):
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import load
+
+    df = (
+        load(spark, sf_smoke, "events")
+        .select(
+            "value",
+            F.when(F.col("event_type") == "error", 1.0)
+            .otherwise(0.0)
+            .alias("label"),
+        )
+    )
+    for train in (train_logistic, train_gbt):
+        model = train(df, ["value"], "label")
+        scored = score_with_model(model, df, ["value"])
+        assert "failure_probability" in scored.columns
+        auc = pr_auc(scored, "failure_probability", "label")
+        assert 0.0 <= auc <= 1.0
+
+
+def test_artifact_roundtrip(tmp_path):
+    thr = tmp_path / "threshold.json"
+    save_threshold_artifact(str(thr), 0.1361, 0.8, 292, extra={"note": "x"})
+    loaded = load_threshold_artifact(str(thr))
+    assert loaded["threshold"] == 0.1361
+    assert loaded["target_recall"] == 0.8
+    assert loaded["n_validation_positives"] == 292
+
+    mp = tmp_path / "model.json"
+    save_model_artifact(str(mp), MODEL)
+    m = load_model_artifact(str(mp))
+    assert m == MODEL
+
+
+def test_guarded_to_pandas_cap(spark, sf_smoke):
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import load
+
+    df = load(spark, sf_smoke, "events")
+    with pytest.raises(ValueError, match="refusing"):
+        guarded_to_pandas(df, cap=10)
+    pdf = guarded_to_pandas(df.limit(5), cap=10)
+    assert len(pdf) == 5
+
+
+def test_deployment_pipeline_end_to_end(spark, sf_smoke, tmp_path):
+    """Reference 05_01+06 loop: recall at the selected threshold must
+    meet the target on the selection set (SURVEY §5 invariant)."""
+    summary = run_deployment_pipeline(spark, sf_smoke, str(tmp_path))
+    assert summary["tp"] + summary["fn"] > 0
+    assert summary["recall"] >= 0.79  # target 0.8, quantile boundary slack
+    assert (tmp_path / "threshold.json").exists()
+    assert (tmp_path / "model.json").exists()
+
+
+def test_linear_model_validation():
+    with pytest.raises(ValueError):
+        LinearModel(features=("a",), weights=(0.1, 0.2))
+
+
+def test_score_column_logistic_monotone(spark):
+    """Logistic variant sanity: higher z => higher p."""
+    m = LinearModel(features=("x",), weights=(1.0,), sigmoid="logistic")
+    df = spark.range(3).select((F.col("id") * 1.0).alias("x"))
+    rows = df.select(score_column(m).alias("p")).collect()
+    ps = [r["p"] for r in rows]
+    assert ps == sorted(ps)
+    assert all(0.0 < p < 1.0 for p in ps)
+
+
+def test_pandas_udf_logistic_path(spark):
+    m = LinearModel(features=("x",), weights=(1.0,), sigmoid="logistic")
+    df = spark.range(5).select((F.col("id") * 1.0).alias("x"))
+    udf = score_pandas_udf(spark, m)
+    rows = df.select(udf("x").alias("p")).collect()
+    assert all(0.0 < r["p"] < 1.0 for r in rows)
