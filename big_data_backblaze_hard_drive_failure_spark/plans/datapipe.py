@@ -1,1 +1,630 @@
-"""Placeholder — populated in later milestones."""
+"""LLM-training-data pipeline queries (SURVEY.md §2.14 / Phase E).
+
+Operators a 100 TB text/embedding corpus pipeline needs, Spark-first:
+
+  dedup        exact (sha256 fingerprint group-by), MinHash+LSH banding
+               (candidate pairs only — NEVER all-pairs), SimHash,
+               n-gram Jaccard
+  similarity   brute-force cosine top-k (bounded query set, broadcast)
+               + MinHashLSH/BucketedRandomProjectionLSH scale path
+  text         stats, language-ID heuristic, BPE-ish token counting,
+               positional fingerprints
+  multimodal   opaque binary payloads + Arrow mapInPandas decode
+
+Scale design notes are on each query. The common theme: per-token /
+per-shingle work is map-side (no shuffle until the per-doc group-by),
+signatures are O(docs) not O(tokens), and candidate generation always
+goes through hash buckets so the pair join is bucket-local — the
+all-pairs O(n^2) join never appears in any plan.
+
+Cross-engine determinism: all hashing is md5/sha2 (identical hex in
+DuckDB), all ratios are exact-integer divisions, and MinHash 'min' is
+over hex-string ordering (bytewise-identical in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import DEFAULT_SALTS, minhash_expr, text_sha256
+from ..functions.multimodal import binary_payload, fake_decode_meta
+from ..functions.text import (
+    BPE_ISH_PATTERN,
+    avg_token_len,
+    ngram_shingles,
+    stopword_hits,
+    token_count_regex,
+    tokens,
+    unique_tokens,
+)
+from ..functions.vector import as_double_array, cosine_similarity
+from ..operators.topk import top_k_per_group
+from ..sources.catalog import load
+from . import query
+
+STOPWORDS = ("the", "a")
+_STOP_SQL = "['the', 'a']"
+
+
+# ====================================================================
+# Exact deduplication
+# ====================================================================
+@query(
+    "datapipe_exact_dedup",
+    oracle="""
+    SELECT sha256(text) AS fingerprint,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY fingerprint
+    """,
+)
+def datapipe_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint: one hash per doc (map-side)
+    then a group-by shuffling only (hash, id) pairs — O(docs) shuffle
+    bytes regardless of document size. ``keep_id = min(doc_id)`` is the
+    deterministic survivor policy. At 100 TB this is THE cheap first
+    pass before any near-dup work."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select(text_sha256("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "datapipe_exact_dedup_summary",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT sha256(text)) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT sha256(text)) AS n_dupes
+    FROM documents
+    """,
+)
+def datapipe_exact_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "documents").select(
+        text_sha256("text").alias("fp")
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dupes"),
+    )
+
+
+# ====================================================================
+# MinHash signatures + LSH banding (near-dup candidates)
+# ====================================================================
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature: k salted-md5 'permutations', min
+    over the doc's distinct-token set. Explode is per-token but the
+    aggregation is map-side-combinable (min), so the shuffle carries
+    one partial row per (doc, partition) — O(docs)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(unique_tokens("text")).alias("tok")
+    )
+    aggs = [
+        F.min(minhash_expr("tok", salt)).alias(f"mh{i}")
+        for i, salt in enumerate(DEFAULT_SALTS)
+    ]
+    return docs.groupBy("doc_id").agg(*aggs)
+
+
+_SIG_SQL = """
+    SELECT doc_id,
+           MIN(md5('s0|' || tok)) AS mh0,
+           MIN(md5('s1|' || tok)) AS mh1,
+           MIN(md5('s2|' || tok)) AS mh2,
+           MIN(md5('s3|' || tok)) AS mh3
+    FROM (
+        SELECT doc_id,
+               unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    )
+    GROUP BY doc_id
+"""
+
+
+@query("datapipe_minhash_signatures", oracle=_SIG_SQL)
+def datapipe_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _signatures(spark, sf_dir)
+
+
+_BANDS_SQL = f"""
+    WITH sig AS ({_SIG_SQL})
+    SELECT band_id, band_key, COUNT(*) AS n_docs
+    FROM (
+        SELECT 0 AS band_id, mh0 || mh1 AS band_key FROM sig
+        UNION ALL
+        SELECT 1 AS band_id, mh2 || mh3 AS band_key FROM sig
+    )
+    GROUP BY band_id, band_key
+    HAVING COUNT(*) >= 2
+"""
+
+
+@query("datapipe_lsh_buckets", oracle=_BANDS_SQL)
+def datapipe_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (b=2 bands x r=2 rows): docs sharing a band key are
+    near-dup CANDIDATES. Bucket sizes, filtered to real buckets. The
+    point at scale: candidate generation is a group-by on a short hash
+    key — the O(n^2) pair space is never materialized; skewed buckets
+    (boilerplate docs) are visible right here as outliers and AQE
+    splits them in the downstream join."""
+    sig = _signatures(spark, sf_dir)
+    bands = sig.select(
+        F.expr(
+            "stack(2, 0, concat(mh0, mh1), 1, concat(mh2, mh3)) "
+            "AS (band_id, band_key)"
+        )
+    )
+    return (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@query(
+    "datapipe_neardup_pairs",
+    oracle=f"""
+    WITH sig AS ({_SIG_SQL}),
+    bands AS (
+        SELECT 0 AS band_id, mh0 || mh1 AS band_key, doc_id FROM sig
+        UNION ALL
+        SELECT 1 AS band_id, mh2 || mh3 AS band_key, doc_id FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    toks AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+        FROM documents
+    )
+    SELECT doc_a, doc_b,
+           len(list_intersect(ta.ts, tb.ts)) * 1.0 /
+           len(list_distinct(list_concat(ta.ts, tb.ts))) AS jaccard
+    FROM cand
+    JOIN toks ta ON ta.doc_id = doc_a
+    JOIN toks tb ON tb.doc_id = doc_b
+    WHERE len(list_intersect(ta.ts, tb.ts)) * 1.0 /
+          len(list_distinct(list_concat(ta.ts, tb.ts))) >= 0.5
+    """,
+)
+def datapipe_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup: LSH candidates -> exact token-set Jaccard
+    verification -> pairs above 0.5. The verify join touches ONLY
+    candidate pairs (bucket-local), and the token arrays it rejoins
+    are the deduped sets, not raw text. Exact-integer Jaccard ->
+    cross-engine reproducible."""
+    sig = _signatures(spark, sf_dir)
+    bands = sig.select(
+        F.expr(
+            "stack(2, 0, concat(mh0, mh1), 1, concat(mh2, mh3)) "
+            "AS (band_id, band_key)"
+        ),
+        "doc_id",
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", unique_tokens("text").alias("ts")
+    )
+    ta, tb = toks.alias("ta"), toks.alias("tb")
+    jac = (
+        F.size(F.array_intersect(F.col("ta.ts"), F.col("tb.ts"))) * 1.0
+        / F.size(F.array_union(F.col("ta.ts"), F.col("tb.ts")))
+    )
+    return (
+        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(tb, F.col("tb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+# ====================================================================
+# n-gram shingle Jaccard (order-sensitive near-dup, small pair set)
+# ====================================================================
+@query(
+    "datapipe_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   for i in range(1, greatest(len(toks) - 1, 1))
+               ]) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE doc_id < 12)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+           len(list_distinct(list_concat(a.shingles, b.shingles)))
+               AS jaccard3
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    """,
+)
+def datapipe_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard over a bounded doc set (pairwise compare is
+    O(k^2) — only ever run it on a candidate set or a sample; the LSH
+    path above is how candidates appear at scale)."""
+    sh = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 12)
+        .select(
+            "doc_id",
+            F.array_distinct(ngram_shingles("text", 3)).alias("shingles"),
+        )
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = (
+        F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+        * 1.0
+        / F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    )
+    return a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        jac.alias("jaccard3"),
+    )
+
+
+# ====================================================================
+# SimHash (16-bit, md5-derived — cross-engine deterministic)
+# ====================================================================
+def _simhash_sql() -> str:
+    digit = (
+        "(instr('0123456789abcdef', substring(md5(tok), {pos}, 1)) - 1)"
+    )
+    bit_sums = []
+    fp_terms = []
+    for i in range(16):
+        j, k = divmod(i, 4)
+        d = digit.format(pos=j + 1)
+        bit_sums.append(
+            f"SUM(2 * (({d} // {2 ** k}) % 2) - 1) AS s{i}"
+        )
+        fp_terms.append(f"CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END")
+    return f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ), sums AS (
+        SELECT doc_id, {', '.join(bit_sums)}
+        FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({' + '.join(fp_terms)} AS BIGINT) AS simhash16
+    FROM sums
+    """
+
+
+@query("datapipe_simhash", oracle=_simhash_sql())
+def datapipe_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: per-token md5-derived bit votes, summed per doc
+    (map-side combinable), sign -> fingerprint. Near-dups then differ
+    in few bits — candidate pairs come from grouping on the
+    fingerprint (or rotated fingerprints for <=k-bit tolerance), never
+    from pairwise comparison. Bit width is 16 here for a readable
+    oracle; production uses 64 the same way."""
+    from ..functions.hashing import simhash16_bit_sums
+
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(unique_tokens("text")).alias("tok")
+    )
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(c).alias(f"s{i}")
+            for i, c in enumerate(simhash16_bit_sums("tok"))
+        ]
+    )
+    fp = None
+    for i in range(16):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select("doc_id", fp.cast("long").alias("simhash16"))
+
+
+# ====================================================================
+# Similarity search over embeddings
+# ====================================================================
+@query(
+    "datapipe_cosine_topk",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < 5
+    ), c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings
+    ), sims AS (
+        SELECT query_id, vec_id,
+               list_dot_product(qe, ce) /
+               (sqrt(list_dot_product(qe, qe)) *
+                sqrt(list_dot_product(ce, ce))) AS cosine
+        FROM q, c WHERE vec_id <> query_id
+    )
+    SELECT query_id, vec_id, cosine, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ROUND(cosine, 6) DESC, vec_id) AS rank
+        FROM sims
+    )
+    WHERE rank <= 3
+    """,
+)
+def datapipe_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the k-NN baseline. The bounded query
+    set is BROADCAST against the corpus scan — one pass over the
+    embeddings, no shuffle of the corpus; top-k per query uses the
+    rank-pushdown window (WindowGroupLimit). Ranking on ROUND(cos, 6)
+    with a vec_id tie-break keeps ranks stable across engines (raw
+    doubles are bit-identical here, but rounding makes the contract
+    explicit). Scale path for corpus-x-corpus: datapipe_knn_lsh."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            as_double_array("embedding").alias("qe"),
+        )
+    )
+    c = emb.select("vec_id", as_double_array("embedding").alias("ce"))
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity("qe", "ce").alias("cosine"),
+        )
+    )
+    return top_k_per_group(
+        sims,
+        ["query_id"],
+        [F.round("cosine", 6).desc(), F.col("vec_id")],
+        k=3,
+    )
+
+
+@query("datapipe_knn_lsh")
+def datapipe_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for similarity search: random-hyperplane LSH
+    (MLlib BucketedRandomProjectionLSH) — hash the corpus once, join
+    query hashes to bucket-colliding candidates only. Seeded but not
+    SQL-expressible -> driver's rows-only check. Returns candidate
+    counts per query within distance 9.0 (euclidean on unit-ish
+    vectors ~ cosine band)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(as_double_array("embedding")).alias("v")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="v", outputCol="h", bucketLength=2.0, numHashTables=3, seed=42
+    )
+    model = lsh.fit(emb)
+    q = emb.filter(F.col("vec_id") < 5)
+    joined = model.approxSimilarityJoin(q, emb, 9.0, distCol="dist")
+    return (
+        joined.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+        .groupBy(F.col("datasetA.vec_id").alias("query_id"))
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+        .orderBy("query_id")
+    )
+
+
+# ====================================================================
+# Text analysis
+# ====================================================================
+@query(
+    "datapipe_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_unique,
+           length(text) AS n_chars,
+           list_sum(list_transform(toks, t -> length(t))) * 1.0
+               / len(toks) AS avg_token_len,
+           len(list_distinct(toks)) * 1.0 / len(toks) AS ttr,
+           len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) * 1.0
+               / len(toks) AS stop_ratio
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+          FROM documents)
+    """,
+)
+def datapipe_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality stats: token/char counts, type-token ratio,
+    stopword ratio — the standard quality-scoring features. All array
+    expressions over one scan (no explode, no shuffle at all: this is
+    a pure map job at any scale). Ratios are exact-integer divisions."""
+    t = tokens("text")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(unique_tokens("text")).alias("n_unique"),
+        F.length("text").alias("n_chars"),
+        avg_token_len("text").alias("avg_token_len"),
+        (F.size(unique_tokens("text")) * 1.0 / F.size(t)).alias("ttr"),
+        (stopword_hits("text", STOPWORDS) * 1.0 / F.size(t)).alias(
+            "stop_ratio"
+        ),
+    )
+
+
+@query(
+    "datapipe_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                             t -> list_contains({_STOP_SQL}, t))) * 1.0
+                         / len(string_split(text, ' ')) >= 0.03
+                    THEN 'en' ELSE 'und' END AS predicted_lang
+        FROM documents
+    )
+    SELECT predicted_lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM scored GROUP BY predicted_lang
+    """,
+)
+def datapipe_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID (the classic n-gram/func-word
+    heuristic): English function-word density >= 3% -> 'en'. Pure
+    map + tiny aggregate; accuracy is auditable against the fixture's
+    lang column."""
+    ratio = stopword_hits("text", STOPWORDS) * 1.0 / F.size(tokens("text"))
+    pred = F.when(ratio >= 0.03, "en").otherwise("und")
+    return (
+        load(spark, sf_dir, "documents")
+        .select("lang", pred.alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("predicted_lang") == F.col("lang"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+    )
+
+
+@query(
+    "datapipe_token_count_regex",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')))
+                AS BIGINT) AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def datapipe_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token budgeting with a BPE-ish regex pre-tokenizer,
+    rolled up by source — the 'how many training tokens do we have,
+    and from where' query. Regex runs map-side; the group-by shuffles
+    one partial row per source per task."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count_regex("text")).alias("total_tokens"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "datapipe_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_sum([
+               i * (length(toks[i]) * 31 + ascii(substring(toks[i], 1, 1)))
+               for i in range(1, len(toks) + 1)
+           ]) % 1000000007 AS fingerprint
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    """,
+)
+def datapipe_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted rolling fingerprint: order-sensitive (unlike
+    the token-set hashes above), so reordered near-dups hash apart.
+    Exact integer arithmetic end-to-end; pure map job."""
+    expr = (
+        "aggregate("
+        "  transform(split(text, ' '), (t, i) ->"
+        "    CAST((i + 1) * (length(t) * 31 + ascii(substring(t, 1, 1)))"
+        "         AS BIGINT)),"
+        "  CAST(0 AS BIGINT), (acc, x) -> acc + x"
+        ") % 1000000007"
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(expr).alias("fingerprint")
+    )
+
+
+# ====================================================================
+# Multimodal columns
+# ====================================================================
+@query(
+    "datapipe_props_json",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+               AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS k_sum,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_min,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max
+    FROM events GROUP BY k_bucket
+    """,
+)
+def datapipe_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata extraction from a JSON string column
+    (``from_json`` with an explicit schema — never schema_of_json at
+    scale) + bucketed rollup. The parse is codegen'd JVM work."""
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        load(spark, sf_dir, "events")
+        .select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+@query(
+    "datapipe_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           ascii(substring(text, 1, 1)) AS first_byte,
+           CAST(64 + octet_length(encode(text)) % 512 AS INTEGER)
+               AS fake_width,
+           CAST(64 + octet_length(encode(text)) % 384 AS INTEGER)
+               AS fake_height,
+           CAST(1 + octet_length(encode(text)) % 7 AS INTEGER)
+               AS fake_n_frames
+    FROM documents
+    """,
+)
+def datapipe_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary decode plumbing: binary payload column ->
+    Arrow-batched mapInPandas 'decoder' -> typed metadata struct.
+    The decoder here is the deterministic stub (real codecs aren't in
+    this container — functions/multimodal.py:decode_image is the
+    marked stub), but the schema, batching, and partitioning are
+    exactly what a real image/audio decoder uses."""
+    df = load(spark, sf_dir, "documents").select(
+        "doc_id", binary_payload("text").alias("payload")
+    )
+    return fake_decode_meta(df)
