@@ -31,16 +31,22 @@ def rolling_feature_columns(
     order: Sequence[str],
     windows: Sequence[int] = (7, 14),
 ) -> dict[str, Column]:
-    """Build the reference's feature expressions for each metric:
-    ``{metric}_avg_{n}d`` for each n in windows, plus
-    ``{metric}_std_7d``, ``{metric}_max_7d``, ``{metric}_delta_1d``."""
+    """Build the reference's feature expressions for each metric,
+    matching the reference's column naming (``_mean_``, see
+    03_feature_engineering.py:108-119): ``{metric}_mean_{n}d`` for
+    EACH n in ``windows``, plus ``{metric}_std_{w0}d`` /
+    ``{metric}_max_{w0}d`` over the SHORTEST window and
+    ``{metric}_delta_1d``. All frames and suffixes derive from
+    ``windows`` — non-default windows like (30, 90) produce 30-row
+    std/max frames named accordingly."""
     w = Window.partitionBy(entity).orderBy(*order)
+    w0 = min(windows)
     out: dict[str, Column] = {}
     for m in metrics:
         for n in windows:
-            out[f"{m}_avg_{n}d"] = F.avg(m).over(w.rowsBetween(-(n - 1), 0))
-        out[f"{m}_std_7d"] = F.stddev(m).over(w.rowsBetween(-6, 0))
-        out[f"{m}_max_7d"] = F.max(m).over(w.rowsBetween(-6, 0))
+            out[f"{m}_mean_{n}d"] = F.avg(m).over(w.rowsBetween(-(n - 1), 0))
+        out[f"{m}_std_{w0}d"] = F.stddev(m).over(w.rowsBetween(-(w0 - 1), 0))
+        out[f"{m}_max_{w0}d"] = F.max(m).over(w.rowsBetween(-(w0 - 1), 0))
         out[f"{m}_delta_1d"] = F.col(m) - F.lag(m, 1).over(w)
     return out
 

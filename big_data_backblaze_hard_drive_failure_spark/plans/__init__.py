@@ -45,6 +45,7 @@ def _load_all() -> None:
     from . import star  # noqa: F401
     from . import datapipe  # noqa: F401
     from . import mlops  # noqa: F401
+    from . import io  # noqa: F401
 
 
 _load_all()

@@ -170,6 +170,57 @@ def datapipe_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAIR_BUCKET_CAP = 16  # pairwise verify only inside small buckets
+
+
+@query(
+    "datapipe_neardup_clusters",
+    oracle=f"""
+    WITH sig AS ({_SIG_SQL}),
+    bands AS (
+        SELECT 0 AS band_id, mh0 || mh1 AS band_key, doc_id FROM sig
+        UNION ALL
+        SELECT 1 AS band_id, mh2 || mh3 AS band_key, doc_id FROM sig
+    ),
+    bucket_min AS (
+        SELECT band_id, band_key, MIN(doc_id) AS bucket_rep
+        FROM bands GROUP BY band_id, band_key
+    )
+    SELECT b.doc_id, MIN(m.bucket_rep) AS rep_id
+    FROM bands b
+    JOIN bucket_min m
+      ON m.band_id = b.band_id AND m.band_key = b.band_key
+    GROUP BY b.doc_id
+    """,
+)
+def datapipe_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup DEDUP at scale: assign every doc to a cluster
+    representative (min doc_id over its LSH buckets; one pass of the
+    standard iterate-to-fixpoint star contraction). This is the
+    operator that actually dedupes a 100 TB corpus: everything is
+    O(docs) — bucket mins via map-side-combinable aggregation, a join
+    that emits exactly one row per (doc, band), and a final per-doc
+    min. The quadratic pair space never exists; mega-clusters of
+    boilerplate (which real corpora always have) cost the same as
+    singletons. Survivors = docs with rep_id == doc_id."""
+    sig = _signatures(spark, sf_dir)
+    bands = sig.select(
+        F.expr(
+            "stack(2, 0, concat(mh0, mh1), 1, concat(mh2, mh3)) "
+            "AS (band_id, band_key)"
+        ),
+        "doc_id",
+    )
+    bucket_min = bands.groupBy("band_id", "band_key").agg(
+        F.min("doc_id").alias("bucket_rep")
+    )
+    return (
+        bands.join(bucket_min, ["band_id", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.min("bucket_rep").alias("rep_id"))
+    )
+
+
 @query(
     "datapipe_neardup_pairs",
     oracle=f"""
@@ -179,9 +230,18 @@ def datapipe_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT 1 AS band_id, mh2 || mh3 AS band_key, doc_id FROM sig
     ),
+    sized AS (
+        SELECT band_id, band_key, doc_id,
+               COUNT(*) OVER (PARTITION BY band_id, band_key) AS n_bucket
+        FROM bands
+    ),
+    small AS (
+        SELECT band_id, band_key, doc_id FROM sized
+        WHERE n_bucket BETWEEN 2 AND {_PAIR_BUCKET_CAP}
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
+        FROM small a JOIN small b
           ON a.band_id = b.band_id AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
     ),
@@ -200,11 +260,13 @@ def datapipe_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def datapipe_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end near-dup: LSH candidates -> exact token-set Jaccard
-    verification -> pairs above 0.5. The verify join touches ONLY
-    candidate pairs (bucket-local), and the token arrays it rejoins
-    are the deduped sets, not raw text. Exact-integer Jaccard ->
-    cross-engine reproducible."""
+    """LSH candidates -> exact token-set Jaccard verification -> pairs
+    above 0.5, with the pairwise stage gated to SMALL buckets
+    (2..{cap} docs). Mega-buckets are near-certain duplicate clusters;
+    they go through datapipe_neardup_clusters (O(docs)) instead of a
+    quadratic pair join — the bucket-size gate is what keeps this
+    plan's worst case bounded at any corpus size. Exact-integer
+    Jaccard -> cross-engine reproducible."""
     sig = _signatures(spark, sf_dir)
     bands = sig.select(
         F.expr(
@@ -213,7 +275,13 @@ def datapipe_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "doc_id",
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "band_key")
+    small = bands.withColumn("n_bucket", F.count(F.lit(1)).over(w)).filter(
+        F.col("n_bucket").between(2, _PAIR_BUCKET_CAP)
+    )
+    a, b = small.alias("a"), small.alias("b")
     cand = (
         a.join(
             b,

@@ -1,0 +1,120 @@
+"""I/O round-trip queries (reference S1/S3/S7/T3 exercised end-to-end).
+
+Each query materializes an intermediate to local scratch storage
+(parquet or CSV), re-reads it, and aggregates — so the write path,
+the writer tuning, and the explicit-schema CSV reader are all inside
+the oracle-checked surface. The oracle runs the same computation
+directly over the source table: a correct round-trip is value-neutral.
+
+Scratch lives under the repo (driver contract forbids writing
+elsewhere); each query uses its own subdirectory with overwrite mode
+so reruns are idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.catalog import load
+from ..sources.sinks import read_csv, write_csv, write_parquet
+from . import query
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "_scratch",
+)
+
+
+def scratch_dir(name: str) -> str:
+    path = os.path.join(_SCRATCH, name)
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return path
+
+
+# --------------------------------------------------------------------
+# S3/S4/T3: parquet write (tuned codec/row-groups via session conf,
+# coalesce pre-write) -> re-scan -> profile. Reference stage
+# materialization (01:26-28, 02:161-174).
+# --------------------------------------------------------------------
+@query(
+    "io_parquet_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def io_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir("parquet_roundtrip")
+    staged = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    write_parquet(staged, path, n_files=4)
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+# --------------------------------------------------------------------
+# S7 + S1: CSV write -> explicit-schema CSV read (no inferSchema
+# pre-pass) -> aggregate. Reference 05_SHAP:164-167 / 01:17-22.
+# --------------------------------------------------------------------
+_DAILY_SCHEMA = T.StructType(
+    [
+        T.StructField("day", T.DateType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_cents", T.LongType()),
+    ]
+)
+
+
+@query(
+    "io_csv_roundtrip",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events GROUP BY day, event_type
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           SUM(sum_cents) / 100.0 AS total_value
+    FROM daily GROUP BY event_type
+    """,
+)
+def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir("csv_roundtrip")
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.to_date("ts").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+    )
+    write_csv(daily, path, n_files=1)
+    back = read_csv(spark, path, _DAILY_SCHEMA)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("n_events"),
+        (F.sum("sum_cents") / 100.0).alias("total_value"),
+    )

@@ -15,7 +15,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.features import add_drive_age, add_rolling_features
 from ..operators.labeling import lead_label, leakage_filter
 from ..operators.metrics import alert_decision, alerts_per_day, confusion_matrix
 from ..operators.splits import deterministic_downsample_negatives
@@ -321,17 +320,50 @@ def ref_union_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# U1: unionByName proper — positives and modulus-sampled negatives
+# built as two frames and recombined (reference 04:68). Distinct
+# `part` tags keep the union's provenance checkable; DuckDB twin is
+# UNION ALL. (ref_union_downsample re-expresses the same semantics as
+# a single-scan filter — this query checks the union operator itself.)
+# --------------------------------------------------------------------
+@query(
+    "ref_union_by_name",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_id, user_id, {_FAILURE_SQL} AS label FROM events
+    )
+    SELECT 'pos' AS part, event_id, user_id, label
+    FROM base WHERE label = 1
+    UNION ALL
+    SELECT 'neg' AS part, event_id, user_id, label
+    FROM base WHERE label = 0 AND event_id % 20 = 0
+    """,
+)
+def ref_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", _failure().alias("label")
+    )
+    pos = df.filter(F.col("label") == 1).select(
+        F.lit("pos").alias("part"), "event_id", "user_id", "label"
+    )
+    neg = df.filter(
+        (F.col("label") == 0) & (F.col("event_id") % 20 == 0)
+    ).select(F.lit("neg").alias("part"), "event_id", "user_id", "label")
+    return pos.unionByName(neg)
+
+
+# --------------------------------------------------------------------
 # X1: seeded Bernoulli downsample — NOT cross-engine reproducible, so
 # no oracle (driver's rows-only check). Reference 04:60-66.
 # --------------------------------------------------------------------
 @query("ref_sample_seeded")
 def ref_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single-pass form: one scan with `label=1 OR seeded-coin` instead
+    # of the reference's pos-filter + neg-sample + union double scan
     df = load(spark, sf_dir, "events").select(
         "event_id", "user_id", _failure().alias("label")
     )
-    pos = df.filter(F.col("label") == 1)
-    neg = df.filter(F.col("label") == 0).sample(fraction=0.1, seed=42)
-    return pos.unionByName(neg)
+    return df.filter((F.col("label") == 1) | (F.rand(seed=42) < 0.1))
 
 
 # --------------------------------------------------------------------

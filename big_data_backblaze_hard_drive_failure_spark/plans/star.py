@@ -219,12 +219,23 @@ def star_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def star_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pre-aggregate orders per custkey BEFORE the left join: the join
+    # then sees <=1 row per customer on each side (one wide shuffle on
+    # the fact, tiny join), instead of shuffling the full orders table
+    # into the join and re-shuffling the joined result to group — the
+    # shape that hurts at 100x on a skewed custkey.
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey", "c_mktsegment")
-        .agg(F.count("o_orderkey").alias("n_orders"))
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return cust.join(
+        per_cust, cust.c_custkey == per_cust.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce(F.col("_n"), F.lit(0)).alias("n_orders"),
     )
 
 
@@ -435,4 +446,72 @@ def star_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(F.countDistinct("o_custkey").alias("n_customers"))
+    )
+
+
+# --------------------------------------------------------------------
+# As-of join [beyond-reference, SURVEY §2.3]: for each 'click' event,
+# the most recent 'error' value of the same user at or before its ts.
+#
+# Spark has no ASOF JOIN operator; a range join (c.ts >= e.ts) would
+# be O(n*m) per user. The scalable re-expression is union + window:
+# tag both sides, sort per user by (ts, side, event_id) — errors
+# before clicks at equal ts, matching ASOF's >= bound — and carry the
+# last error value forward with last_value(ignorenulls). ONE hash
+# exchange on user_id + one local sort, identical cost to any other
+# window query; no join blow-up at any scale.
+#
+# Right side is deduped to one error per (user, ts) (max event_id
+# wins) so the as-of match is deterministic in both engines.
+# --------------------------------------------------------------------
+@query(
+    "star_asof_join",
+    oracle="""
+    WITH err AS (
+        SELECT user_id, ts, arg_max(value, event_id) AS err_value
+        FROM events WHERE event_type = 'error'
+        GROUP BY user_id, ts
+    ),
+    clicks AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, e.err_value AS last_error_value
+    FROM clicks c
+    ASOF LEFT JOIN err e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    """,
+)
+def star_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.expr("max_by(value, event_id)").alias("err_value"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(0).alias("side"),
+            "err_value",
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("double").alias("err_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = err.unionByName(clicks).withColumn(
+        "last_error_value",
+        F.last("err_value", ignorenulls=True).over(w),
+    )
+    return merged.filter(F.col("side") == 1).select(
+        "event_id", "user_id", "last_error_value"
     )

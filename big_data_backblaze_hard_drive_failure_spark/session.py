@@ -58,6 +58,12 @@ def get_spark(
         .config("spark.hadoop.parquet.page.size", str(8 * 1024 * 1024))
         # fixture events.ts is parquet TIMESTAMP(NANOS); see sources.catalog
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # reference resource envelope: 8g driver/executor
+        # (scripts/02_label_engineering.py:27-28, BASELINE.md) — only
+        # takes effect when this factory launches the JVM; a hostile
+        # pre-built session keeps its own sizing
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.executor.memory", os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "8g"))
     )
     if master is not None:
         builder = builder.master(master)

@@ -137,7 +137,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         the other fixtures' ms timestamps (TIMESTAMP_NTZ) and how the
         DuckDB oracle sees them.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # set-once guard: only touch the caller's session conf if the
+    # setting isn't already what we need (avoids a surprising mutation
+    # on every load() call in someone else's SparkSession)
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(

@@ -1,0 +1,61 @@
+"""Data sinks (reference S3/S4/S7 + T3).
+
+The reference materializes every stage as parquet
+(/root/reference/scripts/01_data_ingestion.py:26-28,
+02_label_engineering.py:161-174) with tuned writer settings (snappy,
+64 MB row groups, 8 MB pages — carried as session defaults in
+session.py) and a ``coalesce(32)`` before writing so the output isn't
+one file per shuffle partition (02:166).
+
+Scale note: ``coalesce`` is the right pre-write shrink (narrow — no
+shuffle); for SORTED or partitioned output use
+``df.repartition(n, keys)`` / ``partitionBy`` instead, and let AQE
+size the shuffle. File count targets ~128 MB-1 GB per file at 100 TB;
+32 files is the reference's single-node number, so it's a parameter
+here, not a constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    n_files: int | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink (S3). ``n_files`` mirrors the reference's
+    coalesce-pre-write (T3); ``partition_by`` adds the directory
+    partitioning the reference lacks (upgrades downstream date-range
+    filters from row-group skipping to partition pruning)."""
+    if n_files is not None:
+        df = df.coalesce(n_files)
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    n_files: int | None = None,
+) -> None:
+    """CSV sink (S7 — the reference exports SHAP values this way,
+    05_SHAP_alert_explanation.py:164-167)."""
+    if n_files is not None:
+        df = df.coalesce(n_files)
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """CSV source with an explicit schema — single-pass, no
+    inferSchema pre-read (reference S1 minus its extra full scan,
+    01_data_ingestion.py:20-21)."""
+    return spark.read.option("header", True).schema(schema).csv(path)

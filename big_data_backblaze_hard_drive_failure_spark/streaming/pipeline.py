@@ -1,0 +1,75 @@
+"""Streaming pipeline stages.
+
+Design for scale: the stream is partitioned by source file/offset;
+the only stateful stage is the windowed aggregate, whose state is
+bounded by the watermark (1 day late-data allowance -> ~2 windows of
+state per key). Scoring is stateless column arithmetic — identical
+plans to the batch engine, which is the point of Structured
+Streaming's unified model.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ml.scorer import LinearModel, score_column
+from ..sources.catalog import schema_for
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture directory with the
+    catalog's explicit schema (never inferSchema on a stream). The
+    fixture's raw parquet stores ts as TIMESTAMP(NANOS); under
+    ``nanosAsLong`` it surfaces as bigint and is rebuilt exactly like
+    sources.catalog.load does for batch."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = schema_for("events")
+    raw_schema = ", ".join(
+        f"{f.name} {'BIGINT' if f.name == 'ts' else f.dataType.simpleString()}"
+        for f in schema.fields
+    )
+    # the file stream source monitors a DIRECTORY; the fixture is a
+    # single file, so watch the sf dir with a glob filter
+    df = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    # watermarks require TIMESTAMP (an instant), not TIMESTAMP_NTZ —
+    # build the micros instant directly; run streaming sessions in UTC
+    # (the engine session factory pins this) so wall-clock semantics
+    # match the batch NTZ reads
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def score_stream(stream: DataFrame, model: LinearModel) -> DataFrame:
+    """Stateless scoring — the same Column expression the batch plan
+    uses (ml/scorer.py); works unchanged on a stream."""
+    feats = stream.withColumn(
+        "is_error",
+        F.when(F.col("event_type") == "error", 1.0).otherwise(0.0),
+    )
+    return feats.withColumn("failure_probability", score_column(model))
+
+
+def daily_alert_stream(
+    scored: DataFrame, threshold: float, watermark: str = "1 day"
+) -> DataFrame:
+    """Watermarked tumbling-window daily alert counts — the streaming
+    twin of operators.metrics.alerts_per_day (reference M9). State is
+    dropped once the watermark passes a window's end."""
+    alerts = scored.withColumn(
+        "alert",
+        F.when(F.col("failure_probability") >= threshold, 1).otherwise(0),
+    )
+    return (
+        alerts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.sum("alert").alias("alerts"))
+        .select(F.to_date(F.col("w.start")).alias("day"), "alerts")
+    )

@@ -22,17 +22,30 @@ TABLES = [
 
 
 def canon(v):
-    if isinstance(v, float):
-        return round(v, 6)
-    if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, dt.date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(canon(x) for x in v)
-    if isinstance(v, (bytes, bytearray)):
-        return bytes(v).hex()
-    return v
+    # identical canonicalization to the pytest gate (tests/oracle.py
+    # _canon): NaN -> sentinel, -0.0 -> 0.0, so the two harnesses
+    # can't disagree on edge floats
+    try:
+        from tests.oracle import _canon
+
+        return _canon(v)
+    except ImportError:
+        if isinstance(v, float):
+            import math
+
+            if math.isnan(v):
+                return "NaN"
+            r = round(v, 6)
+            return 0.0 if r == 0 else r
+        if isinstance(v, dt.datetime):
+            return v.replace(tzinfo=None).isoformat()
+        if isinstance(v, dt.date):
+            return v.isoformat()
+        if isinstance(v, (list, tuple)):
+            return tuple(canon(x) for x in v)
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v).hex()
+        return v
 
 
 def main() -> int:

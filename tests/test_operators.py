@@ -1,0 +1,228 @@
+"""Direct operator-level tests: every exported symbol in
+``operators/`` gets coverage here (the oracle-parity gate covers the
+query layer; this covers the library API a user calls directly).
+
+Float-producing operators (plain ``F.avg``/``F.stddev`` frames in
+``add_rolling_features``) are checked against DuckDB with a 1e-9
+absolute tolerance — their accumulation order is engine-specific by
+design; the bit-exact cents technique lives in the query layer.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_backblaze_hard_drive_failure_spark.operators import (
+    add_drive_age,
+    add_rolling_features,
+    chronological_split,
+    downsample_negatives,
+    top_k_per_group,
+)
+from big_data_backblaze_hard_drive_failure_spark.operators.features import (
+    rolling_feature_columns,
+)
+from big_data_backblaze_hard_drive_failure_spark.operators.labeling import (
+    lead_label,
+    leakage_filter,
+)
+from big_data_backblaze_hard_drive_failure_spark.operators.metrics import (
+    operational_summary,
+)
+from big_data_backblaze_hard_drive_failure_spark.sources.catalog import load
+
+from .oracle import run_oracle
+
+
+def _events(spark, sf):
+    return load(spark, sf, "events")
+
+
+def test_add_rolling_features_duckdb_tolerance(spark, sf_smoke):
+    """add_rolling_features (plain float frames) vs DuckDB windows,
+    |diff| <= 1e-9 — verifies the operator users actually call."""
+    df = add_rolling_features(
+        _events(spark, sf_smoke).select("user_id", "event_id", "ts", "value"),
+        metrics=["value"],
+        entity="user_id",
+        order=["ts", "event_id"],
+    )
+    got = {
+        r["event_id"]: r
+        for r in df.select(
+            "event_id", "value_mean_7d", "value_mean_14d",
+            "value_std_7d", "value_max_7d", "value_delta_1d",
+        ).collect()
+    }
+    _, rows = run_oracle(
+        sf_smoke,
+        """
+        SELECT event_id,
+               AVG(value) OVER w7 AS m7,
+               AVG(value) OVER w14 AS m14,
+               COALESCE(STDDEV(value) OVER w7, 0) AS s7,
+               MAX(value) OVER w7 AS x7,
+               COALESCE(value - LAG(value, 1) OVER w1, 0) AS d1
+        FROM events
+        WINDOW
+            w1 AS (PARTITION BY user_id ORDER BY ts, event_id),
+            w7 AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+            w14 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        """,
+    )
+    assert len(rows) == len(got)
+    for eid, m7, m14, s7, x7, d1 in rows:
+        g = got[eid]
+        for a, b in [
+            (g["value_mean_7d"], m7),
+            (g["value_mean_14d"], m14),
+            (g["value_std_7d"], s7),
+            (g["value_max_7d"], x7),
+            (g["value_delta_1d"], d1),
+        ]:
+            assert math.isclose(a, float(b), abs_tol=1e-9), (eid, a, b)
+
+
+def test_rolling_feature_columns_custom_windows():
+    """Non-default windows derive frames AND suffixes (round-1 advice:
+    (30, 90) must not silently emit 7-row std/max)."""
+    cols = rolling_feature_columns(
+        ["value"], "user_id", ["ts"], windows=(30, 90)
+    )
+    assert set(cols) == {
+        "value_mean_30d",
+        "value_mean_90d",
+        "value_std_30d",
+        "value_max_30d",
+        "value_delta_1d",
+    }
+
+
+def test_add_drive_age_row_number(spark, sf_smoke):
+    df = add_drive_age(
+        _events(spark, sf_smoke), "user_id", ["ts", "event_id"], name="age"
+    )
+    per_user = df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("age").alias("lo"),
+        F.max("age").alias("hi"),
+        F.countDistinct("age").alias("d"),
+    )
+    bad = per_user.filter(
+        (F.col("lo") != 1)
+        | (F.col("hi") != F.col("n"))
+        | (F.col("d") != F.col("n"))
+    )
+    assert bad.count() == 0  # age is exactly 1..n per entity
+
+
+def test_lead_label_invariants(spark, sf_smoke):
+    """SURVEY §5: lead alignment + leakage filter invariants."""
+    df = _events(spark, sf_smoke).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("f"),
+    )
+    labeled = lead_label(df, "user_id", ["ts", "event_id"], "f")
+    # last row per user must be labeled 0 (lead NULL -> otherwise(0))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = labeled.withColumn("rn", F.row_number().over(w)).filter(
+        "rn = 1 AND failure_next_24h != 0"
+    )
+    assert last.count() == 0
+    # leakage filter removes every currently-failing row
+    filtered = leakage_filter(labeled, "f")
+    assert filtered.filter("f = 1").count() == 0
+
+
+def test_chronological_split_partitions_everything(spark, sf_smoke):
+    df = _events(spark, sf_smoke)
+    train, val, test = chronological_split(
+        df.withColumn("day", F.to_date("ts")),
+        "day",
+        "2024-01-15",
+        "2024-01-25",
+    )
+    n = df.count()
+    nt, nv, ns = train.count(), val.count(), test.count()
+    assert nt + nv + ns == n  # no row lost or double-counted
+    assert nt > 0 and ns > 0
+    assert train.agg(F.max("day")).first()[0] < val.agg(F.min("day")).first()[0]
+
+
+def test_downsample_negatives_ratio(spark, sf_smoke):
+    df = _events(spark, sf_smoke).select(
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("label"),
+        "event_id",
+    )
+    pos_n = df.filter("label = 1").count()
+    out = downsample_negatives(df, "label", ratio=2.0, seed=42)
+    out_pos = out.filter("label = 1").count()
+    out_neg = out.filter("label = 0").count()
+    assert out_pos == pos_n  # every positive kept
+    # Bernoulli sampling: expect ~2x positives, allow wide slack
+    assert 0.5 * pos_n <= out_neg <= 4.0 * pos_n
+
+
+def test_downsample_negatives_keeps_all_when_ratio_exceeds(spark):
+    df = spark.createDataFrame(
+        [(1, i) for i in range(5)] + [(0, i) for i in range(5, 10)],
+        "label INT, id INT",
+    )
+    out = downsample_negatives(df, "label", ratio=100.0)
+    assert out.count() == 10  # fraction capped at 1.0 -> keep everything
+
+
+def test_top_k_per_group_exact(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("b", i) for i in range(3)],
+        "g STRING, v INT",
+    )
+    out = top_k_per_group(
+        df, ["g"], [F.col("v").desc(), F.col("v")], k=2, keep_rank=False
+    )
+    rows = {(r["g"], r["v"]) for r in out.collect()}
+    assert rows == {("a", 9), ("a", 8), ("b", 2), ("b", 1)}
+
+
+def test_operational_summary_math():
+    s = operational_summary(
+        [
+            {"alert": 1, "target": 1, "n": 202},
+            {"alert": 0, "target": 1, "n": 46},
+            {"alert": 1, "target": 0, "n": 2_525_188},
+            {"alert": 0, "target": 0, "n": 100},
+        ]
+    )
+    # the reference's published operational numbers (readme.md:166-173)
+    assert s["tp"] == 202 and s["fn"] == 46
+    assert round(s["recall"], 2) == 0.81
+    assert s["precision"] == pytest.approx(202 / (202 + 2_525_188))
+
+
+def test_operational_summary_zero_division():
+    s = operational_summary([])
+    assert s["recall"] == 0.0 and s["precision"] == 0.0
+
+
+def test_cents_assumption_guard(spark, sf_oracle):
+    """ADVICE.md guard: the exact-cents technique requires 2-decimal
+    fixture values — fail loudly if a fixture change breaks that."""
+    bad = (
+        _events(spark, sf_oracle)
+        .withColumn(
+            "rt", F.abs(F.round(F.col("value") * 100) / 100.0 - F.col("value"))
+        )
+        .filter(F.col("rt") > 1e-9)
+    )
+    assert bad.count() == 0

@@ -16,9 +16,13 @@ def test_oracle_parity(spark, sf_oracle, name):
 
 
 def test_every_query_runs(spark, sf_smoke):
+    """Every registered query (including rows-only ones) must execute;
+    queries over known-populated fixtures must return rows."""
+    may_be_empty = {"star_anti_join", "datapipe_neardup_pairs"}
     for name, fn in QUERIES.items():
-        df = fn(spark, sf_smoke)
-        assert df.count() >= 0, name
+        n = fn(spark, sf_smoke).count()
+        if name not in may_be_empty:
+            assert n > 0, f"{name} returned no rows at sf0.001"
 
 
 def test_entry_contract(spark):
