@@ -92,6 +92,31 @@ def score_column(model: LinearModel) -> Column:
     return p
 
 
+def score_row_udf(model: LinearModel):
+    """Typed row-wise UDF (reference F2 shape — but TYPED, fixing the
+    implicit-StringType wart at 06_deployment_code.py:124). Exists for
+    parity/benchmark comparison ONLY: every row round-trips through
+    pickle, ~10-100x slower than score_pandas_udf. Never use in a hot
+    path."""
+    from pyspark.sql.functions import udf
+
+    d = model.to_dict()
+
+    @udf(DoubleType())
+    def _score(*xs: float) -> float:
+        m = LinearModel.from_dict(d)
+        z = float(m.intercept)
+        for w, x in zip(m.weights, xs):
+            z = z + float(w) * float(x)
+        if m.sigmoid == "logistic":
+            import math
+
+            return 1.0 / (1.0 + math.exp(-z))
+        return 0.5 * (1.0 + z / (1.0 + abs(z)))
+
+    return _score
+
+
 def score_pandas_udf(spark: SparkSession, model: LinearModel):
     """Arrow-vectorized scorer with the model broadcast to executors.
 

@@ -306,6 +306,68 @@ def run_deployment_pipeline(
 
 
 # --------------------------------------------------------------------
+# M10: alert explanations. The reference runs SHAP TreeExplainer on a
+# <=5k driver-side sample of alerted rows (05_SHAP:109-167). For a
+# linear model the exact Shapley value has a closed form —
+# w_i * (x_i - mean(x_i)) — so the explanation becomes a pure
+# DataFrame computation: no collect, no Python, oracle-checkable, and
+# it scales to every alerted row rather than a 5k sample. Means use
+# the exact-cents trick so both engines divide identical integers.
+# --------------------------------------------------------------------
+_CONTRIB_THRESHOLD = 0.6
+
+
+@query(
+    "mlops_feature_contributions",
+    oracle=f"""
+    WITH alerted AS (
+        SELECT * FROM ({_SCORED_SQL})
+        WHERE failure_probability >= {_CONTRIB_THRESHOLD}
+    ), stats AS (
+        SELECT SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents,
+               SUM(is_error) AS sum_err,
+               COUNT(*) AS n
+        FROM alerted
+    )
+    SELECT event_id, failure_probability,
+           CAST(0.02 AS DOUBLE) * (value - sum_cents / (n * 100.0))
+               AS contrib_value,
+           CAST(0.3 AS DOUBLE) * (is_error - sum_err / (n * 1.0))
+               AS contrib_is_error
+    FROM alerted, stats
+    ORDER BY failure_probability DESC, event_id
+    LIMIT 20
+    """,
+)
+def mlops_feature_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = scored_frame(spark, sf_dir, via="column").filter(
+        F.col("failure_probability") >= _CONTRIB_THRESHOLD
+    )
+    stats = scored.agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        F.sum("is_error").alias("sum_err"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(stats))
+        .select(
+            "event_id",
+            "failure_probability",
+            (
+                F.lit(0.02)
+                * (F.col("value") - F.col("sum_cents") / (F.col("n") * 100.0))
+            ).alias("contrib_value"),
+            (
+                F.lit(0.3)
+                * (F.col("is_error") - F.col("sum_err") / (F.col("n") * 1.0))
+            ).alias("contrib_is_error"),
+        )
+        .orderBy(F.col("failure_probability").desc(), F.col("event_id"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------
 # M3/M4: distributed MLlib training + PR-AUC. Cross-engine training is
 # not SQL-expressible -> rows-only check (driver records the weaker
 # gate; SURVEY §2.8 note). Kept cheap: logistic regression on the

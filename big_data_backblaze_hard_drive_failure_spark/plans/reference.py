@@ -480,3 +480,83 @@ def ref_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("event_id", "user_id", "value")
     )
+
+
+# --------------------------------------------------------------------
+# X2: capped sample — deterministic twin of the reference's
+# sample(fraction).limit(n) SHAP-row cap (05_SHAP:109-116): modulus
+# sampling + ordered limit, exactly reproducible cross-engine.
+# --------------------------------------------------------------------
+@query(
+    "ref_capped_sample",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events WHERE event_id % 7 = 0
+    ORDER BY event_id LIMIT 500
+    """,
+)
+def ref_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 0)
+        .orderBy("event_id")
+        .limit(500)
+        .select("event_id", "user_id", "value")
+    )
+
+
+# --------------------------------------------------------------------
+# X3: seeded rand() sort key (reference 05_01:216) — not cross-engine
+# reproducible, rows-only check. Event_id tie-break keeps the Spark
+# result itself deterministic run-to-run.
+# --------------------------------------------------------------------
+@query("ref_random_order_limit")
+def ref_random_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .orderBy(F.rand(seed=42), F.col("event_id"))
+        .limit(100)
+        .select("event_id", "user_id", "value")
+    )
+
+
+# --------------------------------------------------------------------
+# O3: spot-check timeline — deterministic twin of the reference's
+# `limit(1).collect()` drive pick (02:142-152): the MINIMUM user_id
+# with a positive label (not "whichever row wins the race"), then its
+# full ordered timeline. The 1-row pick is broadcast, not collected.
+# --------------------------------------------------------------------
+@query(
+    "ref_spot_check_timeline",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, event_id, ts, {_FAILURE_SQL} AS failure
+        FROM events
+    ), labeled AS (
+        SELECT *,
+               CASE WHEN LEAD(failure, 1) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS failure_next_24h
+        FROM base
+    )
+    SELECT user_id, event_id, failure, failure_next_24h
+    FROM labeled
+    WHERE user_id = (SELECT MIN(user_id) FROM labeled
+                     WHERE failure_next_24h = 1)
+    """,
+)
+def ref_spot_check_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", _failure().alias("failure")
+    )
+    labeled = lead_label(df, ENTITY, ORDER, "failure")
+    target = labeled.filter(F.col("failure_next_24h") == 1).agg(
+        F.min("user_id").alias("target_user")
+    )
+    return (
+        labeled.join(
+            F.broadcast(target),
+            labeled.user_id == F.col("target_user"),
+        )
+        .select("user_id", "event_id", "failure", "failure_next_24h")
+    )

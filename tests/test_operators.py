@@ -226,3 +226,48 @@ def test_cents_assumption_guard(spark, sf_oracle):
         .filter(F.col("rt") > 1e-9)
     )
     assert bad.count() == 0
+
+
+def test_stage_boundary_persists(spark, sf_smoke):
+    from big_data_backblaze_hard_drive_failure_spark.operators.staging import (
+        lineage_cut,
+        stage_boundary,
+    )
+
+    df = _events(spark, sf_smoke).select("event_id", "value")
+    n = df.count()
+    staged = stage_boundary(df)
+    assert staged.storageLevel.useMemory or staged.storageLevel.useDisk
+    assert staged.count() == n
+    staged.unpersist()
+
+    cut = lineage_cut(df)
+    assert cut.count() == n
+
+
+def test_row_udf_matches_pandas_udf(spark, sf_smoke):
+    """Typed row-wise UDF (reference F2, typed) agrees with the
+    vectorized scorer — same arithmetic, different execution path."""
+    from big_data_backblaze_hard_drive_failure_spark.ml.scorer import (
+        score_row_udf,
+    )
+    from big_data_backblaze_hard_drive_failure_spark.plans.mlops import (
+        MODEL,
+        scored_frame,
+    )
+
+    via_pandas = scored_frame(spark, sf_smoke, via="pandas_udf").select(
+        "event_id", "failure_probability"
+    )
+    feats = scored_frame(spark, sf_smoke, via="column").drop(
+        "failure_probability"
+    )
+    via_row = feats.withColumn(
+        "p_row", score_row_udf(MODEL)(*MODEL.features)
+    ).select("event_id", "p_row")
+    diff = (
+        via_pandas.join(via_row, "event_id")
+        .filter(F.col("failure_probability") != F.col("p_row"))
+        .count()
+    )
+    assert diff == 0
