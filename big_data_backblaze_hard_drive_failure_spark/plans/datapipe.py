@@ -211,11 +211,14 @@ def datapipe_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "doc_id",
     )
-    bucket_min = bands.groupBy("band_id", "band_key").agg(
-        F.min("doc_id").alias("bucket_rep")
-    )
+    # bucket minima via WINDOW (not groupBy + join-back) so the
+    # signature subtree is evaluated once: one exchange on the band
+    # key, one on doc_id
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "band_key")
     return (
-        bands.join(bucket_min, ["band_id", "band_key"])
+        bands.withColumn("bucket_rep", F.min("doc_id").over(w))
         .groupBy("doc_id")
         .agg(F.min("bucket_rep").alias("rep_id"))
     )

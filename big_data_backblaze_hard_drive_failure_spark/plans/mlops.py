@@ -217,6 +217,11 @@ def mlops_alert_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sort by score desc; cumulative TP/alert counts give precision/recall
 # at every cut point. All-integer cumulative counts -> exact division
 # -> cross-engine reproducible.
+#
+# Scale note: the unpartitioned window is a single-task global sort —
+# fine for the exact curve at bench scale, wrong at 100 TB. The scale
+# path is the same arithmetic at K quantile cut points: approx_percentile
+# over scores -> K thresholds -> one conditional-aggregation pass.
 # --------------------------------------------------------------------
 @query(
     "mlops_pr_curve",

@@ -427,7 +427,7 @@ GROUP BY o_orderstatus
 
 @query("star_exists_sql", oracle=_EXISTS_SQL)
 def star_exists_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_all(spark, sf_dir)
+    register_all(spark, sf_dir, tables=["orders", "lineitem"])
     return spark.sql(_EXISTS_SQL)
 
 

@@ -158,7 +158,11 @@ def load_csv(spark: SparkSession, path: str, name: str) -> DataFrame:
     return spark.read.option("header", True).schema(TABLES[name]).csv(path)
 
 
-def register_all(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view for spark.sql()."""
-    for name in TABLES:
+def register_all(
+    spark: SparkSession, sf_dir: str, tables: list[str] | None = None
+) -> None:
+    """Register fixture tables as temp views for spark.sql(); pass
+    ``tables`` to register only what a query touches (skips the
+    parquet-footer metadata read for the other nine tables)."""
+    for name in tables if tables is not None else TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
