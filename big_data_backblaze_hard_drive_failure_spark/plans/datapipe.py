@@ -480,6 +480,65 @@ def datapipe_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "datapipe_cosine_neardup",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               embedding::DOUBLE[] AS v,
+               32 * (embedding[1] > 0)::INT + 16 * (embedding[2] > 0)::INT
+               + 8 * (embedding[3] > 0)::INT + 4 * (embedding[4] > 0)::INT
+               + 2 * (embedding[5] > 0)::INT + (embedding[6] > 0)::INT
+                   AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_dot_product(a.v, b.v) /
+           (sqrt(list_dot_product(a.v, a.v)) *
+            sqrt(list_dot_product(b.v, b.v))) AS cosine
+    FROM e a JOIN e b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) *
+           sqrt(list_dot_product(b.v, b.v))) >= 0.3
+    """,
+)
+def datapipe_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection, LSH-bucketed: sign pattern
+    of the first 6 dimensions is an axis-aligned random-hyperplane
+    bucket (orthant LSH), the pair join is bucket-local, and only
+    candidates get the exact cosine verify. Corpus of N -> ~N/64 per
+    bucket -> the join is O(N^2/64) worst case instead of O(N^2), and
+    sharper at higher bit widths; recall tunes with the bit count /
+    multiple rotated bucketings, exactly like MinHash banding. No
+    all-pairs join at any scale."""
+    sign_bits = None
+    for d in range(6):
+        bit = (F.element_at(F.col("embedding"), d + 1) > 0).cast("int")
+        term = bit * (2 ** (5 - d))
+        sign_bits = term if sign_bits is None else sign_bits + term
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        as_double_array("embedding").alias("v"),
+        sign_bits.alias("bucket"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )
+
+
 @query("datapipe_knn_lsh")
 def datapipe_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for similarity search: random-hyperplane LSH

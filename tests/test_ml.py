@@ -136,3 +136,19 @@ def test_pandas_udf_logistic_path(spark):
     udf = score_pandas_udf(spark, m)
     rows = df.select(udf("x").alias("p")).collect()
     assert all(0.0 < r["p"] < 1.0 for r in rows)
+
+
+def test_reference_pipeline_all_stages(spark, sf_smoke, tmp_path):
+    """The 8-script reference pipeline end-to-end on the engine:
+    stages materialize, artifacts exist, metrics are sane."""
+    from big_data_backblaze_hard_drive_failure_spark.pipeline import (
+        run_reference_pipeline,
+    )
+
+    summary = run_reference_pipeline(spark, sf_smoke, str(tmp_path))
+    assert (tmp_path / "threshold.json").exists()
+    assert (tmp_path / "model").exists()
+    assert (tmp_path / "daily_alerts").exists()
+    assert 0.0 <= summary["pr_auc_val"] <= 1.0
+    assert summary["tp"] + summary["fn"] >= 0
+    assert summary["avg_alerts_per_day"] >= 0.0
