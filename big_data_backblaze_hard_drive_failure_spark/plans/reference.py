@@ -560,3 +560,39 @@ def ref_spot_check_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "event_id", "failure", "failure_next_24h")
     )
+
+
+# --------------------------------------------------------------------
+# W3+ [beyond-reference]: TIME-based rolling frame (rangeBetween).
+# The reference's frames are row-based ("last 7 observations",
+# 03:86-88); a drive with gaps sees more calendar time than 7 days.
+# This is the calendar-time twin: sum/count of the last 2 HOURS of
+# events per user — Window.orderBy(epoch seconds).rangeBetween.
+# Same single exchange + sort as any window; the frame bound is
+# evaluated per-row against the sort key, no extra shuffle.
+# --------------------------------------------------------------------
+@query(
+    "ref_time_range_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)
+               AS cents_2h,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_2h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+                 RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ref_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-7200, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).alias("cents_2h"),
+        F.count(F.lit(1)).over(w).alias("n_2h"),
+    )

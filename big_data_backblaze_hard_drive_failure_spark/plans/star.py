@@ -515,3 +515,70 @@ def star_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.filter(F.col("side") == 1).select(
         "event_id", "user_id", "last_error_value"
     )
+
+
+# --------------------------------------------------------------------
+# GROUPING SETS [beyond-reference]: explicit set list (rollup/cube's
+# general form). One scan; Spark expands the sets in a single
+# Expand + hash aggregate — no per-set rescans.
+# --------------------------------------------------------------------
+# CAST on the divisor: Spark SQL parses a bare 100.0 literal as
+# DECIMAL (-> Decimal result), DuckDB as DOUBLE; the cast unifies them
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+           / CAST(100.0 AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+"""
+
+
+@query("star_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def star_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all(spark, sf_dir, tables=["orders"])
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+# --------------------------------------------------------------------
+# Range join [beyond-reference]: fact values joined to a small static
+# band table on lo <= v < hi. The band side is tiny and broadcast, so
+# the range predicate is evaluated map-side against each broadcast row
+# (BroadcastNestedLoopJoin) — the correct plan when one side is small.
+# For big-big range joins the scale path is banding both sides to an
+# equi-key (bucket id) first, exactly like the LSH designs in
+# plans/datapipe.py.
+# --------------------------------------------------------------------
+@query(
+    "star_range_join",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('low', 0.0, 80.0), ('mid', 80.0, 160.0),
+               ('high', 160.0, 1e9)
+    )
+    SELECT band, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY band
+    """,
+)
+def star_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = spark.createDataFrame(
+        [("low", 0.0, 80.0), ("mid", 80.0, 160.0), ("high", 160.0, 1e9)],
+        "band STRING, lo DOUBLE, hi DOUBLE",
+    )
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("sum_cents"),
+        )
+    )

@@ -1,0 +1,83 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The engine's example of a stateful operator Spark doesn't ship: a
+per-entity running alert counter with first/last-seen tracking (the
+'how many times has this drive alerted so far' signal the reference's
+daily batch recomputes from scratch every day).
+
+State design for scale: state is ONE tiny row per entity (3 numbers),
+partitioned by the group key across executors by the shuffle that
+``groupBy`` already requires; each micro-batch touches only the
+groups present in that batch, Arrow-batched. Use a timeout
+(``GroupStateTimeout``) in production to expire idle entities and
+bound the state store.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_alerts", T.LongType()),
+        T.StructField("first_alert_ts", T.TimestampType()),
+        T.StructField("last_alert_ts", T.TimestampType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_alerts", T.LongType()),
+        T.StructField("first_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def running_alert_counts(
+    scored: DataFrame, threshold: float
+) -> DataFrame:
+    """Streaming per-user cumulative alert counts (update mode)."""
+
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, first_us, last_us = (
+            state.get if state.exists else (0, None, None)
+        )
+        for pdf in pdfs:
+            hits = pdf[pdf["failure_probability"] >= threshold]
+            if len(hits):
+                ts_us = hits["ts"].astype("int64") // 1000
+                n += len(hits)
+                lo, hi = int(ts_us.min()), int(ts_us.max())
+                first_us = lo if first_us is None else min(first_us, lo)
+                last_us = hi if last_us is None else max(last_us, hi)
+        if n:
+            state.update((n, first_us, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_alerts": [n],
+                    "first_alert_ts": [pd.Timestamp(first_us, unit="us")],
+                    "last_alert_ts": [pd.Timestamp(last_us, unit="us")],
+                }
+            )
+
+    return scored.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

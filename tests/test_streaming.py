@@ -62,3 +62,48 @@ def test_streaming_daily_alerts_match_batch(spark, sf_smoke, tmp_path):
     )
     want = {(r["day"].isoformat(), r["alerts"]) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_stateful_running_alert_counts(spark, sf_smoke, tmp_path):
+    """applyInPandasWithState operator: after draining the bounded
+    stream, per-user cumulative alert counts equal the batch truth."""
+    from big_data_backblaze_hard_drive_failure_spark.streaming.stateful import (
+        running_alert_counts,
+    )
+
+    stream = read_events_stream(spark, sf_smoke)
+    scored = score_stream(stream, MODEL).select(
+        "user_id", "ts", "failure_probability"
+    )
+    counts = running_alert_counts(scored, THRESHOLD)
+
+    sink = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # update mode may emit a row per micro-batch; keep the max per user
+    got_rows = spark.sql(
+        f"SELECT user_id, MAX(n_alerts) AS n FROM {sink} GROUP BY user_id"
+    ).collect()
+    got = {(r["user_id"], r["n"]) for r in got_rows}
+
+    batch = (
+        load(spark, sf_smoke, "events")
+        .withColumn(
+            "is_error",
+            F.when(F.col("event_type") == "error", 1.0).otherwise(0.0),
+        )
+        .withColumn("p", score_column(MODEL))
+        .filter(F.col("p") >= THRESHOLD)
+        .groupBy("user_id")
+        .count()
+    )
+    want = {(r["user_id"], r["count"]) for r in batch.collect()}
+    assert got == want and len(got) > 0
