@@ -758,3 +758,44 @@ def datapipe_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", binary_payload("text").alias("payload")
     )
     return fake_decode_meta(df)
+
+
+# --------------------------------------------------------------------
+# String scalar batch (§2.9 extended surface): the portable string
+# functions an LLM text pipeline leans on, one map-only pass.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_string_funcs",
+    oracle="""
+    SELECT doc_id,
+           upper(source) AS src_upper,
+           substring(source, 4, 2) AS src_num,
+           lpad(source, 8, '_') AS src_pad,
+           reverse(source) AS src_rev,
+           replace(source, 'src', 'corpus') AS src_renamed,
+           concat(lang, ':', source) AS lang_src,
+           levenshtein(source, 'src0') AS lev_to_src0,
+           instr(text, 'spark') AS first_spark,
+           trim(substring(text, 1, 10)) AS head10,
+           repeat(lang, 2) AS lang2
+    FROM documents
+    """,
+)
+def datapipe_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.upper("source").alias("src_upper"),
+        F.substring("source", 4, 2).alias("src_num"),
+        F.lpad("source", 8, "_").alias("src_pad"),
+        F.reverse(F.col("source")).alias("src_rev"),
+        F.replace(F.col("source"), F.lit("src"), F.lit("corpus")).alias(
+            "src_renamed"
+        ),
+        F.concat(F.col("lang"), F.lit(":"), F.col("source")).alias(
+            "lang_src"
+        ),
+        F.levenshtein(F.col("source"), F.lit("src0")).alias("lev_to_src0"),
+        F.instr(F.col("text"), "spark").alias("first_spark"),
+        F.trim(F.substring("text", 1, 10)).alias("head10"),
+        F.repeat(F.col("lang"), 2).alias("lang2"),
+    )

@@ -596,3 +596,46 @@ def ref_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).over(w).alias("cents_2h"),
         F.count(F.lit(1)).over(w).alias("n_2h"),
     )
+
+
+# --------------------------------------------------------------------
+# Date/time scalar batch [beyond-reference, §2.9 extended surface]:
+# extraction, truncation, arithmetic — portable subset with identical
+# semantics in DuckDB (weekday normalized to 0=Monday on both sides;
+# Spark's dayofweek and DuckDB's dayofweek disagree on the anchor).
+# --------------------------------------------------------------------
+@query(
+    "ref_datetime_funcs",
+    oracle="""
+    SELECT event_id,
+           EXTRACT(year FROM ts) AS y,
+           EXTRACT(month FROM ts) AS mo,
+           EXTRACT(day FROM ts) AS d,
+           EXTRACT(hour FROM ts) AS h,
+           EXTRACT(minute FROM ts) AS mi,
+           EXTRACT(quarter FROM ts) AS q,
+           CAST(isodow(ts) - 1 AS INT) AS wday,
+           CAST(date_trunc('month', ts) AS DATE) AS month_start,
+           last_day(CAST(ts AS DATE)) AS month_end,
+           date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS days_since_epoch_start
+    FROM events
+    """,
+)
+def ref_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ts = F.col("ts")
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.year(ts).cast("long").alias("y"),
+        F.month(ts).cast("long").alias("mo"),
+        F.dayofmonth(ts).cast("long").alias("d"),
+        F.hour(ts).cast("long").alias("h"),
+        F.minute(ts).cast("long").alias("mi"),
+        F.quarter(ts).cast("long").alias("q"),
+        F.weekday(ts).alias("wday"),
+        F.date_trunc("month", ts).cast("date").alias("month_start"),
+        F.last_day(ts).alias("month_end"),
+        F.datediff(F.to_date(ts), F.lit("2024-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+    )

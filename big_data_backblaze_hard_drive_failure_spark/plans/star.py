@@ -582,3 +582,56 @@ def star_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).alias("sum_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Ranking-function batch [beyond-reference]: rank / dense_rank /
+# ntile / percent_rank / cume_dist share one window (one exchange,
+# one sort). Unique tie-break (totalprice, orderkey) makes ntile and
+# cume_dist deterministic cross-engine.
+# --------------------------------------------------------------------
+@query(
+    "star_window_funcs",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS prnk,
+           CUME_DIST() OVER w AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC,
+                          o_orderkey)
+    """,
+)
+def star_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.round(F.col("o_totalprice") * 100).cast("long").desc(),
+        F.col("o_orderkey"),
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+# --------------------------------------------------------------------
+# HLL sketch: approx_count_distinct — the O(1)-memory distinct count
+# for 100 TB cardinality estimation. Sketch internals are
+# engine-specific -> rows-only here; tests/test_scale_layout.py-style
+# accuracy bound lives in tests/test_operators.py.
+# --------------------------------------------------------------------
+@query("star_approx_distinct")
+def star_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "orders").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias(
+            "approx_customers"
+        ),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )

@@ -271,3 +271,13 @@ def test_row_udf_matches_pandas_udf(spark, sf_smoke):
         .count()
     )
     assert diff == 0
+
+
+def test_approx_count_distinct_accuracy(spark, sf_oracle):
+    """HLL sketch within its configured relative error of the exact
+    distinct count (star_approx_distinct is rows-only by design)."""
+    from big_data_backblaze_hard_drive_failure_spark.plans import QUERIES
+
+    row = QUERIES["star_approx_distinct"](spark, sf_oracle).first()
+    approx, exact = row["approx_customers"], row["exact_customers"]
+    assert abs(approx - exact) <= max(3, 0.05 * exact), (approx, exact)

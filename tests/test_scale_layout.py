@@ -1,0 +1,104 @@
+"""Scale-layout mechanics: salting, bucketing, partition pruning.
+
+These verify the 100 TB techniques actually do what they claim on
+this Spark build — correct results for the salted join, a
+shuffle-free plan for the bucketed join, partition filters for the
+partitioned write — so the design notes in the docstrings are backed
+by executed evidence, not folklore.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_backblaze_hard_drive_failure_spark.operators.skew import salted_join
+from big_data_backblaze_hard_drive_failure_spark.sources.catalog import load
+from big_data_backblaze_hard_drive_failure_spark.sources.sinks import (
+    write_bucketed_table,
+    write_parquet,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_join_matches_plain_join(spark, sf_smoke):
+    """Salted join == plain join, row for row (hot key included)."""
+    orders = load(spark, sf_smoke, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_smoke, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    plain = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    salted = (
+        salted_join(
+            orders.withColumnRenamed("o_custkey", "c_custkey"),
+            cust,
+            on="c_custkey",
+            n_salts=4,
+        )
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    a = {(r["c_mktsegment"], r["count"]) for r in plain.collect()}
+    b = {(r["c_mktsegment"], r["count"]) for r in salted.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_smoke):
+    """Two tables bucketed on the join key: the join plan contains no
+    Exchange — the co-location paid for at write time. (Tables land in
+    the default spark-warehouse dir — gitignored — and are dropped.)"""
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"b_orders_{suffix}", f"b_cust_{suffix}"
+    orders = load(spark, sf_smoke, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_smoke, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    try:
+        write_bucketed_table(orders, ta, "o_custkey", n_buckets=4)
+        write_bucketed_table(cust, tb, "c_custkey", n_buckets=4)
+        t1 = spark.table(ta)
+        t2 = spark.table(tb)
+        joined = t1.join(t2, t1.o_custkey == t2.c_custkey)
+        # AQE off for a stable plan string; broadcast disabled so the
+        # planner picks the sort-merge path bucketing co-locates (at
+        # fixture scale it would otherwise just broadcast the dim)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _plan(joined)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        n_plain = orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        ).count()
+        assert joined.count() == n_plain
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_smoke, tmp_path):
+    """partitionBy(day) write + day-filtered read: the scan carries a
+    PartitionFilters entry and reads only matching directories."""
+    path = str(tmp_path / "events_by_day")
+    ev = load(spark, sf_smoke, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    write_parquet(ev, path, partition_by=["day"])
+    back = spark.read.parquet(path).filter(F.col("day") == "2024-01-05")
+    plan = _plan(back)
+    assert "PartitionFilters" in plan
+    n_all = spark.read.parquet(path).count()
+    n_day = back.count()
+    assert 0 < n_day < n_all
