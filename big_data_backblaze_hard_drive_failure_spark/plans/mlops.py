@@ -392,3 +392,63 @@ def mlops_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n, round(auc, 4))], "n_train BIGINT, pr_auc DOUBLE"
     )
+
+
+# --------------------------------------------------------------------
+# M5 scale path: precision/recall at K fixed thresholds in ONE
+# conditional-aggregation pass — no global sort, no window; the shape
+# that replaces mlops_pr_curve at 100 TB. Exact integer counts.
+# --------------------------------------------------------------------
+_PR_THRESHOLDS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+@query(
+    "mlops_pr_at_thresholds",
+    oracle=f"""
+    WITH scored AS ({_SCORED_SQL}),
+    t(threshold) AS (
+        VALUES {', '.join(f'(CAST({t} AS DOUBLE))' for t in _PR_THRESHOLDS)}
+    )
+    SELECT threshold,
+           CAST(SUM(CASE WHEN failure_probability >= threshold
+                         AND is_error = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS tp,
+           CAST(SUM(CASE WHEN failure_probability >= threshold
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_alerts,
+           SUM(CASE WHEN failure_probability >= threshold
+                    AND is_error = 1 THEN 1 ELSE 0 END) * 1.0
+               / NULLIF(SUM(CASE WHEN failure_probability >= threshold
+                                 THEN 1 ELSE 0 END), 0) AS precision,
+           SUM(CASE WHEN failure_probability >= threshold
+                    AND is_error = 1 THEN 1 ELSE 0 END) * 1.0
+               / SUM(is_error) AS recall
+    FROM scored, t
+    GROUP BY threshold
+    """,
+)
+def mlops_pr_at_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = scored_frame(spark, sf_dir, via="column")
+    thresholds = spark.createDataFrame(
+        [(t,) for t in _PR_THRESHOLDS], "threshold DOUBLE"
+    )
+    hit = F.when(
+        (F.col("failure_probability") >= F.col("threshold"))
+        & (F.col("is_error") == 1),
+        1,
+    ).otherwise(0)
+    alert = F.when(
+        F.col("failure_probability") >= F.col("threshold"), 1
+    ).otherwise(0)
+    return (
+        scored.crossJoin(F.broadcast(thresholds))
+        .groupBy("threshold")
+        .agg(
+            F.sum(hit).alias("tp"),
+            F.sum(alert).alias("n_alerts"),
+            (
+                F.sum(hit) * 1.0
+                / F.nullif(F.sum(alert), F.lit(0))
+            ).alias("precision"),
+            (F.sum(hit) * 1.0 / F.sum("is_error")).alias("recall"),
+        )
+    )

@@ -639,3 +639,96 @@ def ref_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_epoch_start"
         ),
     )
+
+
+# --------------------------------------------------------------------
+# applyInPandas (grouped map) [beyond-reference, §2.11 UDAF/UDTF row]:
+# per-entity z-score normalization in pandas — the shape for custom
+# per-group logic Spark expressions can't say. Arrow-batched, one
+# shuffle on the group key, each group processed as one pandas frame.
+# The pandas arithmetic replicates the exact-cents formula so the
+# result is bit-identical to the SQL oracle (see ref_rolling_features
+# comment for why).
+#
+# Scale note: a group must fit in one worker's memory — true for
+# per-entity telemetry (thousands of rows/drive), NOT for, e.g.,
+# grouping by day. Pre-aggregate or window instead when groups can be
+# huge.
+# --------------------------------------------------------------------
+@query(
+    "ref_grouped_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT user_id, event_id, value,
+               SUM(cents) OVER w AS sx,
+               SUM(cents * cents) OVER w AS sxx,
+               COUNT(*) OVER w AS n
+        FROM (SELECT user_id, event_id, value,
+                     CAST(ROUND(value * 100) AS BIGINT) AS cents
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0
+                THEN (value - sx / (n * 100.0))
+                     / (SQRT((n * sxx - sx * sx) * 1.0 / (n * (n - 1)))
+                        / 100.0)
+                ELSE 0.0 END AS zscore
+    FROM stats
+    """,
+)
+def ref_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["value"] * 100).round().astype("int64")
+        n = len(pdf)
+        sx = int(cents.sum())
+        sxx = int((cents * cents).sum())
+        if n > 1 and (n * sxx - sx * sx) > 0:
+            mean = sx / (n * 100.0)
+            std = ((n * sxx - sx * sx) * 1.0 / (n * (n - 1))) ** 0.5 / 100.0
+            z = (pdf["value"] - mean) / std
+        else:
+            z = pd.Series(0.0, index=pdf.index)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "zscore": z.astype("float64"),
+            }
+        )
+
+    return (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            _zscore, "event_id BIGINT, user_id BIGINT, zscore DOUBLE"
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# pandas_udf GROUPED_AGG (custom UDAF) [beyond-reference, §2.11]: an
+# exact-cents mean as a user-defined aggregate — partial aggregation
+# is handled by Spark; the pandas function sees each group's values as
+# one Series. Bit-identical to the SQL integer-sum mean.
+# --------------------------------------------------------------------
+@query(
+    "ref_grouped_agg_udaf",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / (COUNT(*) * 100.0)
+               AS exact_mean
+    FROM events GROUP BY event_type
+    """,
+)
+def ref_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udafs import exact_cents_mean
+
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(exact_cents_mean("value").alias("exact_mean"))
+    )
