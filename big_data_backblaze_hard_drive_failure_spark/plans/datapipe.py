@@ -799,3 +799,96 @@ def datapipe_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.substring("text", 1, 10)).alias("head10"),
         F.repeat(F.col("lang"), 2).alias("lang2"),
     )
+
+
+# --------------------------------------------------------------------
+# Python UDTF (§2.11 UDTF row): document chunking — one doc in, N
+# 50-token chunks out via a LATERAL table function. The generative
+# per-row logic lives in functions/udtfs.py; the oracle reproduces it
+# with a range-unnest + list slice. Chunking is a map-side expansion:
+# no shuffle, output rows ~ tokens/50 per doc.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_chunk_udtf",
+    oracle="""
+    SELECT doc_id,
+           CAST((i - 1) // 50 AS INT) AS chunk_idx,
+           array_to_string(toks[i:i+49], ' ') AS chunk_text,
+           CAST(len(toks[i:i+49]) AS INT) AS n_tokens
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         unnest(range(1, len(toks) + 1, 50)) AS u(i)
+    """,
+)
+def datapipe_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udtfs import ChunkDocuments
+    from ..sources.catalog import register_all
+
+    spark.udtf.register("chunk_documents", ChunkDocuments)
+    register_all(spark, sf_dir, tables=["documents"])
+    return spark.sql(
+        "SELECT c.* FROM documents, "
+        "LATERAL chunk_documents(doc_id, text) AS c"
+    )
+
+
+# --------------------------------------------------------------------
+# Iterative connected components (label propagation to fixpoint) over
+# the doc—band bipartite graph. datapipe_neardup_clusters is ONE round
+# of this (cheap, but chains A~B~C via different bands can land in
+# different clusters); this converges: every doc gets the min doc_id
+# of its whole component.
+#
+# Scale design: each round is two shuffles (doc->band min, band->doc
+# min) on O(docs) rows; lineage is cut per round (localCheckpoint) so
+# the plan doesn't grow with iterations — the standard Spark pattern
+# for iterative algorithms. Rounds needed = graph diameter in bands
+# (tiny for dedup graphs). Iterative -> not SQL-expressible in one
+# statement: driver runs the rows-only check; pytest verifies the
+# fixpoint against a union-find ground truth.
+# --------------------------------------------------------------------
+@query("datapipe_neardup_components")
+def datapipe_neardup_components(
+    spark: SparkSession, sf_dir: str, max_iter: int = 10
+) -> DataFrame:
+    from ..operators.staging import lineage_cut
+
+    sig = _signatures(spark, sf_dir)
+    edges = sig.select(
+        F.expr(
+            "stack(2, 0, concat(mh0, mh1), 1, concat(mh2, mh3)) "
+            "AS (band_id, band_key)"
+        ),
+        "doc_id",
+    ).select(
+        F.concat_ws("#", F.col("band_id").cast("string"), "band_key").alias(
+            "band"
+        ),
+        "doc_id",
+    )
+    edges = lineage_cut(edges)
+
+    labels = edges.groupBy("doc_id").agg(
+        F.min("doc_id").alias("label")
+    )  # init: own id
+    for _ in range(max_iter):
+        band_min = (
+            edges.join(labels, "doc_id")
+            .groupBy("band")
+            .agg(F.min("label").alias("band_label"))
+        )
+        new_labels = (
+            edges.join(band_min, "band")
+            .groupBy("doc_id")
+            .agg(F.min("band_label").alias("label"))
+        )
+        new_labels = lineage_cut(new_labels)
+        changed = (
+            labels.join(new_labels.withColumnRenamed("label", "nl"), "doc_id")
+            .filter(F.col("label") != F.col("nl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("component_id"))

@@ -281,3 +281,44 @@ def test_approx_count_distinct_accuracy(spark, sf_oracle):
     row = QUERIES["star_approx_distinct"](spark, sf_oracle).first()
     approx, exact = row["approx_customers"], row["exact_customers"]
     assert abs(approx - exact) <= max(3, 0.05 * exact), (approx, exact)
+
+
+def test_neardup_components_match_union_find(spark, sf_smoke):
+    """Iterative label propagation converges to the true connected
+    components (union-find ground truth on the collected edge list)."""
+    from big_data_backblaze_hard_drive_failure_spark.plans.datapipe import (
+        _signatures,
+        datapipe_neardup_components,
+    )
+
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in datapipe_neardup_components(spark, sf_smoke).collect()
+    }
+
+    sig = _signatures(spark, sf_smoke).collect()
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for r in sig:
+        union(("d", r["doc_id"]), ("b0", r["mh0"] + r["mh1"]))
+        union(("d", r["doc_id"]), ("b1", r["mh2"] + r["mh3"]))
+    want = {}
+    comp_min: dict = {}
+    for r in sig:
+        root = find(("d", r["doc_id"]))
+        comp_min.setdefault(root, r["doc_id"])
+        comp_min[root] = min(comp_min[root], r["doc_id"])
+    for r in sig:
+        want[r["doc_id"]] = comp_min[find(("d", r["doc_id"]))]
+    assert got == want
