@@ -892,3 +892,68 @@ def datapipe_neardup_components(
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("component_id"))
+
+
+# --------------------------------------------------------------------
+# Corpus-curation capstone: the composed LLM-data filter a training
+# run actually executes — quality gates (length / stopword-density /
+# type-token-ratio bounds) -> exact dedup of survivors -> per-source
+# yield report. One scan + one O(docs) group-by; every stage before
+# the group-by is map-side.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_corpus_curation",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source, text,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                               t -> list_contains({_STOP_SQL}, t))) * 1.0
+                   / len(string_split(text, ' ')) AS stop_ratio,
+               len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')) AS ttr
+        FROM documents
+    ),
+    kept AS (
+        SELECT *, sha256(text) AS fp FROM scored
+        WHERE n_tokens BETWEEN 20 AND 200
+          AND stop_ratio <= 0.25 AND ttr >= 0.2
+    ),
+    deduped AS (
+        SELECT fp, MIN(doc_id) AS keep_id,
+               MIN(source) AS source,
+               MIN(n_tokens) AS n_tokens
+        FROM kept GROUP BY fp
+    )
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+    FROM deduped GROUP BY source
+    """,
+)
+def datapipe_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tokens("text")
+    scored = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(t).alias("n_tokens"),
+        (stopword_hits("text", STOPWORDS) * 1.0 / F.size(t)).alias(
+            "stop_ratio"
+        ),
+        (F.size(unique_tokens("text")) * 1.0 / F.size(t)).alias("ttr"),
+    )
+    kept = scored.filter(
+        F.col("n_tokens").between(20, 200)
+        & (F.col("stop_ratio") <= 0.25)
+        & (F.col("ttr") >= 0.2)
+    ).withColumn("fp", text_sha256("text"))
+    deduped = kept.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.min("source").alias("source"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+    )

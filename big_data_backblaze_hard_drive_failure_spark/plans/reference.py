@@ -732,3 +732,37 @@ def ref_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(exact_cents_mean("value").alias("exact_mean"))
     )
+
+
+# --------------------------------------------------------------------
+# Error-safe casts (§2.9): try_cast/try_divide return NULL instead of
+# failing under ANSI mode — the production posture for dirty inputs
+# (a 100 TB ingest WILL contain malformed rows; a hard cast kills the
+# whole job at hour five).
+# --------------------------------------------------------------------
+@query(
+    "ref_try_cast",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN TRY_CAST(event_type AS INTEGER) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unparseable,
+           CAST(SUM(CASE WHEN TRY_CAST(props AS DOUBLE) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_double,
+           CAST(SUM(CASE WHEN TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT)
+                         IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_good_roundtrip,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events
+    """,
+)
+def ref_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bad_int = F.col("event_type").try_cast("int").isNull()
+    bad_dbl = F.col("props").try_cast("double").isNull()
+    good_rt = (
+        F.col("event_id").cast("string").try_cast("bigint").isNotNull()
+    )
+    return load(spark, sf_dir, "events").agg(
+        F.sum(F.when(bad_int, 1).otherwise(0)).alias("n_unparseable"),
+        F.sum(F.when(bad_dbl, 1).otherwise(0)).alias("n_bad_double"),
+        F.sum(F.when(good_rt, 1).otherwise(0)).alias("n_good_roundtrip"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -635,3 +635,178 @@ def star_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.countDistinct("o_custkey").alias("exact_customers"),
     )
+
+
+# --------------------------------------------------------------------
+# Correlated scalar subquery (TPC-H Q17 shape): lineitems priced below
+# 50% of their part's average quantity. Catalyst decorrelates the
+# subquery into an aggregate + join — no per-row re-execution.
+# --------------------------------------------------------------------
+_CORRELATED_SQL = """
+SELECT l_partkey,
+       COUNT(*) AS n_small,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem l1
+WHERE l_quantity < (
+    SELECT 0.5 * SUM(CAST(l_quantity AS BIGINT))
+               / (COUNT(*) * CAST(1.0 AS DOUBLE))
+    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
+)
+GROUP BY l_partkey
+"""
+
+
+@query("star_correlated_subquery", oracle=_CORRELATED_SQL)
+def star_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all(spark, sf_dir, tables=["lineitem"])
+    return spark.sql(_CORRELATED_SQL)
+
+
+# --------------------------------------------------------------------
+# Disjunctive multi-clause predicate (TPC-H Q19 shape): OR of AND
+# blocks — exercises predicate normalization/pushdown of non-trivial
+# boolean trees.
+# --------------------------------------------------------------------
+@query(
+    "star_disjunctive_filter",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0
+               AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 5 AND l_quantity <= 25)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 15 AND l_quantity <= 40)
+    """,
+)
+def star_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", _cents("l_extendedprice").alias("price_c")
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(5, 25)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(15, 40)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("price_c") / 100.0).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Multiset set-ops: EXCEPT ALL / INTERSECT ALL (bag semantics — keep
+# duplicates; star_except/star_intersect cover the distinct forms).
+# --------------------------------------------------------------------
+@query(
+    "star_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def star_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    o = orders.filter("o_orderstatus = 'O'").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    f = orders.filter("o_orderstatus = 'F'").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return o.exceptAll(f)
+
+
+# --------------------------------------------------------------------
+# Unpivot / melt: wide -> long via stack() (DuckDB: UNPIVOT). The
+# inverse of star_pivot_status.
+# --------------------------------------------------------------------
+@query(
+    "star_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS status_o,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS status_f,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS status_p
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status, n
+    FROM wide
+    UNPIVOT (n FOR status IN (status_o, status_f, status_p))
+    """,
+)
+def star_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    status = F.col("o_orderstatus")
+    wide = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(status == "O", 1).otherwise(0)).alias("status_o"),
+            F.sum(F.when(status == "F", 1).otherwise(0)).alias("status_f"),
+            F.sum(F.when(status == "P", 1).otherwise(0)).alias("status_p"),
+        )
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["status_o", "status_f", "status_p"],
+        "status",
+        "n",
+    )
+
+
+# --------------------------------------------------------------------
+# Null semantics: null-safe equality (<=> / IS NOT DISTINCT FROM) and
+# explicit NULLS FIRST ordering over the as-of join's nullable column.
+# --------------------------------------------------------------------
+@query(
+    "star_null_semantics",
+    oracle="""
+    WITH err AS (
+        SELECT user_id, ts, arg_max(value, event_id) AS err_value
+        FROM events WHERE event_type = 'error'
+        GROUP BY user_id, ts
+    ),
+    clicks AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'click'
+    ),
+    asof_j AS (
+        SELECT c.event_id, c.user_id, e.err_value AS last_error_value
+        FROM clicks c
+        ASOF LEFT JOIN err e
+          ON c.user_id = e.user_id AND c.ts >= e.ts
+    )
+    SELECT CAST(SUM(CASE WHEN last_error_value IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+           CAST(SUM(CASE WHEN last_error_value IS NOT DISTINCT FROM NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe,
+           CAST(COUNT(last_error_value) AS BIGINT) AS n_not_null,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM asof_j
+    """,
+)
+def star_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    asof = star_asof_join(spark, sf_dir)
+    v = F.col("last_error_value")
+    return asof.agg(
+        F.sum(F.when(v.isNull(), 1).otherwise(0)).alias("n_null"),
+        F.sum(
+            F.when(v.eqNullSafe(F.lit(None).cast("double")), 1).otherwise(0)
+        ).alias("n_null_safe"),
+        F.count(v).alias("n_not_null"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
