@@ -1,0 +1,82 @@
+"""Physical-plan assertions: lock in the 100 TB-relevant plan shapes.
+
+Correctness tests can stay green while a plan silently degrades (a
+lost pushdown, a broadcast that became a shuffle, a rank pushdown
+that stopped firing). These tests pin the properties that matter at
+scale, so a regression fails loudly in CI rather than at hour five of
+a production run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_backblaze_hard_drive_failure_spark.plans import QUERIES
+
+
+def _formatted(spark, name, sf):
+    df = QUERIES[name](spark, sf)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return je.explainString(mode)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_smoke):
+    plan = _formatted(spark, "star_pricing_summary", sf_smoke)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in plan
+    # column pruning: the scan must not read unused lineitem columns
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_window_block_single_exchange(spark, sf_smoke):
+    """All 8 rolling-feature expressions share ONE exchange + sort."""
+    plan = _formatted(spark, "ref_rolling_features", sf_smoke)
+    tree = plan.split("\n\n")[0]  # the operator tree, before node details
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("Window") == 1, tree
+    assert tree.count("Sort") == 1, tree
+
+
+def test_topk_uses_window_group_limit(spark, sf_smoke):
+    for name in ("star_topk_per_segment", "datapipe_cosine_topk"):
+        assert "WindowGroupLimit" in _formatted(spark, name, sf_smoke), name
+
+
+def test_dimension_joins_are_broadcast(spark, sf_smoke):
+    plan = _formatted(spark, "star_revenue_by_nation", sf_smoke)
+    assert plan.count("BroadcastExchange") >= 3  # cust, nation, region
+
+
+def test_pandas_udf_is_arrow_vectorized(spark, sf_smoke):
+    plan = _formatted(spark, "mlops_score_pandas_udf", sf_smoke)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan  # the row-pickling path
+
+
+def test_global_topn_is_take_ordered(spark, sf_smoke):
+    """orderBy+limit must plan as TakeOrderedAndProject, not a full
+    global sort feeding a limit."""
+    plan = _formatted(spark, "ref_order_limit", sf_smoke)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scorer_column_path_is_pure_codegen(spark, sf_smoke):
+    """The JVM scoring expression must involve no Python evaluation."""
+    plan = _formatted(spark, "mlops_score_column_expr", sf_smoke)
+    assert "EvalPython" not in plan
+    # formatted mode marks whole-stage-codegen operators with '* '
+    assert "* Project" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["datapipe_neardup_clusters", "datapipe_neardup_pairs",
+     "datapipe_cosine_neardup"],
+)
+def test_neardup_plans_have_no_cartesian(spark, sf_smoke, name):
+    """Candidate generation is bucket-local: no cartesian product may
+    appear in any near-dup plan."""
+    plan = _formatted(spark, name, sf_smoke)
+    assert "CartesianProduct" not in plan, name
