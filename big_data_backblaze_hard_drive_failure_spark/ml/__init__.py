@@ -10,18 +10,35 @@ scores with Arrow-vectorized ``pandas_udf`` (small models) or MLlib
 instead of pickled per row.
 """
 
-from .scorer import LinearModel, score_column, score_pandas_udf
+from .scorer import LinearModel, score_column, score_pandas_udf, score_row_udf
 from .threshold import threshold_at_recall
 from .artifacts import (
+    load_model_artifact,
     load_threshold_artifact,
+    save_model_artifact,
     save_threshold_artifact,
+)
+from .training import (
+    guarded_to_pandas,
+    pr_auc,
+    score_with_model,
+    train_gbt,
+    train_logistic,
 )
 
 __all__ = [
     "LinearModel",
     "score_column",
     "score_pandas_udf",
+    "score_row_udf",
     "threshold_at_recall",
     "save_threshold_artifact",
     "load_threshold_artifact",
+    "save_model_artifact",
+    "load_model_artifact",
+    "train_logistic",
+    "train_gbt",
+    "score_with_model",
+    "pr_auc",
+    "guarded_to_pandas",
 ]

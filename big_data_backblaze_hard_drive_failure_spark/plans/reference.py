@@ -766,3 +766,48 @@ def ref_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(good_rt, 1).otherwise(0)).alias("n_good_roundtrip"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# --------------------------------------------------------------------
+# Session windows [beyond-reference, §2.10 batch twin]: per-user
+# sessions with a 30-minute inactivity gap — Spark's session_window
+# in a plain batch groupBy. The DuckDB oracle is the classic
+# gaps-and-islands rewrite (lag -> new-session flag -> running sum),
+# which is also exactly what Spark's operator computes, so starts and
+# counts match exactly.
+# --------------------------------------------------------------------
+@query(
+    "ref_session_windows",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def ref_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )

@@ -322,3 +322,42 @@ def test_neardup_components_match_union_find(spark, sf_smoke):
     for r in sig:
         want[r["doc_id"]] = comp_min[find(("d", r["doc_id"]))]
     assert got == want
+
+
+def test_load_csv_with_catalog_schema(spark, sf_smoke, tmp_path):
+    """sources.catalog.load_csv: explicit-schema CSV ingestion (S1)
+    round-trips a fixture table exactly."""
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import (
+        load_csv,
+    )
+
+    nation = load(spark, sf_smoke, "nation")
+    path = str(tmp_path / "nation_csv")
+    nation.coalesce(1).write.option("header", True).mode("overwrite").csv(
+        path
+    )
+    back = load_csv(spark, path, "nation")
+    assert back.schema == nation.schema
+    a = {tuple(r) for r in nation.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+
+def test_threshold_at_recall_approx_path(spark, sf_smoke):
+    """approx_percentile variant lands within a tolerance of the exact
+    threshold (the 100TB path for dense score columns)."""
+    from big_data_backblaze_hard_drive_failure_spark.ml.threshold import (
+        threshold_at_recall,
+    )
+    from big_data_backblaze_hard_drive_failure_spark.plans.mlops import (
+        scored_frame,
+    )
+
+    scored = scored_frame(spark, sf_smoke, via="column")
+    exact = threshold_at_recall(
+        scored, "failure_probability", "is_error", 0.8, exact=True
+    ).first()["threshold"]
+    approx = threshold_at_recall(
+        scored, "failure_probability", "is_error", 0.8, exact=False
+    ).first()["threshold"]
+    assert abs(exact - approx) < 0.05
