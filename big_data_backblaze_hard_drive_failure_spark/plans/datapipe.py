@@ -957,3 +957,67 @@ def datapipe_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_tokens").alias("tokens_kept"),
     )
+
+
+# --------------------------------------------------------------------
+# TF-IDF top terms per doc: tf (per-doc token counts) x idf
+# (ln(N/df)) -> rank-pushdown top-3. All counts are exact integers;
+# the only float is ln(N/df), computed identically per engine and
+# rounded to 6dp for rank stability. Plan: one explode + two O(terms)
+# aggregations + a broadcast join of the tiny term-df dimension —
+# never a shuffle of the corpus itself. (MLlib HashingTF/IDF is the
+# fixed-width-vector variant of the same computation; this keeps
+# terms readable.)
+# --------------------------------------------------------------------
+@query(
+    "datapipe_tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE doc_id < 50)
+        GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, COUNT(DISTINCT doc_id) AS df
+        FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+                     AS tok
+              FROM documents WHERE doc_id < 50)
+        GROUP BY tok
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE doc_id < 50),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               ROUND(tf.tf * ln(n_docs * 1.0 / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (tok), n
+    )
+    SELECT doc_id, tok, tfidf, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def datapipe_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))  # 1-row, broadcast
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        ["doc_id"],
+        [F.col("tfidf").desc(), F.col("tok")],
+        k=3,
+    )

@@ -361,3 +361,24 @@ def test_threshold_at_recall_approx_path(spark, sf_smoke):
         scored, "failure_probability", "is_error", 0.8, exact=False
     ).first()["threshold"]
     assert abs(exact - approx) < 0.05
+
+
+def test_csv_corrupt_record_handling(spark, tmp_path):
+    """Dirty-ingest posture: PERMISSIVE CSV read surfaces malformed
+    rows as nulls instead of killing the job (the 100TB reality)."""
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "r_regionkey,r_name\n1,AMERICA\nnot_an_int,EUROPE\n3,ASIA\n"
+    )
+    from big_data_backblaze_hard_drive_failure_spark.sources.sinks import (
+        read_csv,
+    )
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import (
+        schema_for,
+    )
+
+    df = read_csv(spark, str(p), schema_for("region"))
+    rows = df.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r["r_regionkey"] is None]
+    assert len(bad) == 1 and bad[0]["r_name"] == "EUROPE"
