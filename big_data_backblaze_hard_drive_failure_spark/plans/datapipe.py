@@ -1021,3 +1021,65 @@ def datapipe_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("tfidf").desc(), F.col("tok")],
         k=3,
     )
+
+
+# --------------------------------------------------------------------
+# IVF (inverted-file) ANN: the second scale path for similarity
+# search, complementary to LSH. A seeded KMeans coarse quantizer
+# partitions the corpus into cells; each query probes only its
+# nprobe nearest cells, then brute-forces cosine inside them.
+# Search cost = nprobe/k of the corpus. Cell assignment is one
+# model.transform (JVM); the centroid table is tiny and driver-held.
+# KMeans isn't SQL-expressible -> rows-only check; recall vs brute
+# force is pinned by tests/test_operators.py.
+# --------------------------------------------------------------------
+@query("datapipe_knn_ivf")
+def datapipe_knn_ivf(
+    spark: SparkSession, sf_dir: str, k_cells: int = 16, nprobe: int = 4
+) -> DataFrame:
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        as_double_array("embedding").alias("v"),
+    )
+    vec = emb.withColumn("fv", array_to_vector("v"))
+    km = KMeans(k=k_cells, seed=42, featuresCol="fv", predictionCol="cell")
+    model = km.fit(vec)
+    assigned = model.transform(vec).select("vec_id", "v", "cell")
+
+    # nprobe nearest cells per query: computed on the tiny centroid
+    # set driver-side (k_cells rows), then broadcast as a filter
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+    queries = {
+        r["vec_id"]: np.array(r["v"])
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    }
+    probe_rows = []
+    for qid, qv in queries.items():
+        d = ((centroids - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:nprobe]:
+            probe_rows.append((qid, int(cell)))
+    probes = spark.createDataFrame(probe_rows, "query_id BIGINT, cell INT")
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    cands = (
+        assigned.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(qdf), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity("qv", "v").alias("cosine"),
+        )
+    )
+    return top_k_per_group(
+        cands,
+        ["query_id"],
+        [F.round("cosine", 6).desc(), F.col("vec_id")],
+        k=3,
+    )

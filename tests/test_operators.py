@@ -382,3 +382,20 @@ def test_csv_corrupt_record_handling(spark, tmp_path):
     assert len(rows) == 3
     bad = [r for r in rows if r["r_regionkey"] is None]
     assert len(bad) == 1 and bad[0]["r_name"] == "EUROPE"
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_smoke):
+    """IVF probing 4/16 cells must recover a solid fraction of the
+    true cosine top-3 (approximation quality pinned, not assumed)."""
+    from big_data_backblaze_hard_drive_failure_spark.plans import QUERIES
+
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in QUERIES["datapipe_cosine_topk"](spark, sf_smoke).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in QUERIES["datapipe_knn_ivf"](spark, sf_smoke).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.4, f"IVF recall@3 too low: {recall}"
