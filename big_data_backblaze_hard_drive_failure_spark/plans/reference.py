@@ -811,3 +811,66 @@ def ref_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# --------------------------------------------------------------------
+# Funnel analysis [beyond-reference]: per-user ordered conversion
+# view -> click -> purchase, each step's first timestamp required to
+# follow the previous step's. One conditional-min window pass per
+# user (single exchange), then a global funnel rollup.
+# --------------------------------------------------------------------
+@query(
+    "ref_funnel",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS t_purchase
+        FROM events GROUP BY user_id
+    ),
+    steps AS (
+        SELECT user_id,
+               CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS s1,
+               CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END AS s2,
+               CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         AND t_purchase > t_click
+                    THEN 1 ELSE 0 END AS s3
+        FROM firsts
+    )
+    SELECT CAST(SUM(s1) AS BIGINT) AS n_viewed,
+           CAST(SUM(s2) AS BIGINT) AS n_clicked_after_view,
+           CAST(SUM(s3) AS BIGINT) AS n_purchased_after_click,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM steps
+    """,
+)
+def ref_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    et = F.col("event_type")
+    firsts = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(et == "view", F.col("ts"))).alias("t_view"),
+            F.min(F.when(et == "click", F.col("ts"))).alias("t_click"),
+            F.min(F.when(et == "purchase", F.col("ts"))).alias("t_purchase"),
+        )
+    )
+    s1 = F.when(F.col("t_view").isNotNull(), 1).otherwise(0)
+    s2 = F.when(
+        F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 1
+    ).otherwise(0)
+    s3 = F.when(
+        F.col("t_view").isNotNull()
+        & (F.col("t_click") > F.col("t_view"))
+        & (F.col("t_purchase") > F.col("t_click")),
+        1,
+    ).otherwise(0)
+    return firsts.agg(
+        F.sum(s1).alias("n_viewed"),
+        F.sum(s2).alias("n_clicked_after_view"),
+        F.sum(s3).alias("n_purchased_after_click"),
+        F.count(F.lit(1)).alias("n_users"),
+    )

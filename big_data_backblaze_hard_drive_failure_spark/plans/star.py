@@ -810,3 +810,75 @@ def star_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(v).alias("n_not_null"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q12 shape: conditional bucket counts after a fact-fact join —
+# CASE-inside-SUM aggregation over joined priorities.
+# --------------------------------------------------------------------
+@query(
+    "star_priority_buckets",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag
+    """,
+)
+def star_priority_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q14 shape: conditional-revenue ratio — numerator and
+# denominator from ONE aggregation pass (exact cents).
+# --------------------------------------------------------------------
+@query(
+    "star_promo_revenue_ratio",
+    oracle="""
+    SELECT SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev_e4 ELSE 0 END)
+               * CAST(100.0 AS DOUBLE) / SUM(rev_e4) AS promo_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM (
+        SELECT p_type,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_e4
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    )
+    """,
+)
+def star_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias(
+            "rev_e4"
+        ),
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.col("p_type").like("PROMO%")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.sum(F.when(promo, F.col("rev_e4")).otherwise(0))
+                * 100.0
+                / F.sum("rev_e4")
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
