@@ -1083,3 +1083,36 @@ def datapipe_knn_ivf(
         [F.round("cosine", 6).desc(), F.col("vec_id")],
         k=3,
     )
+
+
+# --------------------------------------------------------------------
+# Array-function batch (§2.9 extended surface): sort / slice /
+# position / contains / distinct-count over the token arrays — the
+# portable array toolkit, one map-only pass.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_array_funcs",
+    oracle="""
+    SELECT doc_id,
+           list_sort(list_distinct(toks))[1:3] AS first3_sorted,
+           len(toks) AS n_tokens,
+           list_position(toks, 'spark') AS spark_pos,
+           list_contains(toks, 'table') AS has_table,
+           toks[1] AS first_tok,
+           toks[len(toks)] AS last_tok
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    """,
+)
+def datapipe_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokens("text")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.slice(F.array_sort(F.array_distinct(toks)), 1, 3).alias(
+            "first3_sorted"
+        ),
+        F.size(toks).alias("n_tokens"),
+        F.array_position(toks, "spark").cast("int").alias("spark_pos"),
+        F.array_contains(toks, "table").alias("has_table"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+    )

@@ -882,3 +882,35 @@ def star_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Exact percentile aggregates: median / p90 per group (Spark
+# `percentile` == DuckDB `quantile_cont`, linear interpolation). The
+# exact form sorts per group — fine for bounded groups; swap to
+# approx_percentile (t-digest, mergeable, O(1) memory) at 100 TB.
+# --------------------------------------------------------------------
+@query(
+    "star_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def star_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias(
+                "median_price"
+            ),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias(
+                "p90_price"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
