@@ -152,10 +152,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_csv(spark: SparkSession, path: str, name: str) -> DataFrame:
-    """CSV directory scan with an explicit schema (reference S1,
+    """CSV directory scan of a CATALOG table (reference S1,
     /root/reference/scripts/01_data_ingestion.py:17-22, minus the
-    inferSchema pre-pass)."""
-    return spark.read.option("header", True).schema(TABLES[name]).csv(path)
+    inferSchema pre-pass). Thin wrapper over sinks.read_csv with the
+    registered schema — one CSV reader implementation."""
+    from .sinks import read_csv
+
+    return read_csv(spark, path, TABLES[name])
 
 
 def register_all(
