@@ -1116,3 +1116,53 @@ def datapipe_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(toks, 1).alias("first_tok"),
         F.element_at(toks, -1).alias("last_tok"),
     )
+
+
+# --------------------------------------------------------------------
+# Dedup survivors: materialize the cleaned corpus — docs that are
+# their own cluster representative — and report the per-source yield.
+# Cluster assignment is the O(docs) LSH pass; the survivor filter is
+# a join back on doc_id (broadcastable at dim sizes, sort-merge at
+# corpus scale).
+# --------------------------------------------------------------------
+@query(
+    "datapipe_dedup_survivors",
+    oracle=f"""
+    WITH sig AS ({_SIG_SQL}),
+    bands AS (
+        SELECT 0 AS band_id, mh0 || mh1 AS band_key, doc_id FROM sig
+        UNION ALL
+        SELECT 1 AS band_id, mh2 || mh3 AS band_key, doc_id FROM sig
+    ),
+    bucket_min AS (
+        SELECT band_id, band_key, MIN(doc_id) AS bucket_rep
+        FROM bands GROUP BY band_id, band_key
+    ),
+    reps AS (
+        SELECT b.doc_id, MIN(m.bucket_rep) AS rep_id
+        FROM bands b
+        JOIN bucket_min m
+          ON m.band_id = b.band_id AND m.band_key = b.band_key
+        GROUP BY b.doc_id
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN r.rep_id = d.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_survivors
+    FROM documents d JOIN reps r ON r.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def datapipe_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reps = datapipe_neardup_clusters(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        docs.join(reps, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("rep_id") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_survivors"),
+        )
+    )

@@ -874,3 +874,83 @@ def ref_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(s3).alias("n_purchased_after_click"),
         F.count(F.lit(1)).alias("n_users"),
     )
+
+
+# --------------------------------------------------------------------
+# Telemetry gap detection [beyond-reference]: the reference's row
+# frames assume contiguous daily rows (03:86-88); real fleets have
+# gaps. Per-entity lag + epoch arithmetic finds them — exact integer
+# seconds, one window pass.
+# --------------------------------------------------------------------
+@query(
+    "ref_gap_detection",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN gap_us > 7200000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gaps_over_2h,
+           MAX(gap_us) AS max_gap_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def ref_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact integer MICROseconds on both sides: second-level epoch
+    # differs cross-engine on sub-second timestamps (floor vs round)
+    us = F.expr("unix_micros(to_utc_timestamp(ts, 'UTC'))")
+    gap = us - F.expr(
+        "unix_micros(to_utc_timestamp(lag(ts, 1) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), 'UTC'))"
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("gap_us", gap)
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("gap_us") > 7_200_000_000, 1).otherwise(0)
+            ).alias("n_gaps_over_2h"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# min_by / max_by aggregates [beyond-reference]: per-entity argmax —
+# the row that set the extreme, without a window or self-join.
+# Tie-break: max_by on a composite struct would be engine-ambiguous;
+# values here are (value, event_id) pairs made unique via cents*2^20.
+# --------------------------------------------------------------------
+@query(
+    "ref_argmax_event",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_id, CAST(ROUND(value * 100) AS BIGINT) * 1048576
+                             + event_id % 1048576) AS peak_event_id,
+           MAX(value) AS peak_value
+    FROM events GROUP BY user_id
+    """,
+)
+def ref_argmax_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # unique ordering key: cents in the high bits, event_id low bits
+    key = (
+        F.round(F.col("value") * 100).cast("long") * 1048576
+        + F.col("event_id") % 1048576
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "max_by(event_id, round(value * 100) * 1048576 "
+                "+ event_id % 1048576)"
+            ).alias("peak_event_id"),
+            F.max("value").alias("peak_value"),
+        )
+    )
