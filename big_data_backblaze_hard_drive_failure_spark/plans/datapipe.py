@@ -1166,3 +1166,37 @@ def datapipe_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_survivors"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Histogram via width_bucket: document-length distribution — the
+# profiling query behind every curation threshold choice. Bucket
+# boundaries are exact integer comparisons.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_length_histogram",
+    oracle="""
+    SELECT CASE WHEN n_chars < 0 THEN 0
+                WHEN n_chars >= 500 THEN 11
+                ELSE n_chars // 50 + 1 END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY bucket
+    """,
+)
+def datapipe_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(
+            F.width_bucket("n_chars", F.lit(0), F.lit(500), F.lit(10)).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

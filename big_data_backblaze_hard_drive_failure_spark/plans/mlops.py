@@ -452,3 +452,38 @@ def mlops_pr_at_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(hit) * 1.0 / F.sum("is_error")).alias("recall"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Score calibration: decile bins vs observed positive rate — the
+# standard reliability diagram input, one conditional-aggregation
+# pass. Bin edge arithmetic is exact (floor of score*10 on identical
+# doubles).
+# --------------------------------------------------------------------
+@query(
+    "mlops_calibration_bins",
+    oracle=f"""
+    SELECT CAST(LEAST(FLOOR(failure_probability * 10), 9) AS BIGINT)
+               AS score_decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(is_error) AS BIGINT) AS n_pos,
+           SUM(is_error) * 1.0 / COUNT(*) AS observed_rate
+    FROM ({_SCORED_SQL})
+    GROUP BY score_decile
+    """,
+)
+def mlops_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = scored_frame(spark, sf_dir, via="column")
+    decile = F.least(
+        F.floor(F.col("failure_probability") * 10), F.lit(9)
+    ).cast("long")
+    return (
+        scored.groupBy(decile.alias("score_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_error").cast("long").alias("n_pos"),
+            (F.sum("is_error") * 1.0 / F.count(F.lit(1))).alias(
+                "observed_rate"
+            ),
+        )
+    )
