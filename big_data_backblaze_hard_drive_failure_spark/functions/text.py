@@ -31,14 +31,22 @@ def ngram_shingles(text: str, n: int = 3) -> Column:
     """Word n-gram shingles as space-joined strings: the unit set for
     MinHash/Jaccard near-dup detection. Built with
     ``transform(sequence(...))`` — no explode, no UDF. ``text`` is a
-    column NAME (the expression references it several times)."""
+    column NAME (the expression references it several times).
+
+    Docs with fewer than ``n`` tokens yield an EMPTY array: an
+    unguarded ``sequence(1, size - n + 1)`` with a non-positive upper
+    bound is a DESCENDING sequence in Spark (e.g. ``[1, 0]``), whose
+    index 0 then crashes ``element_at`` at runtime."""
     parts = " , ".join(
         f"element_at(split({text}, ' '), CAST(i + {k} AS INT))"
         for k in range(n)
     )
+    n_tokens = f"size(split({text}, ' '))"
     return F.expr(
-        f"transform(sequence(1, greatest(size(split({text}, ' ')) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', {parts}))"
+        f"CASE WHEN {n_tokens} >= {n} THEN "
+        f"transform(sequence(1, {n_tokens} - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
 
 

@@ -22,6 +22,10 @@ from pyspark.sql import functions as F
 SALT_COL = "__salt"
 
 
+_SALT_SAFE_HOW = {"inner", "left", "left_outer", "leftouter",
+                  "left_semi", "leftsemi", "left_anti", "leftanti"}
+
+
 def salted_join(
     skewed: DataFrame,
     small: DataFrame,
@@ -32,7 +36,20 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``skewed ⋈ small`` on ``on`` with the hot-key rows
     spread over ``n_salts`` subtasks. Result equals a plain join
-    (salt columns are dropped)."""
+    (salt columns are dropped) for the SUPPORTED join types only:
+    inner / left / left_semi / left_anti. Right- and full-outer are
+    rejected — the exploded small side would emit each unmatched
+    small-side row once per salt (``n_salts`` duplicates with null
+    left columns), which no post-hoc drop can undo safely."""
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in _SALT_SAFE_HOW
+    }:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the small side "
+            "is replicated per salt, so right/full-outer joins would "
+            "duplicate unmatched small-side rows n_salts times. "
+            "Use inner/left/left_semi/left_anti, or salt the other side."
+        )
     rand = F.rand(seed) if seed is not None else F.rand()
     left = skewed.withColumn(
         SALT_COL, (rand * n_salts).cast("int")

@@ -24,7 +24,7 @@ over hex-string ordering (bytewise-identical in both engines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import DEFAULT_SALTS, minhash_expr, text_sha256
@@ -1025,34 +1025,111 @@ def datapipe_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------
 # IVF (inverted-file) ANN: the second scale path for similarity
-# search, complementary to LSH. A seeded KMeans coarse quantizer
-# partitions the corpus into cells; each query probes only its
-# nprobe nearest cells, then brute-forces cosine inside them.
-# Search cost = nprobe/k of the corpus. Cell assignment is one
-# model.transform (JVM); the centroid table is tiny and driver-held.
-# KMeans isn't SQL-expressible -> rows-only check; recall vs brute
-# force is pinned by tests/test_operators.py.
+# search, complementary to LSH. A seeded coarse quantizer partitions
+# the corpus into cells; each query probes only its nprobe nearest
+# cells, then brute-forces cosine inside them. Search cost =
+# nprobe/k of the corpus.
+#
+# Scale design (the FAISS/IVF standard): the quantizer is trained on
+# a BOUNDED sample collected through the guarded-toPandas cap — at
+# 100 TB you never fit on the full corpus, a few thousand vectors
+# pin the cell structure. Training is seeded Lloyd on that sample
+# (driver-side, microseconds); the expensive part — assigning every
+# corpus vector to its cell — stays distributed as a pure JVM
+# expression (struct-argmin over broadcast centroid literals), one
+# map-only pass with zero shuffles and no per-call iterative jobs.
+# Centroids are memoized per (sf_dir, k_cells) so repeated calls
+# (tests, recall sweeps) pay the fit once.
+# Quantizer isn't SQL-expressible -> rows-only check; recall vs
+# brute force is pinned by tests/test_operators.py.
 # --------------------------------------------------------------------
+_IVF_CENTROIDS: dict[tuple[str, int], "list[list[float]]"] = {}
+_IVF_TRAIN_CAP = 4096
+
+
+def _ivf_fit_centroids(
+    spark: SparkSession, sf_dir: str, k_cells: int
+) -> "list[list[float]]":
+    """Seeded Lloyd iterations on a capped training sample; returns
+    plain nested lists so the memo is session-independent."""
+    import numpy as np
+    import os
+
+    key = (os.path.realpath(sf_dir), k_cells)
+    if key in _IVF_CENTROIDS:
+        return _IVF_CENTROIDS[key]
+
+    from big_data_backblaze_hard_drive_failure_spark.ml.training import (
+        guarded_to_pandas,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    sample = guarded_to_pandas(
+        emb.orderBy("vec_id").limit(_IVF_TRAIN_CAP), cap=_IVF_TRAIN_CAP
+    )
+    x = np.array(sample["v"].tolist())
+    rng = np.random.RandomState(42)
+    centers = x[rng.choice(len(x), size=k_cells, replace=False)]
+    for _ in range(20):
+        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        cell = d.argmin(axis=1)
+        new = np.array(
+            [
+                x[cell == i].mean(axis=0) if (cell == i).any() else centers[i]
+                for i in range(k_cells)
+            ]
+        )
+        if np.allclose(new, centers):
+            break
+        centers = new
+    _IVF_CENTROIDS[key] = [[float(v) for v in c] for c in centers]
+    return _IVF_CENTROIDS[key]
+
+
+def _ivf_cell_expr(centroids: "list[list[float]]") -> Column:
+    """argmin-distance cell id as a pure JVM expression: an array of
+    (squared_distance, cell) structs over literal centroids, reduced
+    with array_min (struct ordering = distance, then cell id)."""
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        "v",
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(dists)["cell"]
+
+
 @query("datapipe_knn_ivf")
 def datapipe_knn_ivf(
     spark: SparkSession, sf_dir: str, k_cells: int = 16, nprobe: int = 4
 ) -> DataFrame:
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         as_double_array("embedding").alias("v"),
     )
-    vec = emb.withColumn("fv", array_to_vector("v"))
-    km = KMeans(k=k_cells, seed=42, featuresCol="fv", predictionCol="cell")
-    model = km.fit(vec)
-    assigned = model.transform(vec).select("vec_id", "v", "cell")
+    centroid_lists = _ivf_fit_centroids(spark, sf_dir, k_cells)
+    assigned = emb.select(
+        "vec_id", "v", _ivf_cell_expr(centroid_lists).alias("cell")
+    )
 
     # nprobe nearest cells per query: computed on the tiny centroid
     # set driver-side (k_cells rows), then broadcast as a filter
-    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+    centroids = np.array(centroid_lists)
     queries = {
         r["vec_id"]: np.array(r["v"])
         for r in emb.filter(F.col("vec_id") < 5).collect()

@@ -570,6 +570,11 @@ def ref_spot_check_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events per user — Window.orderBy(epoch seconds).rangeBetween.
 # Same single exchange + sort as any window; the frame bound is
 # evaluated per-row against the sort key, no extra shuffle.
+# Sort key is EXACT MICROSECONDS on both engines (unix_micros /
+# epoch_us): second-resolution keys floor in Spark but round in
+# DuckDB, so sub-second events near the 7200 s frame edge would be
+# in-frame in one engine and not the other (same hazard
+# ref_gap_detection works around).
 # --------------------------------------------------------------------
 @query(
     "ref_time_range_window",
@@ -579,15 +584,15 @@ def ref_spot_check_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS cents_2h,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_2h
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
-                 RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW)
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW)
     """,
 )
 def ref_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-7200, Window.currentRow)
+        .orderBy(F.expr("unix_micros(to_utc_timestamp(ts, 'UTC'))"))
+        .rangeBetween(-7_200_000_000, Window.currentRow)
     )
     cents = F.round(F.col("value") * 100).cast("long")
     return load(spark, sf_dir, "events").select(
@@ -781,6 +786,11 @@ def ref_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
         SELECT user_id, ts,
+               -- <= on purpose: Spark's session_window MERGES an event
+               -- arriving EXACTLY gap after the previous one (window
+               -- end is inclusive for the merge test; only gap+epsilon
+               -- starts a new session) — verified empirically and
+               -- pinned by tests/test_advice_fixes.py
                CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
                     THEN 0 ELSE 1 END AS new_session
         FROM events

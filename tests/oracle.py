@@ -53,6 +53,10 @@ def run_oracle(sf_dir: str, sql: str):
     con = duckdb.connect()
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
+        # synthetic-fixture dirs (boundary tests) carry only the tables
+        # they exercise; a query referencing a missing one fails loudly
+        if not os.path.exists(path):
+            continue
         con.execute(
             f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
         )

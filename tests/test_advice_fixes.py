@@ -1,0 +1,130 @@
+"""Regression tests for the round-2 ADVICE.md findings.
+
+Each test constructs the exact boundary condition the advisor flagged
+(sub-second events at a range-frame edge, docs shorter than the
+shingle width, outer-join salting, an exact-gap session boundary) and
+pins the fixed behavior — parity by construction, not by fixture luck.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_backblaze_hard_drive_failure_spark.plans import ORACLE, QUERIES
+from tests.oracle import compare
+
+
+def _write_events(tmp_path, rows):
+    """Synthetic events.parquet (schema-compatible with the fixture
+    table) holding exactly the boundary rows under test."""
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    table = pa.Table.from_pandas(df, preserve_index=False).cast(
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_time_range_window_subsecond_boundary(spark, tmp_path):
+    """Events straddling the 7200 s frame edge by sub-second margins:
+    second-resolution sort keys floor (Spark) vs round (DuckDB) and
+    disagree; exact-microsecond keys must agree on both engines AND
+    produce the analytically-correct frame membership."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0, 600_000)
+    in_frame = dt.datetime(2024, 1, 1, 2, 0, 0, 500_000)  # gap 7199.9 s
+    out_frame = dt.datetime(2024, 1, 1, 2, 0, 0, 900_000)  # gap 7200.3 s
+    sf = _write_events(
+        tmp_path,
+        [
+            (1, t0, 1, "view", 1.0, "{}"),
+            (2, in_frame, 1, "view", 1.0, "{}"),
+            (3, out_frame, 1, "view", 1.0, "{}"),
+        ],
+    )
+    compare(spark, sf, QUERIES["ref_time_range_window"], ORACLE["ref_time_range_window"])
+    rows = {
+        r["event_id"]: r["n_2h"]
+        for r in QUERIES["ref_time_range_window"](spark, sf).collect()
+    }
+    # event 2: frame [00:00:00.5, 02:00:00.5] contains events 1 and 2;
+    # event 3: frame [00:00:00.9, 02:00:00.9] EXCLUDES event 1 (gap
+    # 7200.3 s) but contains event 2 — a floored-seconds key would
+    # wrongly include event 1.
+    assert rows == {1: 1, 2: 2, 3: 2}
+
+
+def test_session_window_exact_gap_boundary(spark, tmp_path):
+    """Spark's session_window MERGES an event arriving EXACTLY gap
+    after the previous one (the window end is inclusive for the merge
+    test; only gap + epsilon starts a new session — verified against
+    pyspark directly, contra round-2 ADVICE item 4). The oracle's <=
+    therefore matches; this pins both engines on the exact boundary."""
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    sf = _write_events(
+        tmp_path,
+        [
+            (1, t0, 7, "view", 1.0, "{}"),
+            (2, t0 + dt.timedelta(minutes=30), 7, "view", 1.0, "{}"),
+            (3, t0 + dt.timedelta(minutes=30, microseconds=1), 8, "view", 1.0, "{}"),
+            (4, t0 + dt.timedelta(minutes=60, microseconds=2), 8, "view", 1.0, "{}"),
+        ],
+    )
+    compare(spark, sf, QUERIES["ref_session_windows"], ORACLE["ref_session_windows"])
+    sessions = QUERIES["ref_session_windows"](spark, sf).collect()
+    # user 7: exact gap merges -> one session of 2
+    # user 8: gap + 1us splits -> two sessions of 1
+    per_user = sorted((r["user_id"], r["n_events"]) for r in sessions)
+    assert per_user == [(7, 2), (8, 1), (8, 1)]
+
+
+def test_ngram_shingles_short_doc(spark):
+    """Docs with fewer than n tokens must yield an EMPTY shingle array
+    (matching the oracle's range() semantics), not crash on the
+    descending-sequence element_at(..., 0)."""
+    from big_data_backblaze_hard_drive_failure_spark.functions.text import (
+        ngram_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [("a b",), ("one two three",), ("w x y z",), ("solo",)], ["text"]
+    )
+    out = [r["sh"] for r in df.select(ngram_shingles("text", 3).alias("sh")).collect()]
+    assert out[0] == []
+    assert out[1] == ["one two three"]
+    assert out[2] == ["w x y", "x y z"]
+    assert out[3] == []
+
+
+def test_salted_join_rejects_small_side_outer(spark):
+    """right/full outer would duplicate unmatched small-side rows once
+    per salt — the operator must refuse instead of silently corrupting."""
+    from big_data_backblaze_hard_drive_failure_spark.operators.skew import (
+        salted_join,
+    )
+
+    big = spark.range(100).withColumn("k", F.col("id") % 3)
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (9, "unmatched")], ["k", "v"])
+    for how in ("right", "full", "full_outer", "right_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(big, small, "k", how=how)
+    # supported types still equal the plain join
+    plain = big.join(small, "k", "left").orderBy("id", "v").collect()
+    salted = salted_join(big, small, "k", how="left").orderBy("id", "v").collect()
+    assert plain == salted

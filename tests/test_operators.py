@@ -399,3 +399,30 @@ def test_ivf_recall_vs_brute_force(spark, sf_smoke):
     }
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.4, f"IVF recall@3 too low: {recall}"
+
+
+def test_ivf_nprobe_recall_cost_curve(spark, sf_smoke):
+    """The IVF recall knob behaves as designed: probing more cells
+    never loses recall (nprobe 1 -> 2 -> 4 monotone non-decreasing),
+    and full probing (nprobe = k_cells) equals brute force exactly —
+    pinning that IVF's only approximation is the probe set."""
+    from big_data_backblaze_hard_drive_failure_spark.plans import QUERIES
+    from big_data_backblaze_hard_drive_failure_spark.plans.datapipe import (
+        datapipe_knn_ivf,
+    )
+
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in QUERIES["datapipe_cosine_topk"](spark, sf_smoke).collect()
+    }
+    recalls = {}
+    for nprobe in (1, 2, 4, 16):
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in datapipe_knn_ivf(
+                spark, sf_smoke, k_cells=16, nprobe=nprobe
+            ).collect()
+        }
+        recalls[nprobe] = len(truth & approx) / len(truth)
+    assert recalls[1] <= recalls[2] <= recalls[4] <= recalls[16], recalls
+    assert recalls[16] == 1.0, f"full probe must equal brute force: {recalls}"
