@@ -487,3 +487,118 @@ def mlops_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ====================================================================
+# Tree-model end-to-end (reference M3/M10 tree parity):
+# 05_01_model_training_xgboost_oom_fix.py:110-155 trains a depth-6
+# boosted ensemble and scores it inside Spark via a broadcast-model
+# UDF; 05_SHAP_alert_explanation.py:132-167 explains the alerted rows.
+# Here: MLlib GBT trained DISTRIBUTED on the downsampled chronological
+# train split, persisted as a model artifact (S6), read back as DATA
+# (the saved forest is parquet), and scored via an Arrow pandas_udf
+# with the forest broadcast — ml/forest.py. Training is seeded and the
+# downsample deterministic, so the rows-only driver check is stable.
+# The extracted forest is memoized per sf_dir (model-sized, like the
+# IVF centroids): the train cost is paid once per process, not per
+# registered query.
+# ====================================================================
+GBT_FEATURES = ("value", "is_error")
+_GBT_FORESTS: dict[str, "object"] = {}
+
+
+def _gbt_split(spark: SparkSession, sf_dir: str):
+    """(train, test): chronological split at the reference's val/test
+    dates with deterministically downsampled train negatives."""
+    from ..operators.splits import (
+        chronological_split,
+        deterministic_downsample_negatives,
+    )
+
+    df = _features(spark, sf_dir).withColumn(
+        "label", F.col("is_error").cast("double")
+    )
+    train, _val, test = chronological_split(df, "ts", "2024-01-15", "2024-01-25")
+    train = deterministic_downsample_negatives(train, "label", "event_id", 3)
+    return train, test
+
+
+def _gbt_forest(spark: SparkSession, sf_dir: str):
+    """Train (or reuse) the GBT and return its portable PyForest."""
+    import os
+
+    from ..ml.forest import extract_forest
+    from ..ml.training import train_gbt
+    from .io import scratch_dir
+
+    key = os.path.realpath(sf_dir)
+    if key in _GBT_FORESTS:
+        return _GBT_FORESTS[key]
+    train, _ = _gbt_split(spark, sf_dir)
+    model = train_gbt(train, list(GBT_FEATURES), "label", max_depth=3, max_iter=8)
+    path = scratch_dir(f"gbt_model_{os.path.basename(key)}")
+    model.write().overwrite().save(path)
+    _GBT_FORESTS[key] = extract_forest(spark, path, GBT_FEATURES)
+    return _GBT_FORESTS[key]
+
+
+@query("mlops_gbt_score")
+def mlops_gbt_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deploy-shaped tree pipeline: score the held-out test split with
+    the broadcast forest pandas_udf, pick the threshold at the recall
+    target (M6, exact percentile — no driver collect), alert, and
+    emit the single-pass confusion matrix (M7/M8). Scoring is one
+    map-only pass; the confusion agg is the only shuffle."""
+    from ..ml.forest import score_forest
+    from ..operators.metrics import alert_decision, confusion_matrix
+
+    forest = _gbt_forest(spark, sf_dir)
+    _, test = _gbt_split(spark, sf_dir)
+    scored = score_forest(forest, spark, test, "failure_probability")
+    thr = threshold_at_recall(
+        scored, "failure_probability", "label", RECALL_TARGET
+    ).first()["threshold"]
+    cm = confusion_matrix(
+        scored.withColumn(
+            "alert", alert_decision("failure_probability", float(thr))
+        ),
+        "alert",
+        F.col("label").cast("int"),
+    )
+    return cm.orderBy("alert", "target").select(
+        F.col("alert").cast("int").alias("alert"),
+        F.col("target").cast("int").alias("target"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+@query("mlops_gbt_contributions")
+def mlops_gbt_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """05_SHAP twin for the TREE model: per-row path (Saabas)
+    contributions on the top-20 alerted test rows. The explanation
+    pandas_udf runs AFTER the top-k cut, so the Python stage sees 20
+    rows regardless of corpus size — the reference's explain-alerts
+    sampling discipline (05_SHAP:96-104) made exact. base + contribs
+    sums to the margin exactly (pinned by tests/test_ml.py)."""
+    from ..ml.forest import forest_contrib_pandas_udf, score_forest
+
+    forest = _gbt_forest(spark, sf_dir)
+    _, test = _gbt_split(spark, sf_dir)
+    scored = score_forest(forest, spark, test, "failure_probability")
+    top = (
+        scored.orderBy(F.col("failure_probability").desc(), F.col("event_id"))
+        .limit(20)
+    )
+    contrib = forest_contrib_pandas_udf(spark, forest)
+    return top.select(
+        "event_id",
+        "failure_probability",
+        contrib(*GBT_FEATURES).alias("c"),
+    ).select(
+        "event_id",
+        "failure_probability",
+        F.col("c.contrib_value").alias("contrib_value"),
+        F.col("c.contrib_is_error").alias("contrib_is_error"),
+        F.col("c.base").alias("base"),
+        F.col("c.margin").alias("margin"),
+    )

@@ -152,3 +152,80 @@ def test_reference_pipeline_all_stages(spark, sf_smoke, tmp_path):
     assert 0.0 <= summary["pr_auc_val"] <= 1.0
     assert summary["tp"] + summary["fn"] >= 0
     assert summary["avg_alerts_per_day"] >= 0.0
+
+
+# --------------------------------------------------------------------
+# Tree-model end-to-end (round-3: M3/M10 tree parity)
+# --------------------------------------------------------------------
+def test_forest_scorer_matches_mllib_transform(spark, sf_smoke, tmp_path):
+    """The portable forest (saved-artifact node table -> numpy walk ->
+    pandas_udf) must reproduce MLlib's own model.transform
+    probabilities to float precision — proving the artifact-as-data
+    scorer is THE same model, not an approximation."""
+    import numpy as np
+
+    from big_data_backblaze_hard_drive_failure_spark.ml.forest import (
+        extract_forest,
+        forest_probability,
+        score_forest,
+    )
+    from big_data_backblaze_hard_drive_failure_spark.plans.mlops import (
+        GBT_FEATURES,
+        _gbt_split,
+    )
+
+    train, test = _gbt_split(spark, sf_smoke)
+    model = train_gbt(train, list(GBT_FEATURES), "label", max_depth=3, max_iter=8)
+    path = str(tmp_path / "gbt")
+    model.write().overwrite().save(path)
+    forest = extract_forest(spark, path, GBT_FEATURES)
+
+    jvm = score_with_model(model, test, list(GBT_FEATURES)).select(
+        "event_id", "failure_probability"
+    )
+    py = score_forest(forest, spark, test, "p_forest").select("event_id", "p_forest")
+    joined = jvm.join(py, "event_id").select(
+        F.max(F.abs(F.col("failure_probability") - F.col("p_forest"))).alias("d")
+    )
+    assert joined.first()["d"] < 1e-9
+
+    # and the pure-numpy path agrees with itself on a direct matrix
+    rows = test.select(*GBT_FEATURES).limit(50).collect()
+    X = np.array([[r[c] for c in GBT_FEATURES] for r in rows], dtype=float)
+    p = forest_probability(forest, X)
+    assert ((p > 0) & (p < 1)).all()
+
+
+def test_gbt_contributions_identity_and_sanity(spark, sf_oracle):
+    """Saabas path contributions: base + sum(contribs) == margin
+    EXACTLY per alerted row, and the is_error contribution is positive
+    for error rows — the same sign the linear closed form
+    (mlops_feature_contributions: 0.3 * (is_error - mean)) assigns."""
+    from big_data_backblaze_hard_drive_failure_spark.plans import QUERIES
+
+    rows = QUERIES["mlops_gbt_contributions"](spark, sf_oracle).collect()
+    assert len(rows) == 20
+    for r in rows:
+        resid = abs(
+            r["base"] + r["contrib_value"] + r["contrib_is_error"] - r["margin"]
+        )
+        assert resid < 1e-9, r
+    # top-scored alerts on this fixture are error rows; the tree must
+    # credit the is_error feature positively there, like the linear twin
+    assert all(r["contrib_is_error"] > 0 for r in rows)
+
+
+def test_gbt_score_recall_gate(spark, sf_oracle):
+    """Deploy-shaped confusion from the GBT pipeline must capture at
+    least the recall target (threshold chosen at that recall)."""
+    from big_data_backblaze_hard_drive_failure_spark.operators.metrics import (
+        operational_summary,
+    )
+    from big_data_backblaze_hard_drive_failure_spark.plans import QUERIES
+    from big_data_backblaze_hard_drive_failure_spark.plans.mlops import (
+        RECALL_TARGET,
+    )
+
+    cm = QUERIES["mlops_gbt_score"](spark, sf_oracle).collect()
+    summary = operational_summary(cm)
+    assert summary["recall"] >= RECALL_TARGET, summary
