@@ -56,6 +56,32 @@ def main() -> int:
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)
+
+    # regression table vs the last committed local baseline: surfaces
+    # per-query slowdowns >1.5x (and >0.2s absolute, to skip noise on
+    # sub-100ms queries) so each round gets a real prev-round diff
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_BASELINE.json"
+    )
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            prev = json.load(f).get("queries", {})
+        regressions = [
+            (name, prev[name], t)
+            for name, t in ok.items()
+            if name in prev
+            and prev[name] > 0
+            and t > prev[name] * 1.5
+            and t - prev[name] > 0.2
+        ]
+        if regressions:
+            log("=== PER-QUERY REGRESSIONS vs committed baseline (>1.5x) ===")
+            for name, was, now_t in sorted(
+                regressions, key=lambda r: r[2] - r[1], reverse=True
+            ):
+                log(f"  {name}: {was:.3f}s -> {now_t:.3f}s ({now_t / was:.1f}x)")
+        else:
+            log("no per-query regressions vs committed baseline")
     print(
         json.dumps(
             {

@@ -1059,16 +1059,12 @@ def _ivf_fit_centroids(
     if key in _IVF_CENTROIDS:
         return _IVF_CENTROIDS[key]
 
-    from big_data_backblaze_hard_drive_failure_spark.ml.training import (
-        guarded_to_pandas,
-    )
-
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("v")
     )
-    sample = guarded_to_pandas(
-        emb.orderBy("vec_id").limit(_IVF_TRAIN_CAP), cap=_IVF_TRAIN_CAP
-    )
+    # limit() already enforces the guarded-toPandas bound structurally,
+    # so skip the guard's count() pre-pass (one Spark job saved)
+    sample = emb.orderBy("vec_id").limit(_IVF_TRAIN_CAP).toPandas()
     x = np.array(sample["v"].tolist())
     rng = np.random.RandomState(42)
     centers = x[rng.choice(len(x), size=k_cells, replace=False)]
@@ -1088,28 +1084,31 @@ def _ivf_fit_centroids(
     return _IVF_CENTROIDS[key]
 
 
+_IVF_CELL_EXPRS: dict[int, Column] = {}
+
+
 def _ivf_cell_expr(centroids: "list[list[float]]") -> Column:
-    """argmin-distance cell id as a pure JVM expression: an array of
-    (squared_distance, cell) structs over literal centroids, reduced
-    with array_min (struct ordering = distance, then cell id)."""
-    dists = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        "v",
-                        F.array(*[F.lit(x) for x in c]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    """argmin-distance cell id as a pure JVM expression: ONE transform
+    over the array-of-centroids literal building (squared_distance,
+    cell) structs, reduced with array_min (struct ordering = distance,
+    then cell id). Built as a single SQL string — constructing
+    k_cells*dim literals through py4j Column calls cost more than the
+    whole scan — and memoized on the centroid identity so repeated
+    calls skip the parse."""
+    key = id(centroids)
+    if key in _IVF_CELL_EXPRS:
+        return _IVF_CELL_EXPRS[key]
+    cent_sql = "array(" + ",".join(
+        "array(" + ",".join(repr(x) for x in c) + ")" for c in centroids
+    ) + ")"
+    col = F.expr(
+        f"array_min(transform({cent_sql}, (c, i) -> struct("
+        "aggregate(zip_with(v, c, (a, b) -> (a-b)*(a-b)), "
+        "cast(0.0 as double), (acc, x) -> acc + x) AS d, "
+        "i AS cell))).cell"
     )
-    return F.array_min(dists)["cell"]
+    _IVF_CELL_EXPRS[key] = col
+    return col
 
 
 @query("datapipe_knn_ivf")

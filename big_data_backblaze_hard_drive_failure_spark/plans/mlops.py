@@ -602,3 +602,53 @@ def mlops_gbt_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.base").alias("base"),
         F.col("c.margin").alias("margin"),
     )
+
+
+@query("mlops_train_early_stop")
+def mlops_train_early_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Appendix parity (Appendix_model_training_xgboost.py:119-162):
+    collected-sample boosting with validation-based EARLY STOPPING and
+    a classification report at the recall-targeted threshold. The
+    collect goes through the guarded_to_pandas row cap — this is the
+    documented driver-side track; the distributed twin is
+    mlops_gbt_score. Deterministic (greedy splits, no subsampling), so
+    the rows-only driver check is stable. Output: per-class report
+    rows + the round the validation metric chose."""
+    import numpy as np
+
+    from ..ml.early_stopping import (
+        classification_report_rows,
+        fit_boosted_stumps,
+        threshold_for_recall,
+    )
+    from ..ml.training import guarded_to_pandas
+
+    df = _features(spark, sf_dir).withColumn(
+        "label", F.col("is_error").cast("double")
+    )
+    from ..operators.splits import chronological_split
+
+    train, val, test = chronological_split(df, "ts", "2024-01-15", "2024-01-25")
+    cols = [*GBT_FEATURES, "label"]
+
+    def xy(part: DataFrame):
+        pdf = guarded_to_pandas(part.select(*cols))
+        return (
+            pdf[list(GBT_FEATURES)].to_numpy(dtype=float),
+            pdf["label"].to_numpy(dtype=float),
+        )
+
+    X_tr, y_tr = xy(train)
+    X_va, y_va = xy(val)
+    X_te, y_te = xy(test)
+    model = fit_boosted_stumps(
+        X_tr, y_tr, X_va, y_va, max_rounds=50, patience=5
+    )
+    probs = model.predict_proba(X_te)
+    thr = threshold_for_recall(y_te, probs, RECALL_TARGET)
+    report = classification_report_rows(y_te, (probs >= thr).astype(int))
+    return spark.createDataFrame(
+        [(*row, model.best_round) for row in report],
+        "label STRING, precision DOUBLE, recall DOUBLE, f1 DOUBLE, "
+        "support BIGINT, best_round BIGINT",
+    )

@@ -229,3 +229,43 @@ def test_gbt_score_recall_gate(spark, sf_oracle):
     cm = QUERIES["mlops_gbt_score"](spark, sf_oracle).collect()
     summary = operational_summary(cm)
     assert summary["recall"] >= RECALL_TARGET, summary
+
+
+def test_early_stopping_halts_before_max_rounds():
+    """On a fixture with a weak learnable signal the validation metric
+    plateaus and the early-stopping loop must break BEFORE max_rounds
+    (Appendix early_stopping_rounds semantics), rewinding best_round
+    to the best validation score."""
+    import numpy as np
+
+    from big_data_backblaze_hard_drive_failure_spark.ml.early_stopping import (
+        average_precision,
+        classification_report_rows,
+        fit_boosted_stumps,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 2000
+    X = rng.normal(size=(n, 2))
+    y = ((X[:, 0] + 0.5 * rng.normal(size=n)) > 0).astype(float)
+    X_tr, y_tr, X_va, y_va = X[:1500], y[:1500], X[1500:], y[1500:]
+
+    model = fit_boosted_stumps(
+        X_tr, y_tr, X_va, y_va, max_rounds=200, patience=5
+    )
+    rounds_run = len(model.history)
+    assert rounds_run < 200, "early stopping never triggered"
+    assert 1 <= model.best_round <= rounds_run - 5 + 1
+    # best_round really is the argmax of the validation history
+    assert model.history[model.best_round - 1] == max(model.history)
+    # the boosted model must beat the base-rate ranking on validation
+    ap_model = average_precision(y_va, model.predict_proba(X_va))
+    assert ap_model > y_va.mean() + 0.2
+
+    # report sanity on a hand case
+    rows = classification_report_rows(
+        np.array([1, 1, 0, 0]), np.array([1, 0, 0, 0])
+    )
+    by_label = {r[0]: r for r in rows}
+    assert by_label["1"] == ("1", 1.0, 0.5, 2 / 3, 2)
+    assert by_label["0"][4] == 2

@@ -81,3 +81,58 @@ def test_lead_label_property(spark, rows):
             nxt = vals[idx + 1][2] if idx + 1 < len(vals) else 0
             want[i] = 1 if nxt == 1 else 0
     assert got == want
+
+
+def test_one_round_clustering_diverges_on_chains(spark, tmp_path):
+    """datapipe_neardup_clusters is ONE round of star contraction;
+    datapipe_neardup_components is the fixpoint. On a dup graph of
+    diameter > 1 they MUST diverge exactly as documented — protecting
+    users from treating the cheap single pass as a full transitive
+    dedup.
+
+    Constructed chain: three docs A(1), B(2), C(3) over a shared base
+    token set, where A adds a token that wins the band-1 minhashes
+    only, and C adds one that wins band-0 only:
+      * A and B collide in band 0, B and C collide in band 1,
+        A and C collide nowhere  ->  path A - B - C, diameter 2.
+    One round: doc 3's bucket reps are {3 (band 0), 2 (band 1)} so it
+    contracts to 2 — which is itself NOT a representative (2 -> 1).
+    The fixpoint pulls all three to component 1.
+    (Chain tokens found by direct md5 search over the engine's salted
+    minhash — see functions/hashing.py DEFAULT_SALTS.)
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_backblaze_hard_drive_failure_spark.plans import QUERIES
+
+    base = "alpha beta gamma delta epsilon zeta"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [base + " w109", base, base + " w427"],
+            "lang": ["en"] * 3,
+            "source": ["synthetic"] * 3,
+            "n_chars": [len(base) + 5, len(base), len(base) + 5],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        str(tmp_path / "documents.parquet"),
+    )
+    sf = str(tmp_path)
+
+    one_round = {
+        r["doc_id"]: r["rep_id"]
+        for r in QUERIES["datapipe_neardup_clusters"](spark, sf).collect()
+    }
+    fixpoint = {
+        r["doc_id"]: r["component_id"]
+        for r in QUERIES["datapipe_neardup_components"](spark, sf).collect()
+    }
+    # the single pass leaves doc 3 pointing at 2 (a non-representative)
+    assert one_round == {1: 1, 2: 1, 3: 2}
+    # the fixpoint contracts the whole chain
+    assert fixpoint == {1: 1, 2: 1, 3: 1}
+    assert one_round != fixpoint

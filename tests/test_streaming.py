@@ -107,3 +107,104 @@ def test_stateful_running_alert_counts(spark, sf_smoke, tmp_path):
     )
     want = {(r["user_id"], r["count"]) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data policy made observable: with a 1-day watermark, an
+    event arriving in a LATER micro-batch whose window closed behind
+    the watermark is DROPPED — the closed window's append-mode result
+    must not change, and the state operator must report the drop
+    (numRowsDroppedByWatermark)."""
+    import datetime as dt
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def write_batch(name, rows, mtime):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        # raw INT64 nanos, matching the fixture's physical layout
+        pdf["ts"] = [int(t.timestamp() * 1e9) for t in pdf["ts"]]
+        table = pa.Table.from_pandas(pdf, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("event_id", pa.int64()),
+                    ("ts", pa.int64()),
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("value", pa.float64()),
+                    ("props", pa.string()),
+                ]
+            )
+        )
+        path = str(src / name)
+        pq.write_table(table, path)
+        os.utime(path, (mtime, mtime))
+
+    day1 = dt.datetime(2024, 1, 1, 6, tzinfo=dt.timezone.utc)
+    day5 = dt.datetime(2024, 1, 5, 6, tzinfo=dt.timezone.utc)
+    now = time.time()
+    # Two-watermark subtlety (verified empirically): batch N filters
+    # late rows with the PREVIOUS batch's watermark but evicts state
+    # with the CURRENT one — so a late row landing in the same batch
+    # where its window is first evicted still merges. The drop is only
+    # guaranteed once the late row arrives a full batch AFTER the
+    # watermark passed its window. Hence three single-file batches:
+    # batch 0: a day-1 event + the day-5 event that will advance the
+    #          watermark to Jan 4 (1-day allowance)
+    write_batch("a.parquet", [(1, day1, 1, "error", 9.0, "{}"),
+                              (2, day5, 1, "error", 9.0, "{}")], now - 100)
+    # batch 1: on-time day-5 event; watermark Jan 4 now active, the
+    #          day-1 window (end Jan 2) is evicted and emitted
+    write_batch("b.parquet", [(4, day5, 2, "error", 9.0, "{}")], now - 50)
+    # batch 2: a LATE day-1 event — behind the active watermark and
+    #          its window already closed -> must be dropped
+    write_batch("c.parquet", [(3, day1, 1, "error", 9.0, "{}")], now - 10)
+
+    raw_schema = (
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    counts = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.to_date(F.col("w.start")).alias("day"), "n")
+    )
+    sink = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    rows = {r["day"].isoformat(): r["n"] for r in spark.sql(
+        f"SELECT * FROM {sink}").collect()}
+    # the day-1 window closed with ONLY the on-time event; the late
+    # arrival in batch 2 was dropped, not merged and not re-emitted
+    assert rows.get("2024-01-01") == 1, rows
+    assert dropped == 1
