@@ -1276,3 +1276,60 @@ def datapipe_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Multimodal frame sampling: evenly-spaced frame-index selection from
+# typed metadata, then a per-frame fingerprint — the video analog of
+# fake_decode_meta (the real frame decoder is the documented stub; the
+# index arithmetic, explode shape, and per-frame feature plumbing are
+# exact and oracle-checked). Pure expressions end-to-end: sequence ->
+# transform -> array_distinct -> posexplode; no Python in the plan.
+# Scale: the explode multiplies rows by <= k (bounded fan-out), and
+# everything stays map-side — no shuffle at all.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_frame_sample",
+    oracle="""
+    SELECT doc_id, n_frames, frame_idx,
+           md5(text || '#' || frame_idx) AS frame_fp
+    FROM (
+        SELECT doc_id, text, n_frames,
+               unnest(list_distinct([CAST(floor(i * n_frames / 3) AS INT)
+                                     for i in range(0, 3)])) AS frame_idx
+        FROM (
+            SELECT doc_id, text, 1 + strlen(text) % 7 AS n_frames
+            FROM documents
+        )
+    )
+    """,
+)
+def datapipe_frame_sample(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Sample up to ``k`` evenly spaced frames per document. n_frames
+    derives from payload byte length exactly like fake_decode_meta's
+    fake_n_frames; the frame fingerprint (md5 of payload + index)
+    stands in for the decoded-frame feature vector."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "n_frames", (F.lit(1) + F.octet_length("text") % 7).cast("int")
+    )
+    idx = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.floor(i * F.col("n_frames") / k).cast("int"),
+        )
+    )
+    return (
+        docs.select(
+            "doc_id", "text", "n_frames", F.explode(idx).alias("frame_idx")
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            "frame_idx",
+            F.md5(
+                F.concat(
+                    F.col("text"), F.lit("#"), F.col("frame_idx").cast("string")
+                )
+            ).alias("frame_fp"),
+        )
+    )

@@ -964,3 +964,41 @@ def ref_argmax_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("peak_value"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# W+ [beyond-reference]: SLIDING time window (hypertable-style rollup).
+# F.window(ts, "7 days", "1 day") assigns each event to its 7
+# overlapping epoch-aligned windows — Spark plans this as an internal
+# explode + ONE hash aggregate (no self-join, no window-function sort).
+# The oracle replicates the alignment arithmetic: window starts are
+# day(ts) - k for k in 0..6. Cents-exact sums; counts as BIGINT.
+# At scale this is the pre-aggregation shape for any "last-7-days"
+# dashboard: shuffle carries one partial per (window, partition) —
+# map-side combine keeps it O(windows), not O(events).
+# --------------------------------------------------------------------
+@query(
+    "ref_sliding_window_daily",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) - CAST(k AS INT) AS win_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events CROSS JOIN range(0, 7) AS t(k)
+    GROUP BY win_start
+    """,
+)
+def ref_sliding_window_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "7 days", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("cents"),
+        )
+        .select(
+            F.to_date(F.col("w.start")).alias("win_start"),
+            "n_events",
+            "cents",
+        )
+    )
