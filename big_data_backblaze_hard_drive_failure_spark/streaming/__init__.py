@@ -14,5 +14,11 @@ answer exactly.
 """
 
 from .pipeline import daily_alert_stream, read_events_stream, score_stream
+from .sinks import foreach_batch_parquet_dedup
 
-__all__ = ["read_events_stream", "score_stream", "daily_alert_stream"]
+__all__ = [
+    "read_events_stream",
+    "score_stream",
+    "daily_alert_stream",
+    "foreach_batch_parquet_dedup",
+]

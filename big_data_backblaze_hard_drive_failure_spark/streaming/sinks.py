@@ -1,0 +1,44 @@
+"""Production streaming sinks: foreachBatch with idempotent writes.
+
+``foreachBatch`` is the standard production sink when the target needs
+batch-only capabilities (dedup-before-write, overwrite-by-partition,
+JDBC upsert): each micro-batch arrives as a regular DataFrame plus a
+monotonically increasing ``batch_id``. Exactly-once discipline comes
+from IDEMPOTENT writes keyed by that batch id — on restart-and-replay
+the same batch id overwrites its own previous (possibly partial)
+output instead of duplicating it. That is the pattern here: every
+micro-batch lands in ``batch_id=<n>/`` via dynamic partition
+overwrite, so replays converge to the same files.
+
+Scale: the per-batch DataFrame is distributed like any other; the
+dedup inside the batch is a normal shuffle bounded by batch size, and
+the write parallelism is the batch's partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def foreach_batch_parquet_dedup(target_dir: str, key: str):
+    """Returns the foreachBatch callback: dedup each micro-batch on
+    ``key`` (keep the first row by key — deterministic via min struct)
+    and write it idempotently under ``batch_id=<n>``."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        deduped = (
+            batch_df.groupBy(key)
+            .agg(
+                F.min(
+                    F.struct(*[c for c in batch_df.columns if c != key])
+                ).alias("_row")
+            )
+            .select(key, "_row.*")
+        )
+        (
+            deduped.write.mode("overwrite")
+            .parquet(f"{target_dir}/batch_id={batch_id}")
+        )
+
+    return _write

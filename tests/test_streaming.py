@@ -208,3 +208,73 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # arrival in batch 2 was dropped, not merged and not re-emitted
     assert rows.get("2024-01-01") == 1, rows
     assert dropped == 1
+
+
+def test_foreach_batch_idempotent_dedup_sink(spark, sf_smoke, tmp_path):
+    """foreachBatch production sink: each micro-batch is deduped on
+    user_id and written under batch_id=<n> (dynamic overwrite =
+    idempotent on replay). The union of batch outputs must hold one
+    row per (batch, user) and cover exactly the users of the source."""
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import load
+    from big_data_backblaze_hard_drive_failure_spark.streaming.sinks import (
+        foreach_batch_parquet_dedup,
+    )
+
+    stream = read_events_stream(spark, sf_smoke).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    target = str(tmp_path / "sink")
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_parquet_dedup(target, "user_id")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_fb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.option("basePath", target).parquet(target)
+    per_batch = (
+        out.groupBy("batch_id", "user_id").count().filter("count > 1").count()
+    )
+    assert per_batch == 0, "dedup-per-batch violated"
+    got_users = {r["user_id"] for r in out.select("user_id").distinct().collect()}
+    want_users = {
+        r["user_id"]
+        for r in load(spark, sf_smoke, "events").select("user_id").distinct().collect()
+    }
+    assert got_users == want_users and len(got_users) > 0
+
+    # idempotence: replaying a batch id overwrites, never duplicates
+    first = spark.read.parquet(f"{target}/batch_id=0")
+    n_before = first.count()
+    foreach_batch_parquet_dedup(target, "user_id")(
+        spark.read.parquet(f"{target}/batch_id=0"), 0
+    )
+    assert spark.read.parquet(f"{target}/batch_id=0").count() == n_before
+
+
+def test_observe_metrics_ride_the_action(spark, sf_smoke):
+    """df.observe metrics must equal separately-computed truth while
+    costing zero extra jobs (they attach to the one action)."""
+    from big_data_backblaze_hard_drive_failure_spark.operators.observe import (
+        observed_alert_metrics,
+    )
+    from big_data_backblaze_hard_drive_failure_spark.plans.mlops import (
+        scored_frame,
+    )
+
+    scored = scored_frame(spark, sf_smoke, via="column")
+    out, obs = observed_alert_metrics(scored, "failure_probability", 0.5)
+    n_written = out.count()  # the single action the metrics ride on
+    got = obs.get
+    truth = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("failure_probability") >= 0.5, 1).otherwise(0)
+        ).alias("a"),
+    ).first()
+    assert got["n_rows"] == truth["n"] == n_written
+    assert got["n_alerts"] == truth["a"]
+    assert got["sum_score"] > 0
