@@ -80,3 +80,40 @@ def test_neardup_plans_have_no_cartesian(spark, sf_smoke, name):
     appear in any near-dup plan."""
     plan = _formatted(spark, name, sf_smoke)
     assert "CartesianProduct" not in plan, name
+
+
+def test_sliding_window_is_expand_plus_one_aggregate(spark, sf_smoke):
+    """F.window(7d, 1d) must plan as the internal row expansion + ONE
+    hash-aggregate pair (partial + final, a single Exchange) — never a
+    self-join of 7 daily aggregates."""
+    plan = _formatted(spark, "ref_sliding_window_daily", sf_smoke)
+    tree = plan.split("\n\n")[0]
+    assert "Expand" in tree or "Generate" in tree, tree
+    assert "Join" not in tree, tree
+    assert tree.count("Exchange") == 1, tree
+
+
+def test_frame_sample_is_shuffle_free(spark, sf_smoke):
+    """Frame sampling is pure map-side work: explode with bounded
+    fan-out, no Exchange anywhere in the plan."""
+    plan = _formatted(spark, "datapipe_frame_sample", sf_smoke)
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree, tree
+    assert "Generate" in tree, tree  # the explode
+
+
+def test_forest_scoring_is_arrow_vectorized(spark, sf_smoke):
+    """The broadcast-forest scorer must be ArrowEvalPython (vectorized
+    batches), never the row-pickling BatchEvalPython."""
+    plan = _formatted(spark, "mlops_gbt_score", sf_smoke)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ivf_assignment_stays_jvm_side(spark, sf_smoke):
+    """IVF cell assignment is a JVM expression over broadcast probes:
+    no Python evaluator and no cartesian product in the plan."""
+    plan = _formatted(spark, "datapipe_knn_ivf", sf_smoke)
+    assert "EvalPython" not in plan  # neither Arrow nor Batch
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2  # probes + query vectors
