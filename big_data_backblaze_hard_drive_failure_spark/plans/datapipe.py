@@ -1333,3 +1333,100 @@ def datapipe_frame_sample(spark: SparkSession, sf_dir: str, k: int = 3) -> DataF
             ).alias("frame_fp"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Edit-distance near-dup verification: the third verify family after
+# token-set Jaccard and shingle Jaccard — order-sensitive and
+# character-level (catches small in-token edits both token metrics
+# miss). Same bucket-gated candidate generation; Levenshtein runs on
+# a bounded 200-char prefix because edit distance is O(L^2) per pair —
+# at scale you NEVER run it on unbounded text, and the prefix bound
+# makes worst-case cost per pair a constant. Integer distance over
+# integer lengths -> exact similarity on both engines.
+# --------------------------------------------------------------------
+_LEV_PREFIX = 200
+
+
+@query(
+    "datapipe_neardup_editdist",
+    oracle=f"""
+    WITH sig AS ({_SIG_SQL}),
+    bands AS (
+        SELECT 0 AS band_id, mh0 || mh1 AS band_key, doc_id FROM sig
+        UNION ALL
+        SELECT 1 AS band_id, mh2 || mh3 AS band_key, doc_id FROM sig
+    ),
+    sized AS (
+        SELECT band_id, band_key, doc_id,
+               COUNT(*) OVER (PARTITION BY band_id, band_key) AS n_bucket
+        FROM bands
+    ),
+    small AS (
+        SELECT band_id, band_key, doc_id FROM sized
+        WHERE n_bucket BETWEEN 2 AND {_PAIR_BUCKET_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM small a JOIN small b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    pref AS (SELECT doc_id, substring(text, 1, {_LEV_PREFIX}) AS p
+             FROM documents)
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS edit_dist,
+           1.0 - levenshtein(pa.p, pb.p) * 1.0 /
+                 greatest(len(pa.p), len(pb.p)) AS edit_sim
+    FROM cand
+    JOIN pref pa ON pa.doc_id = doc_a
+    JOIN pref pb ON pb.doc_id = doc_b
+    """,
+)
+def datapipe_neardup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _signatures(spark, sf_dir)
+    bands = sig.select(
+        F.expr(
+            "stack(2, 0, concat(mh0, mh1), 1, concat(mh2, mh3)) "
+            "AS (band_id, band_key)"
+        ),
+        "doc_id",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "band_key")
+    small = bands.withColumn("n_bucket", F.count(F.lit(1)).over(w)).filter(
+        F.col("n_bucket").between(2, _PAIR_BUCKET_CAP)
+    )
+    a, b = small.alias("a"), small.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    pref = load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, _LEV_PREFIX).alias("p")
+    )
+    pa, pb = pref.alias("pa"), pref.alias("pb")
+    lev = F.levenshtein(F.col("pa.p"), F.col("pb.p"))
+    sim = F.lit(1.0) - lev * 1.0 / F.greatest(
+        F.length("pa.p"), F.length("pb.p")
+    )
+    return (
+        cand.join(pa, F.col("pa.doc_id") == F.col("doc_a"))
+        .join(pb, F.col("pb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.cast("long").alias("edit_dist"),
+            sim.alias("edit_sim"),
+        )
+    )

@@ -652,3 +652,57 @@ def mlops_train_early_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label STRING, precision DOUBLE, recall DOUBLE, f1 DOUBLE, "
         "support BIGINT, best_round BIGINT",
     )
+
+
+# --------------------------------------------------------------------
+# Pearson correlation between the model feature and the label, from
+# EXACT integer sums (cents x is_error): both engines aggregate
+# identical int64s, then perform the identical double arithmetic, so
+# the correlation is bit-reproducible — unlike naive corr()/covar(),
+# whose fp accumulation order differs across engines. One pass,
+# map-side combinable. (int64 bound: n * sum(cents^2) must stay under
+# 2^63 — holds through sf1; shard the sums for bigger corpora.)
+# F.corr agreement is pinned by tests/test_ml.py.
+# --------------------------------------------------------------------
+@query(
+    "mlops_value_error_corr",
+    oracle="""
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               SUM(cents) AS sx,
+               SUM(cents * cents) AS sxx,
+               SUM(err) AS sy,
+               SUM(err * err) AS syy,
+               SUM(cents * err) AS sxy
+        FROM (
+            SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                   CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                        AS BIGINT) AS err
+            FROM events
+        )
+    )
+    SELECT n,
+           CAST(n * sxy - sx * sy AS DOUBLE) /
+           (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+            sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_value_error
+    FROM s
+    """,
+)
+def mlops_value_error_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.round(F.col("value") * 100).cast("long")
+    err = F.when(F.col("event_type") == "error", 1).otherwise(0).cast("long")
+    s = load(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("sx"),
+        F.sum(cents * cents).alias("sxx"),
+        F.sum(err).alias("sy"),
+        F.sum(err * err).alias("syy"),
+        F.sum(cents * err).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select("n", (num / den).alias("corr_value_error"))

@@ -269,3 +269,23 @@ def test_early_stopping_halts_before_max_rounds():
     by_label = {r[0]: r for r in rows}
     assert by_label["1"] == ("1", 1.0, 0.5, 2 / 3, 2)
     assert by_label["0"][4] == 2
+
+
+def test_exact_int_corr_agrees_with_builtin(spark, sf_oracle):
+    """The exact-integer-sum correlation (cross-engine reproducible)
+    must agree with Spark's builtin corr() to fp tolerance — same
+    statistic, different accumulation strategy."""
+    from big_data_backblaze_hard_drive_failure_spark.plans import QUERIES
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import load
+
+    ev = load(spark, sf_oracle, "events")
+    builtin = ev.select(
+        F.corr(
+            F.round(F.col("value") * 100).cast("long"),
+            F.when(F.col("event_type") == "error", 1).otherwise(0),
+        ).alias("c")
+    ).first()["c"]
+    mine = QUERIES["mlops_value_error_corr"](spark, sf_oracle).first()[
+        "corr_value_error"
+    ]
+    assert abs(builtin - mine) < 1e-12

@@ -136,3 +136,27 @@ def test_one_round_clustering_diverges_on_chains(spark, tmp_path):
     # the fixpoint contracts the whole chain
     assert fixpoint == {1: 1, 2: 1, 3: 1}
     assert one_round != fixpoint
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=4), min_size=0, max_size=8
+    )
+)
+@settings(**_SETTINGS)
+def test_ngram_shingles_property(spark, words):
+    """For ANY token list: len(shingles) == max(0, n_tokens - 2) for
+    trigram shingles, each shingle is 3 space-joined consecutive
+    tokens, and short docs yield [] (never a runtime crash)."""
+    from big_data_backblaze_hard_drive_failure_spark.functions.text import (
+        ngram_shingles,
+    )
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], ["text"])
+    [row] = df.select(ngram_shingles("text", 3).alias("sh")).collect()
+    toks = text.split(" ") if text else [""]
+    want = [
+        " ".join(toks[i : i + 3]) for i in range(max(0, len(toks) - 2))
+    ]
+    assert row["sh"] == want

@@ -278,3 +278,83 @@ def test_observe_metrics_ride_the_action(spark, sf_smoke):
     assert got["n_rows"] == truth["n"] == n_written
     assert got["n_alerts"] == truth["a"]
     assert got["sum_score"] > 0
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate event_ids arriving in
+    later micro-batches within the allowance are suppressed; state is
+    watermark-bounded (the operator's entire point vs dropDuplicates).
+    """
+    import datetime as dt
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_backblaze_hard_drive_failure_spark.streaming.dedup import (
+        dedup_stream_within_watermark,
+    )
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+
+    def wb(name, rows, mtime):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = [int(t.timestamp() * 1e9) for t in pdf["ts"]]
+        table = pa.Table.from_pandas(pdf, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("event_id", pa.int64()),
+                    ("ts", pa.int64()),
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("value", pa.float64()),
+                    ("props", pa.string()),
+                ]
+            )
+        )
+        p = str(src / name)
+        pq.write_table(table, p)
+        os.utime(p, (mtime, mtime))
+
+    t0 = dt.datetime(2024, 2, 1, 12, tzinfo=dt.timezone.utc)
+    now = time.time()
+    # batch 0: events 1 and 2
+    wb("a.parquet", [(1, t0, 1, "view", 1.0, "{}"),
+                     (2, t0 + dt.timedelta(minutes=5), 1, "view", 2.0, "{}")], now - 100)
+    # batch 1: event 1 AGAIN (at-least-once retry, within allowance)
+    # plus fresh event 3
+    wb("b.parquet", [(1, t0, 1, "view", 1.0, "{}"),
+                     (3, t0 + dt.timedelta(minutes=10), 2, "view", 3.0, "{}")], now - 50)
+
+    raw = (
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    stream = (
+        spark.readStream.schema(raw)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    deduped = dedup_stream_within_watermark(stream, ["event_id"], "ts", "1 hour")
+
+    sink = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql(f"SELECT event_id FROM {sink}").collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3], ids  # the retry of event 1 was suppressed
