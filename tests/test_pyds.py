@@ -1,0 +1,67 @@
+"""Custom Python Data Source (Spark 4 API): partitioned reads + filter
+pushdown across the Python boundary must preserve exact semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import EqualTo, GreaterThan, IsNotNull
+
+from big_data_backblaze_hard_drive_failure_spark.sources.pyds import (
+    SyntheticEventsReader,
+    _row,
+    register_synthetic_source,
+)
+
+
+def _read(spark, n_partitions=3, rows=100):
+    register_synthetic_source(spark)
+    return (
+        spark.read.format("synthetic_events")
+        .option("n_partitions", n_partitions)
+        .option("rows_per_partition", rows)
+        .load()
+    )
+
+
+def test_partitioned_deterministic_read(spark):
+    df = _read(spark)
+    assert df.count() == 300
+    assert df.rdd.getNumPartitions() == 3
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == sorted(_row(i) for i in range(300))
+
+
+def test_filter_pushdown_preserves_semantics(spark):
+    """Pushed (EqualTo / GreaterThan on user_id) and non-pushed
+    (value predicate, re-applied by Spark) filters must both yield
+    exactly the brute-force truth."""
+    df = _read(spark)
+    truth = [_row(i) for i in range(300)]
+
+    eq = sorted(tuple(r) for r in df.filter("user_id = 5").collect())
+    assert eq == sorted(r for r in truth if r[1] == 5) and len(eq) > 0
+
+    gt = sorted(tuple(r) for r in df.filter("user_id > 90").collect())
+    assert gt == sorted(r for r in truth if r[1] > 90) and len(gt) > 0
+
+    mixed = sorted(
+        tuple(r) for r in df.filter("user_id > 90 AND value < 50").collect()
+    )
+    assert mixed == sorted(r for r in truth if r[1] > 90 and r[3] < 50)
+
+
+def test_push_filters_contract():
+    """pushFilters returns exactly the filters it does NOT handle;
+    handled ones configure the generator."""
+    reader = SyntheticEventsReader({"n_partitions": "2"})
+    leftover = list(
+        reader.pushFilters(
+            [
+                EqualTo(("user_id",), 7),
+                GreaterThan(("user_id",), 3),
+                IsNotNull(("event_type",)),
+            ]
+        )
+    )
+    assert leftover == [IsNotNull(("event_type",))]
+    assert reader.user_eq == 7 and reader.user_gt == 3
+    assert len(reader.partitions()) == 2
