@@ -28,6 +28,7 @@ from pyspark.sql.datasource import (
     Filter,
     GreaterThan,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 _EVENT_TYPES = ("view", "click", "purchase", "error")
@@ -55,6 +56,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> "SyntheticEventsReader":
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
 
 
 class SyntheticEventsReader(DataSourceReader):
@@ -91,3 +95,30 @@ class SyntheticEventsReader(DataSourceReader):
 
 def register_synthetic_source(spark) -> None:
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# --------------------------------------------------------------------
+# Streaming variant: the same deterministic generator as an unbounded
+# micro-batch source (SimpleDataSourceStreamReader). Offsets are plain
+# dicts checkpointed by Spark; readBetweenOffsets makes every batch
+# REPLAYABLE — after a crash, re-reading [start, end) yields byte-
+# identical rows, which is the exactly-once contract a custom source
+# must honor. Pure arithmetic, so replay is trivially consistent.
+# --------------------------------------------------------------------
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.batch_rows = int(options.get("batch_rows", 100))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        first = int(start["next"])
+        end = {"next": first + self.batch_rows}
+        return (
+            iter([_row(i) for i in range(first, first + self.batch_rows)]),
+            end,
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(i) for i in range(int(start["next"]), int(end["next"]))])
