@@ -1430,3 +1430,41 @@ def datapipe_neardup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             sim.alias("edit_sim"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# VariantType path for semi-structured props (Spark 4): parse_json
+# once into the binary variant encoding, then typed variant_get
+# extraction — the modern alternative to from_json-with-schema when
+# the JSON shape is open-ended (shredded storage, no schema
+# declaration, per-path typed access). Same rollup + oracle as the
+# from_json twin, so the two parse strategies are provably
+# interchangeable. At scale variant beats repeated json string
+# parsing: one decode, many cheap typed gets.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_props_variant",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+               AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS k_sum,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_min,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max
+    FROM events GROUP BY k_bucket
+    """,
+)
+def datapipe_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        load(spark, sf_dir, "events")
+        .select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
