@@ -122,3 +122,118 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return iter([_row(i) for i in range(int(start["next"]), int(end["next"]))])
+
+
+# --------------------------------------------------------------------
+# Writer side of the API: a JSONL directory format with the TWO-PHASE
+# COMMIT protocol that makes distributed batch writes exactly-once:
+# each task streams its partition to a temp file and returns a
+# WriterCommitMessage; only the driver-side commit() renames temps to
+# final part files and stamps _SUCCESS — a failed/speculated task's
+# temp is invisible, and abort() removes all temps. (Local-fs rename
+# here; the protocol is identical on any store with atomic rename.)
+# The matching reader lists part files (one InputPartition each) so a
+# write -> read round-trip never leaves the Python source path.
+# --------------------------------------------------------------------
+import dataclasses as _dc  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@_dc.dataclass
+class JsonlCommitMessage(WriterCommitMessage):
+    temp_path: str
+    n_rows: int
+
+
+class JsonlDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def schema(self) -> str:
+        # reader infers nothing: the caller supplies .schema(...) on
+        # read; this default covers the synthetic-events round-trip
+        return (
+            "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+        )
+
+    def writer(self, schema, overwrite: bool) -> "JsonlWriter":
+        return JsonlWriter(self.options, overwrite)
+
+    def reader(self, schema) -> "JsonlReader":
+        return JsonlReader(self.options, schema)
+
+
+class JsonlWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_dir requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> JsonlCommitMessage:
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_temp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return JsonlCommitMessage(temp_path=tmp, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.startswith("part-"):
+                    os.remove(os.path.join(self.path, name))
+        total = 0
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.temp_path, final)
+            total += m.n_rows
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump({"n_rows": total, "n_files": len(messages)}, f)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.temp_path):
+                os.remove(m.temp_path)
+
+
+class JsonlReader(DataSourceReader):
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        self.fields = [f.name for f in schema.fields]
+
+    def partitions(self):
+        import os
+
+        names = sorted(
+            n for n in os.listdir(self.path) if n.startswith("part-")
+        )
+        return [InputPartition(os.path.join(self.path, n)) for n in names]
+
+    def read(self, partition: InputPartition):
+        import json
+
+        with open(partition.value) as f:
+            for line in f:
+                rec = json.loads(line)
+                yield tuple(rec.get(name) for name in self.fields)
+
+
+def register_jsonl_source(spark) -> None:
+    spark.dataSource.register(JsonlDataSource)

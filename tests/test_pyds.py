@@ -103,3 +103,46 @@ def test_stream_source_offsets_and_resume(spark, tmp_path):
     # content is the deterministic generator output
     sample = spark.read.parquet(out).filter("event_id = 7").first()
     assert tuple(sample) == _row(7)
+
+
+def test_jsonl_writer_commit_protocol_roundtrip(spark, tmp_path):
+    """Custom writer with two-phase commit: only commit() publishes
+    part files + _SUCCESS (no temp files survive), and a write -> read
+    round-trip through the Python source preserves exact content."""
+    import json
+    import os
+
+    from big_data_backblaze_hard_drive_failure_spark.sources.pyds import (
+        JsonlCommitMessage,
+        JsonlWriter,
+        register_jsonl_source,
+    )
+
+    register_jsonl_source(spark)
+    target = str(tmp_path / "jsonl")
+    src = _read(spark, n_partitions=3, rows=40)
+    src.write.format("jsonl_dir").option("path", target).mode("append").save()
+
+    names = sorted(os.listdir(target))
+    assert "_SUCCESS" in names
+    assert not any(n.startswith("_temp-") for n in names), names
+    parts = [n for n in names if n.startswith("part-")]
+    assert len(parts) == 3  # one per input partition
+    manifest = json.load(open(os.path.join(target, "_SUCCESS")))
+    assert manifest["n_rows"] == 120 and manifest["n_files"] == 3
+
+    back = (
+        spark.read.format("jsonl_dir")
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+        .option("path", target)
+        .load()
+    )
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == sorted(_row(i) for i in range(120))
+
+    # abort removes temps: simulate a failed task's cleanup
+    w = JsonlWriter({"path": target}, overwrite=False)
+    tmp_file = os.path.join(target, "_temp-dead.jsonl")
+    open(tmp_file, "w").write("{}\n")
+    w.abort([JsonlCommitMessage(temp_path=tmp_file, n_rows=1)])
+    assert not os.path.exists(tmp_file)
