@@ -117,6 +117,31 @@ def score_row_udf(model: LinearModel):
     return _score
 
 
+def score_arrow_udf(model: LinearModel):
+    """Row-wise UDF with ``useArrow=True``: Arrow batches replace the
+    pickle transfer but the Python function still runs PER ROW —
+    quantifies how much of the row-UDF penalty is serialization
+    (recovered here) vs the per-row interpreter loop (not). Benchmark
+    rung between score_row_udf and score_pandas_udf."""
+    from pyspark.sql.functions import udf
+
+    d = model.to_dict()
+
+    @udf(DoubleType(), useArrow=True)
+    def _score(*xs: float) -> float:
+        m = LinearModel.from_dict(d)
+        z = float(m.intercept)
+        for w, x in zip(m.weights, xs):
+            z = z + float(w) * float(x)
+        if m.sigmoid == "logistic":
+            import math
+
+            return 1.0 / (1.0 + math.exp(-z))
+        return 0.5 * (1.0 + z / (1.0 + abs(z)))
+
+    return _score
+
+
 def score_pandas_udf(spark: SparkSession, model: LinearModel):
     """Arrow-vectorized scorer with the model broadcast to executors.
 

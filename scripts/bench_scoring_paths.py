@@ -22,6 +22,7 @@ def main() -> int:
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
     from big_data_backblaze_hard_drive_failure_spark.ml.scorer import (
+        score_arrow_udf,
         score_column,
         score_pandas_udf,
         score_row_udf,
@@ -54,6 +55,9 @@ def main() -> int:
         ),
         "pandas_udf": lambda df: df.withColumn(
             "p", score_pandas_udf(spark, MODEL)(*MODEL.features)
+        ),
+        "arrow_udf": lambda df: df.withColumn(
+            "p", score_arrow_udf(MODEL)(*MODEL.features)
         ),
         "row_udf": lambda df: df.withColumn(
             "p", score_row_udf(MODEL)(*MODEL.features)
