@@ -1468,3 +1468,68 @@ def datapipe_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# RAG-ingest capstone: the end-to-end chunk-and-embed pipeline a
+# retrieval corpus build runs — document -> fixed-size chunks (the
+# Python UDTF via LATERAL) -> per-chunk token count + deterministic
+# hash embedding (md5-derived, the classic feature-hashing trick:
+# byte pairs of the digest scaled to [0,1] — a stand-in with the same
+# schema/cost shape as a real encoder, exactly reproducible in SQL).
+# Everything after the UDTF is codegen'd expressions; the embedding
+# array is ready for the ANN/near-dup operators upstream. One scan,
+# no shuffle (the LATERAL expansion is map-side).
+# --------------------------------------------------------------------
+_EMB_DIMS = 8
+
+
+@query(
+    "datapipe_rag_ingest",
+    oracle=f"""
+    WITH chunks AS (
+        SELECT doc_id,
+               CAST((i - 1) // 50 AS INT) AS chunk_idx,
+               array_to_string(toks[i:i+49], ' ') AS chunk_text
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             unnest(range(1, len(toks) + 1, 50)) AS u(i)
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tokens,
+           [(instr('0123456789abcdef',
+                   substring(md5(chunk_text), 2 * j - 1, 1)) - 1) * 16.0
+            + (instr('0123456789abcdef',
+                     substring(md5(chunk_text), 2 * j, 1)) - 1)
+            FOR j IN range(1, {_EMB_DIMS + 1})] AS hash_embedding
+    FROM chunks
+    """,
+)
+def datapipe_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udtfs import ChunkDocuments
+    from ..sources.catalog import register_all
+
+    spark.udtf.register("chunk_documents", ChunkDocuments)
+    register_all(spark, sf_dir, tables=["documents"])
+    chunks = spark.sql(
+        "SELECT c.doc_id, c.chunk_idx, c.chunk_text FROM documents, "
+        "LATERAL chunk_documents(doc_id, text) AS c"
+    )
+    # byte j of md5(chunk) as a double — hex-pair arithmetic identical
+    # to the oracle's instr() construction
+    emb = F.array(
+        *[
+            F.expr(
+                f"(instr('0123456789abcdef', "
+                f"substring(md5(chunk_text), {2 * j - 1}, 1)) - 1) * 16.0"
+                f" + (instr('0123456789abcdef', "
+                f"substring(md5(chunk_text), {2 * j}, 1)) - 1)"
+            )
+            for j in range(1, _EMB_DIMS + 1)
+        ]
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(F.split("chunk_text", " ")).cast("long").alias("n_tokens"),
+        emb.alias("hash_embedding"),
+    )

@@ -358,3 +358,48 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     rows = spark.sql(f"SELECT event_id FROM {sink}").collect()
     ids = sorted(r["event_id"] for r in rows)
     assert ids == [1, 2, 3], ids  # the retry of event 1 was suppressed
+
+
+def test_forest_scores_stream_equals_batch(spark, sf_smoke, tmp_path):
+    """The broadcast-forest pandas_udf is batch/stream agnostic: the
+    same trained GBT scoring the events STREAM must produce exactly
+    the batch scores — the unified-model claim, proven for trees."""
+    from big_data_backblaze_hard_drive_failure_spark.ml.forest import (
+        forest_score_pandas_udf,
+    )
+    from big_data_backblaze_hard_drive_failure_spark.plans.mlops import (
+        GBT_FEATURES,
+        _gbt_forest,
+    )
+
+    forest = _gbt_forest(spark, sf_smoke)
+    udf = forest_score_pandas_udf(spark, forest)
+
+    def featurize(df):
+        return df.withColumn(
+            "is_error",
+            F.when(F.col("event_type") == "error", 1.0).otherwise(0.0),
+        ).select("event_id", *GBT_FEATURES)
+
+    stream = featurize(read_events_stream(spark, sf_smoke)).withColumn(
+        "p", udf(*GBT_FEATURES)
+    )
+    sink = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_forest"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["p"])
+        for r in spark.sql(f"SELECT event_id, p FROM {sink}").collect()
+    }
+    batch = featurize(load(spark, sf_smoke, "events")).withColumn(
+        "p", udf(*GBT_FEATURES)
+    )
+    want = {(r["event_id"], r["p"]) for r in batch.collect()}
+    assert got == want and len(got) > 0
