@@ -914,3 +914,95 @@ def star_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q3 shape (shipping priority): 3-table join, revenue =
+# extendedprice*(1-discount) in EXACT integer ten-thousandths (cents
+# of cents — two 2-decimal factors multiply into 4 exact decimals),
+# top-10 unshipped orders by revenue. Catalyst broadcasts the filtered
+# customer dim; the top-n is TakeOrderedAndProject. The classic
+# join-agg-topk OLAP pattern at any scale.
+# --------------------------------------------------------------------
+@query(
+    "star_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+               / 10000.0 AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_day,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-06-01'
+      AND l.l_shipdate > DATE '1998-06-01'
+    GROUP BY l.l_orderkey, order_day, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def star_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("date")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("date")
+    )
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_day"),
+            "o_orderpriority",
+        )
+        .agg(
+            (F.sum(price_c * (F.lit(100) - disc_c)) / 10000.0).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "order_day", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q12 shape (late-shipment priority buckets): join + dual
+# conditional aggregation — HIGH-priority vs other order counts per
+# return flag for late-shipped lines. One shuffle, exact counts.
+# --------------------------------------------------------------------
+@query(
+    "star_late_shipment_priority",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate
+    GROUP BY l.l_returnflag
+    """,
+)
+def star_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
