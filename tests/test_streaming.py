@@ -403,3 +403,95 @@ def test_forest_scores_stream_equals_batch(spark, sf_smoke, tmp_path):
     )
     want = {(r["event_id"], r["p"]) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_windowed_state_survives_restart(spark, tmp_path):
+    """Checkpoint recovery for stateful aggregation: windows
+    accumulated in run 1 live in the state store; a RESTARTED query
+    (same checkpoint) must emit them with run-1's counts once the
+    watermark passes — the production restartability contract."""
+    import datetime as dt
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "restart_src"
+    src.mkdir()
+
+    def wb(name, rows, mtime):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = [int(t.timestamp() * 1e9) for t in pdf["ts"]]
+        table = pa.Table.from_pandas(pdf, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("event_id", pa.int64()),
+                    ("ts", pa.int64()),
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("value", pa.float64()),
+                    ("props", pa.string()),
+                ]
+            )
+        )
+        p = str(src / name)
+        pq.write_table(table, p)
+        os.utime(p, (mtime, mtime))
+
+    def day(n, hour=6):
+        return dt.datetime(2024, 5, n, hour, tzinfo=dt.timezone.utc)
+
+    raw = (
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    out = str(tmp_path / "restart_out")
+    ck = str(tmp_path / "restart_ck")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(raw)
+            .format("parquet")
+            .load(str(src))
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+        counts = (
+            stream.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.to_date(F.col("w.start")).alias("day"), "n")
+        )
+        q = (
+            counts.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    now = time.time()
+    # run 1: two day-1 events + one day-5 event; availableNow's single
+    # batch only ACCUMULATES state (windows can't close until a later
+    # batch observes the advanced watermark)
+    wb("a.parquet", [(1, day(1), 1, "view", 1.0, "{}"),
+                     (2, day(1, 9), 1, "view", 1.0, "{}"),
+                     (3, day(5), 2, "view", 1.0, "{}")], now - 100)
+    run_once()
+    # run 2 = RESTART from checkpoint with a day-9 event: watermark
+    # moves to day 8, so the day-1 and day-5 windows — whose counts
+    # exist only in recovered state — must now be emitted
+    wb("b.parquet", [(4, day(9), 3, "view", 1.0, "{}")], now - 50)
+    run_once()
+
+    rows = {
+        r["day"].isoformat(): r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows.get("2024-05-01") == 2, rows  # run-1 state, emitted post-restart
+    assert rows.get("2024-05-05") == 1, rows
