@@ -1533,3 +1533,96 @@ def datapipe_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("chunk_text", " ")).cast("long").alias("n_tokens"),
         emb.alias("hash_embedding"),
     )
+
+
+# --------------------------------------------------------------------
+# PII scrubbing: the redaction pass every training-data pipeline runs
+# before anything else — regexp_replace for email/phone shapes, plus
+# counts of what was redacted (the audit trail). Pure map-side
+# codegen'd regex work, zero shuffle until the audit rollup. Patterns
+# stay in the RE2-compatible subset so Spark (Java regex) and DuckDB
+# (RE2) agree character-for-character; the scrubbed-text sha256 proves
+# byte-identical redaction output across engines, not just counts.
+# --------------------------------------------------------------------
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "datapipe_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+           sha256(regexp_replace(
+               regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_fp
+    FROM documents
+    """,
+)
+def datapipe_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0))
+        ).cast("long").alias("n_emails"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0))
+        ).cast("long").alias("n_phones"),
+        F.sha2(scrubbed, 256).alias("scrubbed_fp"),
+    )
+
+
+# --------------------------------------------------------------------
+# Repetition filter (the Gopher/MassiveText quality rule family):
+# fraction of the doc covered by its most-repeated trigram. Docs whose
+# top shingle dominates are boilerplate/spam and get dropped before
+# training. shingles -> explode -> per-(doc, shingle) count ->
+# per-doc max/total: one map-side expansion and one combinable
+# group-by, exact-integer ratio.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_repetition_filter",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+                               FOR i IN range(1, greatest(len(toks) - 1, 1))])
+                   AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 3
+    ),
+    freq AS (
+        SELECT doc_id, shingle, COUNT(*) AS n
+        FROM sh GROUP BY doc_id, shingle
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS top_shingle_n,
+           CAST(SUM(n) AS BIGINT) AS n_shingles,
+           MAX(n) * 1.0 / SUM(n) AS top_shingle_ratio,
+           MAX(n) * 1.0 / SUM(n) > 0.2 AS is_repetitive
+    FROM freq GROUP BY doc_id
+    """,
+)
+def datapipe_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = (
+        load(spark, sf_dir, "documents")
+        .filter(F.size(F.split("text", " ")) >= 3)
+        .select(
+            "doc_id", F.explode(ngram_shingles("text", 3)).alias("shingle")
+        )
+    )
+    freq = sh.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("n"))
+    ratio = F.max("n") * 1.0 / F.sum("n")
+    return freq.groupBy("doc_id").agg(
+        F.max("n").alias("top_shingle_n"),
+        F.sum("n").alias("n_shingles"),
+        ratio.alias("top_shingle_ratio"),
+        (ratio > 0.2).alias("is_repetitive"),
+    )
