@@ -1626,3 +1626,56 @@ def datapipe_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio.alias("top_shingle_ratio"),
         (ratio > 0.2).alias("is_repetitive"),
     )
+
+
+# --------------------------------------------------------------------
+# Benchmark decontamination: flag training docs sharing any 5-gram
+# with a held-out benchmark set (here: doc_id < 5 stands in for the
+# eval suite) — the overlap check every serious pretraining corpus
+# runs. The benchmark shingle set is tiny -> BROADCAST semi-join
+# against the corpus's exploded shingles: one map-side expansion, no
+# corpus shuffle, contaminated docs come back as a distinct id set
+# with the matching shingle count as evidence.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_decontamination",
+    oracle="""
+    WITH bench AS (
+        SELECT DISTINCT unnest([array_to_string(toks[i:i+4], ' ')
+                                FOR i IN range(1, greatest(len(toks) - 3, 1))])
+                   AS shingle
+        FROM (SELECT string_split(text, ' ') AS toks
+              FROM documents WHERE doc_id < 5)
+        WHERE len(toks) >= 5
+    ),
+    corpus AS (
+        SELECT doc_id, unnest([array_to_string(toks[i:i+4], ' ')
+                               FOR i IN range(1, greatest(len(toks) - 3, 1))])
+                   AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE doc_id >= 5)
+        WHERE len(toks) >= 5
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(DISTINCT c.shingle) AS BIGINT) AS n_overlapping
+    FROM corpus c JOIN bench b ON c.shingle = b.shingle
+    GROUP BY c.doc_id
+    """,
+)
+def datapipe_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 5
+    )
+    bench = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(F.explode(ngram_shingles("text", 5)).alias("shingle"))
+        .distinct()
+    )
+    corpus = docs.filter(F.col("doc_id") >= 5).select(
+        "doc_id", F.explode(ngram_shingles("text", 5)).alias("shingle")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_overlapping"))
+    )
