@@ -24,7 +24,7 @@ over hex-string ordering (bytewise-identical in both engines).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import DEFAULT_SALTS, minhash_expr, text_sha256
@@ -1678,4 +1678,236 @@ def datapipe_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")
         .agg(F.countDistinct("shingle").alias("n_overlapping"))
+    )
+
+
+# ====================================================================
+# Training-data assembly: packing, sharding, sampling, quality scoring
+# ====================================================================
+_PACK_CTX = 256  # tokens per packed training sequence
+
+
+@query(
+    "datapipe_pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        FROM documents
+    ),
+    off AS (
+        SELECT source, doc_id, tok,
+               CAST(COALESCE(SUM(tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS tok_start
+        FROM sized
+    ),
+    spans AS (
+        SELECT source, doc_id, tok, tok_start,
+               unnest(range(tok_start // {_PACK_CTX},
+                            (tok_start + tok - 1) // {_PACK_CTX} + 1)) AS chunk_id
+        FROM off
+    )
+    SELECT source, chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(least(tok_start + tok, (chunk_id + 1) * {_PACK_CTX})
+                    - greatest(tok_start, chunk_id * {_PACK_CTX})) AS BIGINT)
+               AS n_tokens
+    FROM spans
+    GROUP BY source, chunk_id
+    """,
+)
+def datapipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate each shard's documents
+    in deterministic (doc_id) order and cut every ``_PACK_CTX`` tokens;
+    report how many docs and tokens land in each packed sequence.
+
+    Scale: the cumulative-offset window is partitioned by ``source``
+    (the shard key) — real pipelines pack per shard, so no global sort
+    ever appears; each shard's packing is an independent task. The doc
+    -> chunk fan-out via ``sequence``/``explode`` is map-side; the only
+    shuffle is the final (source, chunk_id) group-by. Mirrors the
+    reference's batch-assembly role (scripts/03_feature_engineering.py
+    builds fixed windows per drive the same partition-local way).
+    """
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = F.lit(_PACK_CTX).cast("long")
+    sized = load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("tok"),
+    )
+    off = sized.withColumn(
+        "tok_start", F.coalesce(F.sum("tok").over(w), F.lit(0).cast("long"))
+    )
+    spans = off.select(
+        "source",
+        "tok",
+        "tok_start",
+        F.explode(
+            F.sequence(
+                F.expr(f"tok_start div {_PACK_CTX}"),
+                F.expr(f"(tok_start + tok - 1) div {_PACK_CTX}"),
+            )
+        ).alias("chunk_id"),
+    )
+    contrib = F.least(
+        F.col("tok_start") + F.col("tok"), (F.col("chunk_id") + 1) * c
+    ) - F.greatest(F.col("tok_start"), F.col("chunk_id") * c)
+    return (
+        spans.groupBy("source", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(contrib).alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "datapipe_stratified_sample",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                              < (CASE WHEN source = 'src0' THEN '8'
+                                      WHEN source = 'src1' THEN '4'
+                                      ELSE '2' END)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents
+    GROUP BY source
+    """,
+)
+def datapipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-source) deterministic sampling — the data-mixture
+    op: each stratum gets its own keep-rate (src0 50%, src1 25%, rest
+    12.5%), decided by comparing the first hex digit of ``md5(doc_id)``
+    against a per-stratum threshold.
+
+    Scale: the keep decision is a pure map (hash + string compare), so
+    sampling 100 TB is one scan with zero shuffle before the per-source
+    tally; rates are exact corpus-wide without coordination because the
+    hash is the randomness. This is the deterministic twin of
+    ``df.sampleBy`` (X1's per-stratum analogue) — same pattern as
+    ``ref_union_downsample``'s hash-threshold trick.
+    """
+    thresh = (
+        F.when(F.col("source") == "src0", F.lit("8"))
+        .when(F.col("source") == "src1", F.lit("4"))
+        .otherwise(F.lit("2"))
+    )
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < thresh
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+        )
+    )
+
+
+@query(
+    "datapipe_global_shuffle",
+    oracle="""
+    WITH keyed AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+               md5(CAST(doc_id AS VARCHAR)) AS skey
+        FROM documents
+    )
+    SELECT CAST((16 * (instr('0123456789abcdef', substring(skey, 1, 1)) - 1)
+                 + (instr('0123456789abcdef', substring(skey, 2, 1)) - 1))
+                % 8 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens,
+           MIN(skey) AS first_key
+    FROM keyed
+    GROUP BY shard
+    """,
+)
+def datapipe_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for training readers:
+    every doc gets a pseudorandom sort key ``md5(doc_id)``; the first
+    two hex digits route it to one of 8 shards, and readers stream each
+    shard ordered by the key — a reproducible corpus-wide shuffle with
+    no RNG state.
+
+    Scale: shard assignment is map-side; the per-shard tally shuffles 8
+    tiny rows. The actual 100 TB materialization would be
+    ``repartitionByRange(n_shards, skey)`` + parquet write — same key,
+    same math, and re-running it yields byte-identical shard contents
+    (the property ``ref_random_order_limit`` can't give).
+    """
+    hexv = "instr('0123456789abcdef', substring(skey, {p}, 1)) - 1"
+    shard = F.expr(
+        f"CAST(((16 * ({hexv.format(p=1)})) + ({hexv.format(p=2)})) % 8 AS BIGINT)"
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.size(F.split("text", " ")).cast("long").alias("tok"),
+            F.md5(F.col("doc_id").cast("string")).alias("skey"),
+        )
+        .groupBy(shard.alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("n_tokens"),
+            F.min("skey").alias("first_key"),
+        )
+    )
+
+
+@query(
+    "datapipe_quality_classifier",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               ((16 * (instr('0123456789abcdef', substring(md5(term), 1, 1)) - 1)
+                 + (instr('0123456789abcdef', substring(md5(term), 2, 1)) - 1))
+                % 21) - 10 AS w
+        FROM feats
+    )
+    SELECT doc_id,
+           CAST(SUM(w) AS BIGINT) AS score_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_feats,
+           CAST(SUM(w) >= 0 AS BOOLEAN) AS keep
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def datapipe_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality classifier scoring: hash each distinct
+    token into a 256-bucket feature space, look up an integer weight
+    per bucket (here a closed-form ``(bucket % 21) - 10`` so both
+    engines agree bit-for-bit; production would broadcast a learned
+    weight array), sum per doc, threshold at 0.
+
+    Scale: classic hashing-trick linear model — the whole scoring pass
+    is map-side (md5 + arithmetic, JVM codegen, no Python), one
+    group-by per doc, and a real weight vector is a few MB broadcast.
+    This is how corpus-quality gates (CCNet/fastText filters) run over
+    100 TB: embarrassingly parallel, zero model-serving infra.
+    """
+    bucket = (
+        "((16 * (instr('0123456789abcdef', substring(md5(term), 1, 1)) - 1)"
+        " + (instr('0123456789abcdef', substring(md5(term), 2, 1)) - 1)))"
+    )
+    w = F.expr(f"({bucket} % 21) - 10")
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(unique_tokens("text")).alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(w).cast("long").alias("score_sum"),
+            F.count(F.lit(1)).alias("n_feats"),
+            (F.sum(w) >= 0).alias("keep"),
+        )
     )

@@ -43,6 +43,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # UDTFs cross JVM<->Python Arrow-batched too (else they fall
+        # back to the row-pickling BatchEvalPythonUDTF operator)
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         # let custom Python data sources receive Catalyst filters
         # (sources/pyds.py pushFilters — Spark 4.1 opt-in)
         .config("spark.sql.python.filterPushdown.enabled", "true")

@@ -1,0 +1,37 @@
+"""Global plan-hygiene gate over the ENTIRE query registry.
+
+test_plans.py pins specific good shapes on representative queries;
+this sweep enforces the universal negatives on every registered query
+at once, so no future query can silently introduce the two
+scale-killers:
+
+  * ``CartesianProduct`` — an unconditioned all-pairs join. Every
+    similarity/near-dup operator must go through hash buckets or an
+    explicit broadcast (broadcast nested-loop over a bounded side is
+    acceptable and asserted separately per-query).
+  * ``BatchEvalPython`` — the row-pickling Python UDF path. Python is
+    crossed Arrow-batched only (ArrowEvalPython / mapInPandas /
+    applyInPandas), never per-row.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_backblaze_hard_drive_failure_spark.plans import QUERIES
+
+
+def _tree(spark, name, sf):
+    df = QUERIES[name](spark, sf)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return je.explainString(mode).split("\n\n")[0]
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_no_row_python(spark, sf_smoke, name):
+    tree = _tree(spark, name, sf_smoke)
+    assert "CartesianProduct" not in tree, f"{name} plans an all-pairs join"
+    assert "BatchEvalPython" not in tree, f"{name} uses a row-pickling UDF"
