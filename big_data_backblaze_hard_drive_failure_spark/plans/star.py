@@ -1006,3 +1006,255 @@ def star_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q7 shape (volume shipping): two-nation trade flows by year.
+# The nation dim is joined TWICE (customer side + supplier side), both
+# broadcast; revenue in exact ten-thousandths. The fact table shuffles
+# once for the group-by; everything upstream is broadcast-hash joins.
+# --------------------------------------------------------------------
+@query(
+    "star_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+               / 10000.0 AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def star_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(pair_ok)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            (F.sum(price_c * (F.lit(100) - disc_c)) / 10000.0).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q10 shape (returned-item reporting): top 20 customers by
+# revenue lost to returns in a quarter. Fact-fact join shuffles on
+# orderkey; customer+nation dims broadcast; TakeOrderedAndProject
+# caps the output without a global sort.
+# --------------------------------------------------------------------
+@query(
+    "star_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+               / 10000.0 AS revenue,
+           ROUND(c.c_acctbal, 2) AS c_acctbal,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def star_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .agg(
+            (F.sum(price_c * (F.lit(100) - disc_c)) / 10000.0).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q13 shape (customer distribution): a group-by OVER a group-by —
+# orders per customer (left join keeps zero-order customers), then the
+# histogram of those counts. Two shuffles by construction; the first
+# is the only one proportional to data size.
+# --------------------------------------------------------------------
+@query(
+    "star_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def star_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q15 shape (top supplier): quarterly revenue per supplier, then
+# the supplier(s) achieving the MAX — the max is compared in the EXACT
+# integer ten-thousandths domain (never on a derived double), via a
+# 1-row broadcast scalar subquery, so ties and equality are exact.
+# --------------------------------------------------------------------
+@query(
+    "star_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l.l_suppkey AS supplier_no,
+               SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                   AS total_rev_i
+        FROM lineitem l
+        WHERE l.l_shipdate >= DATE '1996-01-01'
+          AND l.l_shipdate < DATE '1996-04-01'
+        GROUP BY supplier_no
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_rev_i AS BIGINT) / 10000.0 AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev_i = (SELECT MAX(total_rev_i) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def star_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(price_c * (F.lit(100) - disc_c)).alias("total_rev_i"))
+    )
+    best = revenue.agg(F.max("total_rev_i").alias("best_rev_i"))
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(best), F.col("total_rev_i") == F.col("best_rev_i"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_rev_i").cast("long") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q22 shape (dormant high-balance customers): a scalar-subquery
+# threshold (global mean of positive balances) + NOT EXISTS anti-join.
+# The threshold compare cross-multiplies in integer cents
+# (bal_cents * n > sum_cents) so no float boundary can flip a row in
+# either engine; the anti-join shuffles only custkeys.
+# --------------------------------------------------------------------
+@query(
+    "star_dormant_customers",
+    oracle="""
+    WITH gstats AS (
+        SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_pos
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+    FROM customer c, gstats g
+    WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * g.n_pos > g.sum_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def star_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("long")
+    glob = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal_c).alias("sum_cents"), F.count(F.lit(1)).alias("n_pos")
+    )
+    return (
+        cust.crossJoin(F.broadcast(glob))
+        .filter(bal_c * F.col("n_pos") > F.col("sum_cents"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(bal_c) / 100.0).alias("totacctbal"),
+        )
+    )
