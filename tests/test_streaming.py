@@ -495,3 +495,84 @@ def test_windowed_state_survives_restart(spark, tmp_path):
     }
     assert rows.get("2024-05-01") == 2, rows  # run-1 state, emitted post-restart
     assert rows.get("2024-05-05") == 1, rows
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_smoke, tmp_path):
+    """Stream-stream inner interval join (clicks -> purchases within
+    1h per user) produces exactly the batch interval join's rows, and
+    the plan is accepted in append mode (i.e. state is provably
+    bounded by the two watermarks + time-bound condition)."""
+    from big_data_backblaze_hard_drive_failure_spark.streaming.joins import (
+        attribute_purchases_to_clicks,
+    )
+
+    stream = read_events_stream(spark, sf_smoke)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = attribute_purchases_to_clicks(clicks, purchases)
+
+    sink = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql(f"SELECT * FROM {sink}").collect()
+    }
+
+    ev = load(spark, sf_smoke, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    want = {
+        (r["click_id"], r["purchase_id"])
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_static_enrichment(spark, sf_smoke, tmp_path):
+    """Stream-static join: per-batch broadcast of a static dim onto
+    the stream; row count equals the batch join's."""
+    from big_data_backblaze_hard_drive_failure_spark.streaming.joins import (
+        enrich_stream_with_dim,
+    )
+
+    dim = spark.createDataFrame(
+        [("click", 1), ("purchase", 5), ("error", -1)],
+        "event_type string, weight int",
+    )
+    stream = read_events_stream(spark, sf_smoke)
+    enriched = enrich_stream_with_dim(stream, dim, "event_type")
+
+    sink = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(f"SELECT count(*) c FROM {sink}").collect()[0]["c"]
+    want = load(spark, sf_smoke, "events").join(dim, "event_type").count()
+    assert got == want and got > 0
