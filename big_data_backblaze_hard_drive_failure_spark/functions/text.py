@@ -36,17 +36,20 @@ def ngram_shingles(text: str, n: int = 3) -> Column:
     Docs with fewer than ``n`` tokens yield an EMPTY array: an
     unguarded ``sequence(1, size - n + 1)`` with a non-positive upper
     bound is a DESCENDING sequence in Spark (e.g. ``[1, 0]``), whose
-    index 0 then crashes ``element_at`` at runtime."""
-    parts = " , ".join(
-        f"element_at(split({text}, ' '), CAST(i + {k} AS INT))"
-        for k in range(n)
-    )
-    n_tokens = f"size(split({text}, ' '))"
-    return F.expr(
-        f"CASE WHEN {n_tokens} >= {n} THEN "
-        f"transform(sequence(1, {n_tokens} - {n - 1}), "
-        f"i -> concat_ws(' ', {parts})) "
+    index 0 then crashes ``element_at`` at runtime.
+
+    The tokenized array is bound ONCE via a 1-element ``transform``
+    (SQL has no LET): higher-order lambdas are interpreted, so an
+    inline ``split(text)`` inside the per-shingle lambda would re-split
+    the document for every shingle position — O(tokens^2) per doc."""
+    inner = (
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> array_join(slice(toks, CAST(i AS INT), {n}), ' ')) "
         f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return F.expr(
+        f"element_at(transform(array(split({text}, ' ')), toks -> {inner}), 1)"
     )
 
 
