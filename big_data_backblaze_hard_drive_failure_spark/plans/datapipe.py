@@ -1911,3 +1911,58 @@ def datapipe_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(w) >= 0).alias("keep"),
         )
     )
+
+
+@query(
+    "datapipe_token_histogram_map",
+    oracle="""
+    WITH cnts AS (
+        SELECT doc_id, term, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY doc_id, term
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_terms,
+           CAST(COALESCE(SUM(CASE WHEN term = 'the' THEN cnt END), 0)
+                AS BIGINT) AS n_the,
+           CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeated_terms
+    FROM cnts
+    GROUP BY doc_id
+    """,
+)
+def datapipe_token_histogram_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token histogram materialized as a MAP column
+    (``map_from_entries``), then interrogated with the map-function
+    family — ``element_at`` (count of 'the'), ``map_filter`` (terms
+    appearing twice or more), ``size``. The map itself never leaves the
+    executor: outputs are scalars, so cross-engine comparison is exact
+    while the Spark plan genuinely exercises the map operators.
+
+    Scale: histogram maps are per-doc (bounded by vocabulary of one
+    document), built after the (doc_id, term) count — the same O(tokens)
+    shuffle every other text op pays. Keeping maps out of shuffles/sinks
+    (derive scalars first) is the 100 TB pattern: wide map columns kill
+    row-group stats and shuffle compression."""
+    cnts = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hist = cnts.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "cnt"))
+        ).alias("h")
+    )
+    return hist.select(
+        "doc_id",
+        F.size("h").cast("long").alias("n_distinct_terms"),
+        F.coalesce(F.element_at("h", F.lit("the")), F.lit(0).cast("long")).alias(
+            "n_the"
+        ),
+        F.size(F.map_filter("h", lambda k, v: v >= 2)).cast("long").alias(
+            "n_repeated_terms"
+        ),
+    )

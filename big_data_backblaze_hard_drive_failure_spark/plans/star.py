@@ -1029,8 +1029,8 @@ def star_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
     JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
-    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
     GROUP BY supp_nation, cust_nation, l_year
     """,
 )
@@ -1049,9 +1049,9 @@ def star_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc_c = F.round(F.col("l_discount") * 100).cast("long")
     pair_ok = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+        (F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19")
     ) | (
-        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+        (F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18")
     )
     return (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -1237,13 +1237,17 @@ def star_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
     FROM customer c, gstats g
     WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * g.n_pos > g.sum_cents
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2000-01-01')
     GROUP BY c.c_mktsegment
     """,
 )
 def star_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("date")
+    )
     bal_c = F.round(F.col("c_acctbal") * 100).cast("long")
     glob = cust.filter(F.col("c_acctbal") > 0.0).agg(
         F.sum(bal_c).alias("sum_cents"), F.count(F.lit(1)).alias("n_pos")
@@ -1257,4 +1261,50 @@ def star_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             (F.sum(bal_c) / 100.0).alias("totacctbal"),
         )
+    )
+
+
+# --------------------------------------------------------------------
+# Spark 4 SQL scalar function (CREATE TEMPORARY FUNCTION ... RETURN):
+# the engine's SQL-macro surface. The exact-cents revenue expression is
+# defined ONCE as a catalog object and reused by name in plain SQL —
+# Catalyst inlines the body, so the plan is identical to writing the
+# expression out (no UDF boundary, full codegen). The DuckDB oracle
+# inlines the same body (its macro layer is equivalent).
+# --------------------------------------------------------------------
+@query(
+    "star_sql_function_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+               / 10000.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def star_sql_function_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import register_all
+
+    register_all(spark, sf_dir, tables=["lineitem"])
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION rev_cents2(p DOUBLE, d DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(ROUND(p * 100) AS BIGINT)
+               * (100 - CAST(ROUND(d * 100) AS BIGINT))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               -- bare 10000.0 parses as DECIMAL in Spark (DOUBLE in
+               -- DuckDB) — cast so both engines divide identically
+               SUM(rev_cents2(l_extendedprice, l_discount))
+                   / CAST(10000.0 AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
     )
