@@ -1037,3 +1037,69 @@ def ref_sliding_window_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents",
         )
     )
+
+
+@query(
+    "ref_grouped_arrow_stats",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(MIN(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS min_cents,
+           CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS max_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def ref_grouped_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped map via ``applyInArrow`` — the pyarrow-native grouped
+    UDF surface (Spark 4): the group arrives as an Arrow Table, stats
+    are computed with ``pyarrow.compute`` kernels (no pandas
+    conversion), and the result goes back as an Arrow Table. All
+    arithmetic is exact int64 cents, so the DuckDB oracle matches
+    bit-for-bit.
+
+    Scale: same contract as applyInPandas — one shuffle on the group
+    key, each group must fit a worker — but skips the Arrow->pandas
+    materialization both ways, the cheapest possible Python grouped
+    hop. The JVM twin is a plain groupBy (the oracle); this query
+    exists to pin the operator, like ref_grouped_zscore does for the
+    pandas path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(table: "pa.Table") -> "pa.Table":
+        # round_mode matters: pyarrow defaults to half-to-even, but
+        # DuckDB/Spark ROUND on doubles is half away from zero
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(table.column("value"), 100.0),
+                options=pc.RoundOptions(round_mode="half_towards_infinity"),
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "user_id": pa.array([table.column("user_id")[0].as_py()], pa.int64()),
+                "n_events": pa.array([table.num_rows], pa.int64()),
+                "sum_cents": pa.array([pc.sum(cents).as_py()], pa.int64()),
+                "min_cents": pa.array([pc.min(cents).as_py()], pa.int64()),
+                "max_cents": pa.array([pc.max(cents).as_py()], pa.int64()),
+            }
+        )
+
+    return (
+        load(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .applyInArrow(
+            stats,
+            schema=(
+                "user_id long, n_events long, sum_cents long, "
+                "min_cents long, max_cents long"
+            ),
+        )
+    )

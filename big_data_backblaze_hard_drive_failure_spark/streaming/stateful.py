@@ -81,3 +81,43 @@ def running_alert_counts(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_event_counts_tws(stream: DataFrame) -> DataFrame:
+    """Per-user running event counts via ``transformWithStateInPandas``
+    — Spark 4's arbitrary-stateful successor to applyInPandasWithState:
+    named state variables (ValueState here; ListState/MapState/timers
+    in the full API) managed by the state-store, declared in
+    ``init()`` rather than threaded through one opaque tuple.
+
+    Requires the RocksDB state-store provider and a working
+    ``google.protobuf`` (the stateful-processor worker speaks proto to
+    the JVM state server); the test gates on that import. At scale the
+    contract matches applyInPandasWithState: state shards with the
+    group-by shuffle, one tiny row per key, RocksDB keeps hot state
+    off-heap with changelog checkpointing.
+    """
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    class _RunningCount(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._count = handle.getValueState(
+                "cnt", StructType([StructField("n", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n = sum(len(pdf) for pdf in rows)
+            prev = self._count.get()[0] if self._count.exists() else 0
+            self._count.update((prev + n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [prev + n]})
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        _RunningCount(),
+        outputStructType="user_id BIGINT, n_events BIGINT",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import uuid
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from big_data_backblaze_hard_drive_failure_spark.ml.scorer import score_column
@@ -576,3 +578,52 @@ def test_stream_static_enrichment(spark, sf_smoke, tmp_path):
     got = spark.sql(f"SELECT count(*) c FROM {sink}").collect()[0]["c"]
     want = load(spark, sf_smoke, "events").join(dim, "event_type").count()
     assert got == want and got > 0
+
+
+def test_transform_with_state_running_counts(spark, sf_smoke, tmp_path):
+    """transformWithStateInPandas (Spark 4 arbitrary-stateful API):
+    per-user running counts equal the batch group-by. The stateful
+    worker speaks protobuf to the JVM state server; environments
+    without google.protobuf can't launch it, so the test gates on the
+    import (the operator itself is fully implemented)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState "
+                    "worker cannot start in this container")
+    from big_data_backblaze_hard_drive_failure_spark.streaming.stateful import (
+        running_event_counts_tws,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    stream = read_events_stream(spark, sf_smoke)
+    out = running_event_counts_tws(stream)
+    sink = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in spark.sql(
+            f"SELECT user_id, max(n_events) AS n_events FROM {sink} "
+            "GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        (r["user_id"], r["n"])
+        for r in load(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
