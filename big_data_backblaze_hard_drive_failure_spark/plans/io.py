@@ -118,3 +118,52 @@ def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_events"),
         (F.sum("sum_cents") / 100.0).alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------
+# Hive-style partitioned layout + partition pruning: write events
+# partitioned by event_type, read back ONE partition. The re-read's
+# filter prunes at the DIRECTORY level (PartitionFilters in the scan,
+# asserted in tests/test_plans.py) — at 100 TB this is the difference
+# between listing one partition's files and scanning the lake. The
+# date-partitioned ingest layout every production pipeline uses.
+# --------------------------------------------------------------------
+@query(
+    "io_partitioned_pruning",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events WHERE event_type = 'error'
+    GROUP BY day
+    """,
+)
+def io_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    back = _partitioned_events(spark, sf_dir).filter(
+        F.col("event_type") == "error"
+    )
+    return back.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+def _partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the partitioned layout (once per process+sf) and return
+    the re-read DataFrame; shared by the query and the plan test."""
+    key = os.path.basename(os.path.normpath(sf_dir))
+    path = scratch_dir(f"partitioned_events_{key}")
+    if key not in _PARTITIONED_WRITTEN:
+        staged = load(spark, sf_dir, "events").select(
+            "event_id",
+            "ts",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        write_parquet(staged, path, partition_by=["event_type"])
+        _PARTITIONED_WRITTEN.add(key)
+    return spark.read.parquet(path)
+
+
+_PARTITIONED_WRITTEN: set[str] = set()

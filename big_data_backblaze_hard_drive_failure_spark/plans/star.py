@@ -1308,3 +1308,75 @@ def star_sql_function_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q8 shape (national market share): the share of EUROPE's
+# customer revenue supplied by NATION_18, by order year. Conditional
+# numerator over an unconditional denominator, both as exact integer
+# ten-thousandths; the final share divides the same two int64s in both
+# engines -> bit-identical doubles with no rounding step. Six-table
+# join: every dimension side broadcast, one fact shuffle.
+# --------------------------------------------------------------------
+@query(
+    "star_market_share",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN n2.n_name = 'NATION_18'
+                         THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                         ELSE 0 END) AS BIGINT) AS nation_rev_e4,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+               AS BIGINT) AS total_rev_e4,
+           SUM(CASE WHEN n2.n_name = 'NATION_18'
+                    THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                    ELSE 0 END)
+               / CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                      AS DOUBLE) AS mkt_share
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n1.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'EUROPE'
+    GROUP BY o_year
+    """,
+)
+def star_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev_e4 = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    nation_rev = F.when(F.col("supp_nation") == "NATION_18", rev_e4).otherwise(
+        F.lit(0).cast("long")
+    )
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("cn_key") == F.col("c_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("cn_region"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("sn_key") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(nation_rev).alias("nation_rev_e4"),
+            F.sum(rev_e4).alias("total_rev_e4"),
+            (
+                F.sum(nation_rev) / F.sum(rev_e4).cast("double")
+            ).alias("mkt_share"),
+        )
+    )

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from big_data_backblaze_hard_drive_failure_spark.plans import QUERIES
 
 
@@ -117,3 +119,20 @@ def test_ivf_assignment_stays_jvm_side(spark, sf_smoke):
     assert "EvalPython" not in plan  # neither Arrow nor Batch
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") >= 2  # probes + query vectors
+
+
+def test_partitioned_read_prunes_partitions(spark, sf_smoke):
+    """The partitioned-layout re-read must prune at the directory
+    level: the event_type filter appears in PartitionFilters (not just
+    PushedFilters), so non-matching partitions are never listed."""
+    from big_data_backblaze_hard_drive_failure_spark.plans.io import (
+        _partitioned_events,
+    )
+
+    df = _partitioned_events(spark, sf_smoke).filter(
+        F.col("event_type") == "error"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "event_type" in seg, f"partition filter missing: {seg}"
