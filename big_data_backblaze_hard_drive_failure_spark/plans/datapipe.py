@@ -1966,3 +1966,71 @@ def datapipe_token_histogram_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_repeated_terms"
         ),
     )
+
+
+_MIX_BUDGET = 100_000  # total training tokens to assemble
+
+
+@query(
+    "datapipe_mixture_plan",
+    oracle=f"""
+    WITH avail AS (
+        SELECT source,
+               CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                    AS BIGINT) AS avail_tokens,
+               CASE WHEN source = 'src0' THEN 5
+                    WHEN source = 'src1' THEN 3 ELSE 2 END AS weight
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS wsum FROM avail)
+    SELECT a.source,
+           a.avail_tokens,
+           CAST(({_MIX_BUDGET} * a.weight) // t.wsum AS BIGINT)
+               AS target_tokens,
+           CAST(CEIL(CAST(({_MIX_BUDGET} * a.weight) // t.wsum AS DOUBLE)
+                     / a.avail_tokens) AS BIGINT) AS epochs,
+           CAST((({_MIX_BUDGET} * a.weight) // t.wsum) * 1000000
+                // a.avail_tokens AS BIGINT) AS rate_ppm
+    FROM avail a, tot t
+    """,
+)
+def datapipe_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture planner: given per-domain target weights and a
+    global token budget, compute each source's target token count, the
+    number of epochs (repeats) needed when the domain is smaller than
+    its target (upsampling, epochs > 1), and the sampling rate in
+    parts-per-million when it is larger (downsampling, rate < 1e6).
+    Every quantity is exact integer arithmetic — the plan is
+    reproducible and auditable, which matters when the mixture IS the
+    training recipe.
+
+    Scale: one scan -> per-source token tally (tiny shuffle) -> a
+    broadcast of the 1-row weight total. The expensive part (actually
+    materializing the mixture) is ``datapipe_stratified_sample``'s
+    hash-threshold pass with ``rate_ppm`` as the threshold."""
+    w = (
+        F.when(F.col("source") == "src0", F.lit(5))
+        .when(F.col("source") == "src1", F.lit(3))
+        .otherwise(F.lit(2))
+        .cast("long")
+    )
+    avail = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " ")).cast("long")).alias("avail_tokens"))
+        .withColumn("weight", w)
+    )
+    tot = avail.agg(F.sum("weight").alias("wsum"))
+    target = F.expr(f"({_MIX_BUDGET} * weight) div wsum")
+    return (
+        avail.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "avail_tokens",
+            target.alias("target_tokens"),
+            F.ceil(target.cast("double") / F.col("avail_tokens")).alias("epochs"),
+            F.expr(
+                f"((({_MIX_BUDGET} * weight) div wsum) * 1000000) div avail_tokens"
+            ).alias("rate_ppm"),
+        )
+    )

@@ -1380,3 +1380,45 @@ def star_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Salted skew join under the oracle: events joined to a 5-row dim on
+# the (skewed) event_type key through operators/skew.py, aggregated
+# back to exact counts. The salt spreads each hot key over 8 subtasks;
+# the group-by collapses the salt, so the result is identical to a
+# plain join — which is exactly what the DuckDB oracle computes.
+# --------------------------------------------------------------------
+@query(
+    "star_salted_skew_join",
+    oracle="""
+    WITH dim AS (
+        SELECT * FROM (VALUES ('click', 1), ('view', 1), ('purchase', 10),
+                              ('signup', 5), ('error', -5))
+               AS t(event_type, weight)
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(d.weight) AS BIGINT) AS weight_sum
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def star_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 1), ("purchase", 10),
+         ("signup", 5), ("error", -5)],
+        "event_type string, weight int",
+    )
+    joined = salted_join(
+        load(spark, sf_dir, "events").select("event_type"),
+        dim,
+        on="event_type",
+        n_salts=8,
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("weight").cast("long").alias("weight_sum"),
+    )
