@@ -43,6 +43,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def _load_all() -> None:
     from . import reference  # noqa: F401
     from . import star  # noqa: F401
+    from . import tpch  # noqa: F401
     from . import datapipe  # noqa: F401
     from . import mlops  # noqa: F401
     from . import io  # noqa: F401
