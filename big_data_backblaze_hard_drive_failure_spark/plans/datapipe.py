@@ -2034,3 +2034,135 @@ def datapipe_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rate_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Count-min sketch heavy hitters. A CM sketch is a d×w grid of
+# counters; each key increments one counter per row (md5-salted
+# bucket), and a key's estimate is the MIN over its d counters —
+# always >= the true count, with the overestimate bounded by
+# (2/w)·total with prob 1-(1/2)^d. The grid is a SUM of per-partition
+# grids, i.e. a map-side-combinable groupBy on (row, bucket): the
+# whole 100 TB stream shuffles only d·w cells per partition, and two
+# sketches built on different data slices merge by cell-wise addition
+# — this is the mergeable-summaries pattern (Agarwal et al., "Mergeable
+# Summaries", PODS'12) that exact per-key counting cannot offer when
+# the key space itself doesn't fit anywhere.
+#
+# Everything is deterministic (salted md5 buckets, integer counters),
+# so unlike most sketches this one is oracle-paired exactly: DuckDB
+# rebuilds the identical grid and the identical estimates. A pytest
+# pins the CM guarantee estimate >= exact on every probe.
+# --------------------------------------------------------------------
+_CM_D = 3  # sketch rows
+_CM_W = 256  # buckets per row (2 hex digits)
+
+
+def _cm_bucket_sql(row_expr: str, key_expr: str) -> str:
+    """Portable md5-hex -> [0, 256) bucket: two instr'd hex digits.
+    ``row_expr``/``key_expr`` are SQL fragments, identical in Spark
+    and DuckDB."""
+    h = f"md5(concat('cm', {row_expr}, '|', {key_expr}))"
+    return (
+        f"((instr('0123456789abcdef', substring({h}, 1, 1)) - 1) * 16"
+        f" + instr('0123456789abcdef', substring({h}, 2, 1)) - 1)"
+    )
+
+
+_CM_ROWS_SQL = " UNION ALL ".join(
+    "SELECT {i} AS r, {b} AS bucket FROM ev".format(
+        i=i, b=_cm_bucket_sql(f"'{i}'", "u")
+    )
+    for i in range(_CM_D)
+)
+
+_CM_ORACLE = f"""
+WITH ev AS (SELECT user_id, CAST(user_id AS VARCHAR) AS u FROM events),
+cells AS (
+    SELECT r, bucket, COUNT(*) AS cnt
+    FROM ({_CM_ROWS_SQL}) all_rows
+    GROUP BY r, bucket
+),
+exact AS (
+    SELECT user_id, COUNT(*) AS exact_n FROM ev GROUP BY user_id
+    ORDER BY exact_n DESC, user_id LIMIT 10
+),
+probes AS (
+    SELECT user_id, exact_n, r,
+           {_cm_bucket_sql("CAST(r AS VARCHAR)", "CAST(user_id AS VARCHAR)")}
+               AS bucket
+    FROM exact CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) rows_
+)
+SELECT user_id, exact_n, MIN(cnt) AS cm_estimate
+FROM probes JOIN cells USING (r, bucket)
+GROUP BY user_id, exact_n
+"""
+
+
+def cm_sketch(ev: DataFrame) -> DataFrame:
+    """The d×w counter grid for a DataFrame with a string key column
+    ``u`` — a map-side-combinable groupBy, so grids built on disjoint
+    slices merge by cell-wise ``cnt`` addition (pinned by
+    ``tests/test_properties.py::test_countmin_merge_and_bound``)."""
+    cell_structs = [
+        F.struct(
+            F.lit(i).alias("r"),
+            F.expr(_cm_bucket_sql(f"'{i}'", "u")).alias("bucket"),
+        )
+        for i in range(_CM_D)
+    ]
+    return (
+        ev.select(F.explode(F.array(*cell_structs)).alias("rb"))
+        .select("rb.r", "rb.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query("datapipe_countmin_heavy_hitters", oracle=_CM_ORACLE)
+def datapipe_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a 3×256 count-min sketch over ``events.user_id``, then
+    report the top-10 exact-count users alongside their CM estimates.
+    The exact counts exist only to exhibit the estimate-vs-truth gap
+    on the fixture; at 100 TB the sketch alone (768 cells) is the
+    deliverable and the exact groupBy is the thing being avoided.
+
+    Plan shape: one scan -> explode to d rows -> partial-agg'd
+    groupBy on (r, bucket) (shuffle is O(d·w) per partition, NOT
+    O(keys)); probes join the 768-cell grid via broadcast."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("user_id").cast("string").alias("u")
+    )
+    sketch = cm_sketch(ev)
+    w = Window.orderBy(F.col("exact_n").desc(), "user_id")
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+    probes = exact.select(
+        "user_id",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        F.expr(
+                            _cm_bucket_sql(
+                                f"'{i}'", "CAST(user_id AS STRING)"
+                            )
+                        ).alias("bucket"),
+                    )
+                    for i in range(_CM_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("user_id", "exact_n", "rb.r", "rb.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )

@@ -79,3 +79,31 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     inferSchema pre-read (reference S1 minus its extra full scan,
     01_data_ingestion.py:20-21)."""
     return spark.read.option("header", True).schema(schema).csv(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    n_files: int = 16,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet: attach the Morton key for
+    ``zorder_by`` (functions/zorder.py), range-repartition on it so
+    each output file owns a contiguous key range (= a small hyper-cube
+    of the clustered dimensions), sort within partitions, drop the
+    key, write. Parquet footers then carry tight min/max stats on
+    EVERY clustered column, so scans with predicates on any of them
+    skip most row groups — the multi-dimensional upgrade of the
+    single-column sorted write."""
+    from ..functions.zorder import with_zorder_key
+
+    keyed = with_zorder_key(df, zorder_by, bits=bits)
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

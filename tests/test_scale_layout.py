@@ -102,3 +102,62 @@ def test_partitioned_write_prunes_partitions(spark, sf_smoke, tmp_path):
     n_all = spark.read.parquet(path).count()
     n_day = back.count()
     assert 0 < n_day < n_all
+
+
+def test_zorder_write_prunes_both_dims(spark, sf_smoke, tmp_path):
+    """Z-order layout vs single-column sort, judged by the REAL
+    parquet footers (pyarrow): with files clustered on the Morton key
+    of (l_partkey, l_suppkey), a point predicate on EITHER column can
+    skip most files via min/max stats; the single-column sort prunes
+    only its own column and is useless for the other. This is exactly
+    the skip Spark's pushed-down filters perform at scan time
+    (PushedFilters is plan-asserted elsewhere) — here we measure the
+    skippable fraction directly from the statistics."""
+    import pyarrow.parquet as pq
+
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import load
+    from big_data_backblaze_hard_drive_failure_spark.sources.sinks import (
+        write_zordered,
+    )
+
+    li = load(spark, sf_smoke, "lineitem").select("l_partkey", "l_suppkey")
+    zdir = str(tmp_path / "zorder")
+    sdir = str(tmp_path / "singlesort")
+    write_zordered(li, zdir, ["l_partkey", "l_suppkey"], n_files=16)
+    (
+        li.repartitionByRange(16, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(sdir)
+    )
+
+    def skippable_fraction(d: str, col: str, value: int) -> float:
+        import pathlib
+
+        files = sorted(pathlib.Path(d).glob("*.parquet"))
+        assert len(files) >= 8, "expected a multi-file layout"
+        skipped = total = 0
+        for f in files:
+            meta = pq.ParquetFile(f).metadata
+            for rg in range(meta.num_row_groups):
+                total += 1
+                cols = {
+                    meta.row_group(rg).column(c).path_in_schema: meta.row_group(
+                        rg
+                    ).column(c).statistics
+                    for c in range(meta.row_group(rg).num_columns)
+                }
+                st = cols[col]
+                if not (st.min <= value <= st.max):
+                    skipped += 1
+        return skipped / total
+
+    probe_part, probe_supp = 7, 7
+    # both layouts prune the lead/first dimension well
+    assert skippable_fraction(zdir, "l_partkey", probe_part) >= 0.5
+    assert skippable_fraction(sdir, "l_partkey", probe_part) >= 0.5
+    # only the z-ordered layout prunes the second dimension
+    z_supp = skippable_fraction(zdir, "l_suppkey", probe_supp)
+    s_supp = skippable_fraction(sdir, "l_suppkey", probe_supp)
+    assert z_supp >= 0.4, f"z-order should skip on l_suppkey, got {z_supp}"
+    assert s_supp == 0.0, f"single-sort can't skip on l_suppkey, got {s_supp}"
