@@ -1422,3 +1422,113 @@ def star_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("weight").cast("long").alias("weight_sum"),
     )
+
+
+# --------------------------------------------------------------------
+# CDC merge/upsert (MERGE INTO semantics, latest-wins): apply a
+# change set — price updates, new orders, deletes — over the orders
+# snapshot via operators/merge.py, then checksum the merged state.
+# The change set is derived deterministically from orders itself
+# (disjoint key classes for update/insert/delete), so the oracle
+# rebuilds the identical merge in SQL.
+# --------------------------------------------------------------------
+@query(
+    "star_merge_upsert",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+               1 AS version, 0 AS src, FALSE AS deleted
+        FROM orders
+    ),
+    upd AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) + 500 AS price_c,
+               2 AS version, 1 AS src, FALSE AS deleted
+        FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 53 <> 0
+        UNION ALL
+        SELECT o_orderkey + 1000000, o_orderstatus,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT), 1, 1, FALSE
+        FROM orders WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, CAST(0 AS BIGINT), 2, 1, TRUE
+        FROM orders WHERE o_orderkey % 53 = 0
+    ),
+    merged AS (
+        SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM upd)
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY k ORDER BY version DESC, src DESC) = 1
+    )
+    SELECT st, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c
+    FROM merged WHERE NOT deleted GROUP BY st
+    """,
+)
+def star_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_upsert
+
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        _cents("o_totalprice").alias("price_c"),
+        F.lit(1).alias("version"),
+        F.lit(False).alias("deleted"),
+    )
+    price_updates = (
+        orders.filter(
+            (F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") % 53 != 0)
+        )
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("st"),
+            (_cents("o_totalprice") + 500).alias("price_c"),
+            F.lit(2).alias("version"),
+            F.lit(False).alias("deleted"),
+        )
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 1000000).alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        _cents("o_totalprice").alias("price_c"),
+        F.lit(1).alias("version"),
+        F.lit(False).alias("deleted"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 53 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.lit(0).cast("long").alias("price_c"),
+        F.lit(2).alias("version"),
+        F.lit(True).alias("deleted"),
+    )
+    changes = price_updates.unionByName(inserts).unionByName(deletes)
+    merged = merge_upsert(
+        base, changes, keys=["k"], version_cols=["version"],
+        tombstone="deleted",
+    )
+    return merged.groupBy("st").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price_c").cast("long").alias("total_c"),
+    )
+
+
+# --------------------------------------------------------------------
+# Approximate percentiles (Greenwald-Khanna sketch): the scale path
+# for quantiles — mergeable, bounded-memory, one pass — next to the
+# exact percentile() the oracle can check (star_percentiles). The GK
+# accuracy parameter trades memory for error; pytest pins the
+# rank-error contract against the exact values. rows-only: DuckDB
+# has no GK twin, so the driver gets the weaker check by design.
+# --------------------------------------------------------------------
+@query("star_approx_percentiles")
+def star_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    acc = 10000  # 1/acc max rank error
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.95], acc).alias(
+            "approx_p50_p95"
+        ),
+        F.expr("percentile(o_totalprice, array(0.5, 0.95))").alias(
+            "exact_p50_p95"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

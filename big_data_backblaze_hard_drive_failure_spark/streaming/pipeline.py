@@ -73,3 +73,30 @@ def daily_alert_stream(
         .agg(F.sum("alert").alias("alerts"))
         .select(F.to_date(F.col("w.start")).alias("day"), "alerts")
     )
+
+
+def session_count_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user session aggregation ON THE STREAM: Spark's native
+    ``session_window`` merges events whose gaps are < gap into one
+    growing window, carried in the state store; the watermark bounds
+    how long an open session can wait for a late event before it is
+    finalized and evicted. The batch twin (same gap semantics as
+    ``ref_session_windows``'s gaps-and-islands construction) must
+    produce identical sessions on in-order data —
+    ``tests/test_streaming.py::test_streaming_session_windows_match_batch``.
+
+    Scale: state is per (user, open session); watermark eviction keeps
+    it bounded by active users, not history."""
+    return (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(
+            F.col("user_id"),
+            F.session_window("ts", f"{gap_minutes} minutes"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )

@@ -426,3 +426,63 @@ def test_ivf_nprobe_recall_cost_curve(spark, sf_smoke):
         recalls[nprobe] = len(truth & approx) / len(truth)
     assert recalls[1] <= recalls[2] <= recalls[4] <= recalls[16], recalls
     assert recalls[16] == 1.0, f"full probe must equal brute force: {recalls}"
+
+
+def test_merge_upsert_idempotent_and_deletes(spark):
+    from big_data_backblaze_hard_drive_failure_spark.operators.merge import (
+        merge_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 1, False), (2, "b", 1, False), (3, "c", 1, False)],
+        "k INT, v STRING, version INT, deleted BOOLEAN",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 2, False),   # update
+            (4, "d", 1, False),    # insert
+            (3, "c", 2, True),     # delete
+            (1, "a-tied", 1, False),  # same version as base -> changes win
+        ],
+        "k INT, v STRING, version INT, deleted BOOLEAN",
+    )
+    once = merge_upsert(base, changes, ["k"], ["version"], tombstone="deleted")
+    got = {r["k"]: r["v"] for r in once.collect()}
+    assert got == {1: "a-tied", 2: "b2", 4: "d"}  # 3 deleted
+
+    # idempotent: re-applying the same change set changes nothing
+    twice = merge_upsert(once, changes, ["k"], ["version"], tombstone="deleted")
+    assert {r["k"]: r["v"] for r in twice.collect()} == got
+
+
+def test_approx_percentile_rank_error_bound(spark, sf_smoke):
+    """GK sketch contract: with accuracy a, the returned value's RANK
+    is within n/a of the target rank. Verify by locating each approx
+    value's rank among the exact sorted values per group."""
+    from big_data_backblaze_hard_drive_failure_spark.plans import QUERIES
+
+    rows = QUERIES["star_approx_percentiles"](spark, sf_smoke).collect()
+    assert rows
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import load
+
+    vals = {
+        st: sorted(
+            r["o_totalprice"]
+            for r in load(spark, sf_smoke, "orders")
+            .filter(F.col("o_orderstatus") == st)
+            .select("o_totalprice")
+            .collect()
+        )
+        for st in {r["o_orderstatus"] for r in rows}
+    }
+    import bisect
+
+    for r in rows:
+        v = vals[r["o_orderstatus"]]
+        n = len(v)
+        assert r["n"] == n
+        for q, approx in zip((0.5, 0.95), r["approx_p50_p95"]):
+            rank = bisect.bisect_left(v, approx)
+            assert abs(rank - q * n) <= max(n / 10000, 1) + 1, (
+                r["o_orderstatus"], q, approx, rank, q * n,
+            )

@@ -136,3 +136,44 @@ def test_partitioned_read_prunes_partitions(spark, sf_smoke):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters")[1].split("]")[0]
     assert "event_type" in seg, f"partition filter missing: {seg}"
+
+
+def test_bloom_runtime_filter_on_shuffle_join(spark, sf_smoke):
+    """Runtime bloom-filter join pruning: when a selective filter sits
+    on one side of a SHUFFLE join, Spark can build a bloom filter from
+    that side and inject a ``might_contain`` predicate into the other
+    side's scan — rows that can't join die before the exchange. At
+    100 TB this is the difference between shuffling the whole fact
+    table and shuffling the ~1% that survives. (Broadcast joins don't
+    need it — the small side itself prunes — so the test pins the
+    shuffle-join path with broadcast disabled.)"""
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import load
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        urgent = load(spark, sf_smoke, "orders").filter(
+            "o_orderpriority = '1-URGENT' "
+            "AND o_orderdate >= TIMESTAMP '1999-01-01'"
+        )
+        li = load(spark, sf_smoke, "lineitem")
+        j = (
+            li.join(urgent, li.l_orderkey == urgent.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -627,3 +627,70 @@ def test_transform_with_state_running_counts(spark, sf_smoke, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_session_windows_match_batch(spark, sf_smoke, tmp_path):
+    """Native streaming session_window == the batch gaps-and-islands
+    sessionization on the same (in-order) data. Append mode: only
+    watermark-finalized sessions are emitted; with availableNow over a
+    bounded fixture plus a 1-day watermark, every session whose end
+    precedes max(ts) - 1d is final. Compare on that common prefix."""
+    from big_data_backblaze_hard_drive_failure_spark.streaming.pipeline import (
+        read_events_stream,
+        session_count_stream,
+    )
+
+    sessions = session_count_stream(read_events_stream(spark, sf_smoke))
+    sink = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.sql(f"SELECT * FROM {sink}").collect()
+    }
+
+    ev = load(spark, sf_smoke, "events").select("user_id", "ts")
+    # batch twin: strict-gap islands (same semantics session_window
+    # uses on in-order data: events < 30 min apart merge)
+    w = F.expr(
+        "CASE WHEN lag_ts IS NULL OR ts - lag_ts >= INTERVAL 30 MINUTE "
+        "THEN 1 ELSE 0 END"
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("user_id").orderBy("ts")
+    batch = (
+        ev.withColumn("lag_ts", F.lag("ts").over(win))
+        .withColumn("new_sess", w)
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(
+                win.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("sess_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    hi = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime as dt
+
+    cutoff = hi - dt.timedelta(days=1)
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in batch.collect()
+        # finalized iff the session could no longer grow under the
+        # watermark: its end + gap is below the final watermark
+        if r["sess_end"] + dt.timedelta(minutes=30) < cutoff
+    }
+    assert want and want <= got, (len(want), len(got))
