@@ -2166,3 +2166,185 @@ def datapipe_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("user_id", "exact_n")
         .agg(F.min("cnt").alias("cm_estimate"))
     )
+
+
+# --------------------------------------------------------------------
+# Hard-negative mining for contrastive training: for each query
+# vector, the most-similar corpus vectors with a DIFFERENT label —
+# the "looks like a match but isn't" pairs that contrastive losses
+# (InfoNCE, triplet) need to sharpen decision boundaries. Same
+# broadcast-query / rank-pushdown plan as datapipe_cosine_topk with
+# the label inequality applied BEFORE ranking; at corpus scale the
+# candidate generator swaps to the LSH/IVF paths unchanged.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_hard_negatives",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS query_label,
+               embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < 5
+    ), c AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS ce FROM embeddings
+    ), sims AS (
+        SELECT query_id, query_label, vec_id, label AS neg_label,
+               list_dot_product(qe, ce) /
+               (sqrt(list_dot_product(qe, qe)) *
+                sqrt(list_dot_product(ce, ce))) AS cosine
+        FROM q, c
+        WHERE vec_id <> query_id AND label <> query_label
+    )
+    SELECT query_id, query_label, vec_id, neg_label, cosine, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ROUND(cosine, 6) DESC, vec_id) AS rank
+        FROM sims
+    )
+    WHERE rank <= 3
+    """,
+)
+def datapipe_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        as_double_array("embedding").alias("qe"),
+    )
+    c = emb.select(
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        as_double_array("embedding").alias("ce"),
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("neg_label") != F.col("query_label"))
+        )
+        .select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            "neg_label",
+            cosine_similarity("qe", "ce").alias("cosine"),
+        )
+    )
+    return top_k_per_group(
+        sims,
+        ["query_id"],
+        [F.round("cosine", 6).desc(), F.col("vec_id")],
+        k=3,
+    )
+
+
+
+# --------------------------------------------------------------------
+# Train/eval split-leakage audit: after splitting the corpus, count
+# eval documents that near-duplicate a TRAIN document — leaked eval
+# data silently inflates benchmark scores, so this audit belongs next
+# to the split op in any serious pipeline. Signatures are MinHash
+# over word-5-gram shingles (unigram MinHash saturates on this
+# fixture's small shared vocabulary — every doc "collides"; 5-gram
+# shingles are the decontamination-grade signal), banded 2×2; an
+# eval doc is contaminated if it shares any band key with any train
+# doc — a band-key semi-join, so the corpus-pair space is never
+# materialized (same no-cartesian property as the dedup family;
+# O(docs) shuffle). Split rule is deterministic (doc_id % 5 == 0 ->
+# eval) so both engines agree exactly.
+# --------------------------------------------------------------------
+_LEAK_SIG_SQL = """
+    SELECT doc_id,
+           MIN(md5('s0|' || shingle)) AS mh0,
+           MIN(md5('s1|' || shingle)) AS mh1,
+           MIN(md5('s2|' || shingle)) AS mh2,
+           MIN(md5('s3|' || shingle)) AS mh3
+    FROM (
+        SELECT doc_id, unnest(list_distinct([
+            toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                    || toks[i+3] || ' ' || toks[i+4]
+            for i in range(1, greatest(len(toks) - 3, 1))
+        ])) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents)
+    )
+    GROUP BY doc_id
+"""
+
+
+@query(
+    "datapipe_split_leakage_audit",
+    oracle=f"""
+    WITH sig AS ({_LEAK_SIG_SQL}),
+    banded AS (
+        SELECT doc_id, doc_id % 5 = 0 AS is_eval, band_id, band_key
+        FROM (
+            SELECT doc_id, 0 AS band_id, mh0 || mh1 AS band_key FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band_id, mh2 || mh3 AS band_key FROM sig
+        )
+    ),
+    train_keys AS (
+        SELECT DISTINCT band_id, band_key FROM banded WHERE NOT is_eval
+    ),
+    contaminated AS (
+        SELECT DISTINCT b.doc_id
+        FROM banded b JOIN train_keys t
+          ON b.band_id = t.band_id AND b.band_key = t.band_key
+        WHERE b.is_eval
+    )
+    SELECT
+        (SELECT COUNT(*) FROM sig WHERE doc_id % 5 = 0) AS n_eval,
+        (SELECT COUNT(*) FROM contaminated) AS n_leaked
+    """,
+)
+def datapipe_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(ngram_shingles("text", 5))
+            ).alias("shingle"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(minhash_expr("shingle", salt)).alias(f"mh{i}")
+                for i, salt in enumerate(DEFAULT_SALTS)
+            ]
+        )
+    )
+    banded = sig.select(
+        "doc_id",
+        (F.col("doc_id") % 5 == 0).alias("is_eval"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_id"),
+                    F.concat("mh0", "mh1").alias("band_key"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_id"),
+                    F.concat("mh2", "mh3").alias("band_key"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "is_eval", "b.band_id", "b.band_key")
+    train_keys = (
+        banded.filter(~F.col("is_eval"))
+        .select("band_id", "band_key")
+        .distinct()
+    )
+    leaked = (
+        banded.filter(F.col("is_eval"))
+        .join(train_keys, ["band_id", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_leaked"))
+    )
+    n_eval = (
+        sig.filter(F.col("doc_id") % 5 == 0)
+        .agg(F.count(F.lit(1)).alias("n_eval"))
+    )
+    return n_eval.crossJoin(F.broadcast(leaked))

@@ -304,7 +304,7 @@ def tpch_q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------
 # Q11 shape: important stock — per-part value restricted to one
-# nation's suppliers, kept only when above a fraction of the GLOBAL
+# nation group's suppliers (a single nation is empty at sf0.001), kept only when above a fraction of the GLOBAL
 # total. The global scalar is a broadcast 1-row aggregate and the
 # threshold test is a cross-multiplied integer comparison
 # (value·1000 > total), so no float fraction ever appears.
@@ -319,7 +319,7 @@ def tpch_q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation   ON s_nationkey = n_nationkey
-        WHERE n_name = 'NATION_7'
+        WHERE n_nationkey % 3 = 0
         GROUP BY l_partkey
     ),
     tot AS (SELECT SUM(value_c) AS total_c FROM val)
@@ -331,7 +331,7 @@ def tpch_q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load(spark, sf_dir, "nation").filter(
-        F.col("n_name") == "NATION_7"
+        F.col("n_nationkey") % 3 == 0
     )
     val = (
         load(spark, sf_dir, "lineitem")
