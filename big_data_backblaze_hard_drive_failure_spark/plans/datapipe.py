@@ -2348,3 +2348,67 @@ def datapipe_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_eval"))
     )
     return n_eval.crossJoin(F.broadcast(leaked))
+
+
+# --------------------------------------------------------------------
+# mapInArrow: the pyarrow-native partition map — completes the
+# Python-crossing quartet (pandas_udf scalar / applyInPandas grouped /
+# mapInPandas iterator / applyInArrow grouped-arrow; this is the
+# ungrouped arrow iterator). Zero pandas hop: RecordBatch in,
+# RecordBatch out, all columns computed with pyarrow.compute kernels
+# (C++, zero-copy slices). Everything emitted is exact integers, so
+# the oracle is a plain SQL twin.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_arrow_native_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(text) AS BIGINT) AS n_chars_utf8,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_nonspace
+    FROM documents WHERE doc_id % 20 = 0
+    """,
+)
+def datapipe_arrow_native_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text stats computed entirely in pyarrow.compute inside
+    ``mapInArrow``. A deliberate twin of the JVM-expression stats
+    (datapipe_text_stats): same numbers, different execution
+    substrate — the template for ops where a C++ Arrow kernel exists
+    but no Spark builtin does (tokenizers, codecs).
+
+    Scale: batch-at-a-time map, no shuffle; Arrow batches flow
+    worker-side without row pickling (plan shows a single
+    (Arrow)MapInArrow/Python map node, pinned by the registry-wide
+    hygiene gate)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            n_chars = pc.utf8_length(text)
+            n_tokens = pc.list_value_length(
+                pc.split_pattern(text, pattern=" ")
+            )
+            n_nonspace = pc.utf8_length(
+                pc.replace_substring(text, pattern=" ", replacement="")
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(n_chars, pa.int64()),
+                    pc.cast(n_tokens, pa.int64()),
+                    pc.cast(n_nonspace, pa.int64()),
+                ],
+                ["doc_id", "n_chars_utf8", "n_tokens", "n_nonspace"],
+            )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id", "text")
+    )
+    return docs.mapInArrow(
+        _stats,
+        "doc_id long, n_chars_utf8 long, n_tokens long, n_nonspace long",
+    )
