@@ -75,3 +75,46 @@ def attribute_purchases_to_clicks(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def attribute_clicks_left_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = DEFAULT_HORIZON,
+    lateness: str = DEFAULT_LATENESS,
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, with its
+    attributed purchase(s) — or nulls when no purchase arrived inside
+    the horizon. The outer semantics are what makes this stateful in a
+    way the inner join isn't: a click can only be declared UNMATCHED
+    once the watermark proves no qualifying purchase can still arrive,
+    so null rows are emitted with watermark delay, not immediately.
+    Same bounded-state contract as the inner join (both sides
+    watermarked + time-bounded condition); unmatched state is evicted
+    exactly when it's emitted.
+
+    Scale: identical shuffle/state profile to the inner join plus the
+    per-click 'matched yet?' bit; the emission delay is the price of
+    exact unmatched semantics on an unbounded stream."""
+    c = clicks.withWatermark("ts", lateness).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", lateness).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return c.join(p, cond, "left_outer").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+    )

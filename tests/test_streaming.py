@@ -694,3 +694,85 @@ def test_streaming_session_windows_match_batch(spark, sf_smoke, tmp_path):
         if r["sess_end"] + dt.timedelta(minutes=30) < cutoff
     }
     assert want and want <= got, (len(want), len(got))
+
+
+def test_stream_stream_left_outer_interval_join(spark, sf_smoke, tmp_path):
+    """LEFT OUTER interval join: matched rows equal the inner join;
+    unmatched clicks surface as null-purchase rows once the watermark
+    proves no qualifying purchase can arrive. On a bounded fixture the
+    final watermark can't advance past the last event, so clicks near
+    the tail may stay unemitted — assert over the provably-final
+    prefix and require both kinds of rows to exist there."""
+    import datetime as dt
+
+    from big_data_backblaze_hard_drive_failure_spark.streaming.joins import (
+        attribute_clicks_left_outer,
+    )
+
+    stream = read_events_stream(spark, sf_smoke)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = attribute_clicks_left_outer(clicks, purchases)
+
+    sink = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_louter"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT * FROM {sink}").collect()
+    got_matched = {
+        (r["click_id"], r["purchase_id"])
+        for r in rows
+        if r["purchase_id"] is not None
+    }
+    got_unmatched = {r["click_id"] for r in rows if r["purchase_id"] is None}
+
+    ev = load(spark, sf_smoke, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    batch = c.join(
+        p,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 hour")),
+        "left_outer",
+    ).collect()
+    want_matched = {
+        (r["click_id"], r["purchase_id"])
+        for r in batch
+        if r["purchase_id"] is not None
+    }
+    # matched rows: stream == batch, exactly
+    assert got_matched == want_matched and got_matched
+
+    # unmatched: sound (never a false null) and complete on the final
+    # prefix — clicks whose horizon+lateness closed before the last
+    # watermark MUST have been emitted
+    want_unmatched_all = {
+        r["click_id"] for r in batch if r["purchase_id"] is None
+    }
+    assert got_unmatched <= want_unmatched_all
+    # the GLOBAL watermark is min over both inputs' (max ts - lateness);
+    # unmatched emission needs watermark > click_ts + horizon
+    hi_c = ev.filter(F.col("event_type") == "click").agg(F.max("ts")).collect()[0][0]
+    hi_p = ev.filter(F.col("event_type") == "purchase").agg(F.max("ts")).collect()[0][0]
+    cutoff = min(hi_c, hi_p) - dt.timedelta(hours=1, minutes=30, seconds=1)
+    final_prefix = {
+        r["click_id"]
+        for r in batch
+        if r["purchase_id"] is None and r["cts"] < cutoff
+    }
+    assert final_prefix and final_prefix <= got_unmatched
