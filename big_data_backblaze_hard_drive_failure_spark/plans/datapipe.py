@@ -2412,3 +2412,64 @@ def datapipe_arrow_native_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stats,
         "doc_id long, n_chars_utf8 long, n_tokens long, n_nonspace long",
     )
+
+
+# --------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis): pick k
+# docs with probability proportional to weight (here: n_chars) by
+# ranking on key = ln(u)/w with u a per-doc uniform — the one-pass,
+# fully parallel algorithm for weighted reservoir sampling (Efraimidis
+# & Spirakis, IPL 2006: u^(1/w) order == ln(u)/w order). u is
+# md5-derived (16 bits via the portable instr-hex trick), so both
+# engines draw the SAME uniforms and the sample is reproducible; the
+# rank key is rounded with a doc_id tie-break, the same cross-engine
+# float-ordering contract the cosine queries use.
+# Scale: a global top-k — rank pushdown gives each partition a local
+# top-k before the single-reducer merge; for per-stratum sampling,
+# partition the window by the stratum instead.
+# --------------------------------------------------------------------
+def _hex16_sql(expr: str) -> str:
+    """First 4 hex digits of md5(expr) as an integer 0..65535 —
+    portable (instr arithmetic, no conv())."""
+    terms = [
+        f"(instr('0123456789abcdef', substring(md5({expr}), {j + 1}, 1)) - 1)"
+        f" * {16 ** (3 - j)}"
+        for j in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_WS_U16 = _hex16_sql("'ws|' || CAST(doc_id AS VARCHAR)")
+_WS_KEY_SQL = (
+    "ROUND(ln(({u16} + 1) / CAST(65537 AS DOUBLE)) / n_chars, 9)".format(
+        u16=_WS_U16
+    )
+)
+
+
+@query(
+    "datapipe_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, n_chars, rank
+    FROM (
+        SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (ORDER BY {_WS_KEY_SQL} DESC, doc_id)
+                   AS rank
+        FROM documents
+    )
+    WHERE rank <= 25
+    """,
+)
+def datapipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # Spark spells string concat differently ('||' works in both, but
+    # CAST ... AS STRING vs VARCHAR); rebuild the identical key
+    key = F.expr(
+        _WS_KEY_SQL.replace("AS VARCHAR", "AS STRING")
+    )
+    w = Window.orderBy(key.desc(), "doc_id")
+    return (
+        docs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 25)
+        .select("doc_id", "n_chars", "rank")
+    )

@@ -776,3 +776,56 @@ def test_stream_stream_left_outer_interval_join(spark, sf_smoke, tmp_path):
         if r["purchase_id"] is None and r["cts"] < cutoff
     }
     assert final_prefix and final_prefix <= got_unmatched
+
+
+def test_streaming_query_listener_receives_progress(spark, sf_smoke, tmp_path):
+    """Operational observability: a StreamingQueryListener sees start /
+    progress / termination with real row counts — the hook a 100 TB
+    deployment uses to export throughput and watermark lag to its
+    metrics system without touching the query itself."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    events = {"started": 0, "progress_rows": [], "terminated": 0}
+
+    class _L(StreamingQueryListener):
+        def onQueryStarted(self, e):
+            events["started"] += 1
+
+        def onQueryProgress(self, e):
+            events["progress_rows"].append(e.progress.numInputRows)
+
+        def onQueryIdle(self, e):
+            pass
+
+        def onQueryTerminated(self, e):
+            events["terminated"] += 1
+
+    listener = _L()
+    spark.streams.addListener(listener)
+    try:
+        stream = read_events_stream(spark, sf_smoke)
+        counts = stream.groupBy("event_type").count()
+        sink = f"mem_{uuid.uuid4().hex[:8]}"
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt_listener"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener events are delivered asynchronously
+        import time
+
+        deadline = time.time() + 30
+        n_input = load(spark, sf_smoke, "events").count()
+        while time.time() < deadline:
+            if events["terminated"] >= 1 and sum(events["progress_rows"]) >= n_input:
+                break
+            time.sleep(0.5)
+        assert events["started"] == 1
+        assert sum(events["progress_rows"]) == n_input
+        assert events["terminated"] == 1
+    finally:
+        spark.streams.removeListener(listener)
