@@ -2473,3 +2473,67 @@ def datapipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 25)
         .select("doc_id", "n_chars", "rank")
     )
+
+
+# --------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style, Abbas et al. 2023): cluster the
+# corpus in EMBEDDING space (orthant-sign LSH buckets — the same
+# bucketing datapipe_cosine_neardup uses), then keep one best
+# document per cluster, ranked by a quality proxy (longest text,
+# doc_id tie-break). Complements the lexical dedup family: MinHash
+# catches copy-paste, embedding clusters catch paraphrases. The
+# survivor pick is a rank-1 window per bucket — O(docs), WindowGroupLimit
+# pushdown, and the pair space never exists.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_semantic_dedup",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               32 * (embedding[1] > 0)::INT + 16 * (embedding[2] > 0)::INT
+               + 8 * (embedding[3] > 0)::INT + 4 * (embedding[4] > 0)::INT
+               + 2 * (embedding[5] > 0)::INT + (embedding[6] > 0)::INT
+                   AS bucket
+        FROM embeddings
+    ),
+    ranked AS (
+        SELECT bucket, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY bucket
+                   ORDER BY n_chars DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY bucket) AS bucket_size
+        FROM e JOIN documents ON vec_id = doc_id
+    )
+    SELECT bucket, doc_id AS survivor_doc_id, n_chars,
+           CAST(bucket_size AS BIGINT) AS bucket_size
+    FROM ranked WHERE rn = 1
+    """,
+)
+def datapipe_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sign_bits = None
+    for d in range(6):
+        bit = (F.element_at(F.col("embedding"), d + 1) > 0).cast("int")
+        term = bit * (2 ** (5 - d))
+        sign_bits = term if sign_bits is None else sign_bits + term
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", sign_bits.alias("bucket")
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    clustered = e.join(docs, e.vec_id == docs.doc_id)
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    return (
+        clustered.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "bucket_size",
+            F.count(F.lit(1)).over(Window.partitionBy("bucket")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "bucket",
+            F.col("doc_id").alias("survivor_doc_id"),
+            "n_chars",
+            F.col("bucket_size").cast("long").alias("bucket_size"),
+        )
+    )
