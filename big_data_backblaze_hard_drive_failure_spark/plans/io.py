@@ -213,3 +213,80 @@ def io_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_events"),
         (F.sum("sum_cents") / 100.0).alias("total_value"),
     )
+
+
+_ROUNDTRIP_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events GROUP BY day, event_type
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           SUM(sum_cents) / 100.0 AS total_value
+    FROM daily GROUP BY event_type
+"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+    )
+
+
+def _daily_checksum(back: DataFrame) -> DataFrame:
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("n_events"),
+        (F.sum("sum_cents") / 100.0).alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------
+# ORC write -> explicit-schema read -> aggregate. ORC is the other
+# columnar format Spark ships natively (stripe-level min/max skipping
+# like parquet row groups); same writer/reader discipline.
+# --------------------------------------------------------------------
+@query("io_orc_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir("orc_roundtrip")
+    _daily(spark, sf_dir).coalesce(1).write.mode("overwrite").orc(path)
+    back = spark.read.schema(_DAILY_SCHEMA).orc(path)
+    return _daily_checksum(back)
+
+
+# --------------------------------------------------------------------
+# XML write -> explicit-schema read -> aggregate. Spark 4 ships the
+# XML source natively (rowTag framing). The lossiest wire format of
+# the set — everything is text until the read schema types it — hence
+# the explicit schema on re-read, as with CSV/JSON.
+# --------------------------------------------------------------------
+@query("io_xml_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def io_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir("xml_roundtrip")
+    (
+        _daily(spark, sf_dir)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "days")
+        .option("rowTag", "day_row")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "day_row")
+        .schema(_DAILY_SCHEMA)
+        .load(path)
+    )
+    return _daily_checksum(back)

@@ -177,3 +177,18 @@ def test_bloom_runtime_filter_on_shuffle_join(spark, sf_smoke):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q06_filters_pushed_to_scan(spark, sf_smoke):
+    """The canonical pushdown probe (TPC-H Q6): the shipdate range and
+    quantity bound must reach the parquet reader as PushedFilters, and
+    the scan must read only the four referenced lineitem columns."""
+    plan = _formatted(spark, "tpch_q06_revenue_change", sf_smoke)
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed, pushed
+    read_schema = plan.split("ReadSchema")[1][:400]
+    for col in ("l_shipdate", "l_quantity", "l_extendedprice", "l_discount"):
+        assert col in read_schema
+    assert "l_orderkey" not in read_schema
+    assert "l_tax" not in read_schema
