@@ -1532,3 +1532,42 @@ def star_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------
+# Spark 4 SQL pipe syntax (|>) + named-parameter binding: the
+# linear-dataflow SQL dialect (each |> stage consumes the previous
+# result — SELECT/WHERE/AGGREGATE read top-to-bottom like a DataFrame
+# chain) with the threshold passed via spark.sql(..., args={...})
+# instead of string interpolation. Same Catalyst plan as the
+# classic-SQL oracle — the dialect is parse-level sugar, so every
+# optimization (pushdown, partial agg) is identical.
+# --------------------------------------------------------------------
+@query(
+    "star_pipe_syntax_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0
+               AS revenue
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_returnflag
+    """,
+)
+def star_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all(spark, sf_dir, tables=["lineitem"])
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity >= :min_qty
+        |> SELECT l_returnflag,
+                  CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_e4
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_items,
+                     SUM(rev_e4) / CAST(10000 AS DOUBLE) AS revenue
+           GROUP BY l_returnflag
+        """,
+        args={"min_qty": 30},
+    ).select("l_returnflag", "n_items", "revenue")

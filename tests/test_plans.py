@@ -192,3 +192,44 @@ def test_q06_filters_pushed_to_scan(spark, sf_smoke):
         assert col in read_schema
     assert "l_orderkey" not in read_schema
     assert "l_tax" not in read_schema
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling — the no-code-change alternative to
+    manual salting (operators/skew.py): one hot key carrying ~2/3 of
+    the left side is detected at runtime from shuffle stats and split
+    across multiple tasks; the executed plan marks the join skew=true
+    and the shuffle read 'coalesced and skewed'. Thresholds are
+    lowered to make a local fixture register as skewed; at real scale
+    the defaults (256MB partition threshold) do the same job."""
+    overrides = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 300000).select(
+            F.when(F.col("id") < 200000, 0)
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").groupBy().agg(F.sum("v"), F.sum("w"))
+        j.collect()  # AQE decisions only exist after execution
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+        assert "skewed" in plan, plan[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
