@@ -1571,3 +1571,51 @@ def star_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_qty": 30},
     ).select("l_returnflag", "n_items", "revenue")
+
+
+# --------------------------------------------------------------------
+# pandas API on Spark (pyspark.pandas): the pandas-dialect front end
+# over the same engine — groupby/agg written as pandas compiles to
+# the identical Catalyst plan (distributed, no driver collect), shown
+# by pairing it with the plain-SQL oracle. Exact integer outputs so
+# the hash check is strict. The migration path for pandas codebases
+# that outgrew one machine.
+# --------------------------------------------------------------------
+@query(
+    "star_pandas_api_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def star_pandas_api_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import pyspark.pandas as ps
+
+        psdf = ps.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+        psdf = psdf.assign(
+            cents=(psdf["o_totalprice"] * 100).round().astype("int64")
+        )
+        g = (
+            psdf.groupby("o_orderstatus")
+            .agg(
+                n_orders=("o_orderkey", "count"),
+                total_cents=("cents", "sum"),
+                n_customers=("o_custkey", "nunique"),
+            )
+            .reset_index()
+        )
+        return g.to_spark().select(
+            "o_orderstatus",
+            F.col("n_orders").cast("long"),
+            F.col("total_cents").cast("long"),
+            F.col("n_customers").cast("long"),
+        )

@@ -107,3 +107,42 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ~target-sized files, returning the new file count. The small-file
+    problem is a first-order 100 TB failure mode — a streaming or
+    per-batch writer leaves thousands of KB-scale files, and every
+    subsequent scan pays file-open + footer + scheduling cost per
+    file (plus NameNode/object-store listing pressure). Compaction
+    sizes output from the ACTUAL on-disk bytes, optionally re-sorting
+    to restore clustering (min/max skipping) destroyed by
+    append-order writes. Write-temp-then-swap so a crash never leaves
+    the directory half-compacted."""
+    import glob as _glob
+    import os
+    import shutil
+
+    files = _glob.glob(os.path.join(path, "*.parquet"))
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    if sort_by:
+        df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+    else:
+        df = df.coalesce(n_out)
+    tmp = path.rstrip("/") + "._compacting"
+    df.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len(_glob.glob(os.path.join(path, "*.parquet")))

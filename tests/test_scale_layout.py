@@ -161,3 +161,40 @@ def test_zorder_write_prunes_both_dims(spark, sf_smoke, tmp_path):
     s_supp = skippable_fraction(sdir, "l_suppkey", probe_supp)
     assert z_supp >= 0.4, f"z-order should skip on l_suppkey, got {z_supp}"
     assert s_supp == 0.0, f"single-sort can't skip on l_suppkey, got {s_supp}"
+
+
+def test_compact_parquet_small_files(spark, sf_smoke, tmp_path):
+    """Compaction folds a many-small-files directory into few
+    target-sized files with identical content, and restores sort
+    clustering when asked."""
+    import glob
+
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import load
+    from big_data_backblaze_hard_drive_failure_spark.sources.sinks import (
+        compact_parquet,
+    )
+
+    d = str(tmp_path / "smallfiles")
+    ev = load(spark, sf_smoke, "events").select("event_id", "user_id")
+    ev.repartition(64).write.mode("overwrite").parquet(d)
+    assert len(glob.glob(d + "/*.parquet")) == 64
+    before = {r["event_id"] for r in spark.read.parquet(d).collect()}
+
+    n = compact_parquet(spark, d, target_file_bytes=64 * 1024,
+                        sort_by=["event_id"])
+    files = glob.glob(d + "/*.parquet")
+    assert len(files) == n < 64
+    after_df = spark.read.parquet(d)
+    assert {r["event_id"] for r in after_df.collect()} == before
+
+    # clustering restored: per-file event_id ranges are disjoint
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        st = meta.row_group(0).column(0).statistics
+        ranges.append((st.min, st.max))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
