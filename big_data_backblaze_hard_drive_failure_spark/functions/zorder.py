@@ -45,13 +45,13 @@ def zorder_key(cols: list[str], bits: int = 8) -> Column:
 
 def bucketize(col: str, lo: int, hi: int, bits: int = 8) -> Column:
     """Map an integer column with known [lo, hi] range onto
-    [0, 2^bits): equal-width buckets via exact integer arithmetic.
-    ``lo``/``hi`` come from a one-row min/max aggregate (or from
-    table-level statistics at scale)."""
+    [0, 2^bits): equal-width buckets via exact integer arithmetic
+    (``div``, not double division — a double quotient can round a
+    maximal value up to 2^bits, whose bit pattern the Morton key
+    would read as all-zero). ``lo``/``hi`` come from a one-row
+    min/max aggregate (or from table-level statistics at scale)."""
     width = max(hi - lo + 1, 1)
-    return ((F.col(col) - F.lit(lo)) * (1 << bits) / F.lit(width)).cast(
-        "long"
-    )
+    return F.expr(f"(({col} - {lo}) * {1 << bits}) div {width}")
 
 
 def with_zorder_key(

@@ -34,7 +34,12 @@ def merge_upsert(
     """Apply ``updates`` over ``base``: per key keep the row with the
     highest ``version_cols`` (updates beat base on ties); if
     ``tombstone`` names a boolean column, keys whose winning row has
-    it TRUE are deleted from the result."""
+    it TRUE are deleted from the result.
+
+    Contract: the CHANGE SET must not carry two rows for the same
+    (key, version) — the rank between them would be arbitrary. CDC
+    feeds satisfy this by construction (version = change LSN /
+    commit timestamp); pre-dedup the feed if yours doesn't."""
     tagged = base.withColumn("_src", F.lit(0)).unionByName(
         updates.withColumn("_src", F.lit(1))
     )
@@ -47,5 +52,7 @@ def merge_upsert(
         .drop("_rn", "_src")
     )
     if tombstone is not None:
-        out = out.filter(~F.col(tombstone))
+        # NULL tombstone (e.g. a base snapshot that never tracked
+        # deletes) means NOT deleted — a bare ~col would drop it
+        out = out.filter(~F.coalesce(F.col(tombstone), F.lit(False)))
     return out

@@ -1987,8 +1987,8 @@ _MIX_BUDGET = 100_000  # total training tokens to assemble
            a.avail_tokens,
            CAST(({_MIX_BUDGET} * a.weight) // t.wsum AS BIGINT)
                AS target_tokens,
-           CAST(CEIL(CAST(({_MIX_BUDGET} * a.weight) // t.wsum AS DOUBLE)
-                     / a.avail_tokens) AS BIGINT) AS epochs,
+           CAST((({_MIX_BUDGET} * a.weight) // t.wsum + a.avail_tokens - 1)
+                // a.avail_tokens AS BIGINT) AS epochs,
            CAST((({_MIX_BUDGET} * a.weight) // t.wsum) * 1000000
                 // a.avail_tokens AS BIGINT) AS rate_ppm
     FROM avail a, tot t
@@ -2028,7 +2028,10 @@ def datapipe_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "avail_tokens",
             target.alias("target_tokens"),
-            F.ceil(target.cast("double") / F.col("avail_tokens")).alias("epochs"),
+            F.expr(
+                f"((({_MIX_BUDGET} * weight) div wsum) + avail_tokens - 1)"
+                " div avail_tokens"
+            ).alias("epochs"),
             F.expr(
                 f"((({_MIX_BUDGET} * weight) div wsum) * 1000000) div avail_tokens"
             ).alias("rate_ppm"),
@@ -2076,6 +2079,8 @@ _CM_ROWS_SQL = " UNION ALL ".join(
     for i in range(_CM_D)
 )
 
+_CM_ROWS_LIST = "[" + ", ".join(str(i) for i in range(_CM_D)) + "]"
+
 _CM_ORACLE = f"""
 WITH ev AS (SELECT user_id, CAST(user_id AS VARCHAR) AS u FROM events),
 cells AS (
@@ -2091,7 +2096,7 @@ probes AS (
     SELECT user_id, exact_n, r,
            {_cm_bucket_sql("CAST(r AS VARCHAR)", "CAST(user_id AS VARCHAR)")}
                AS bucket
-    FROM exact CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) rows_
+    FROM exact CROSS JOIN (SELECT unnest({_CM_ROWS_LIST}) AS r) rows_
 )
 SELECT user_id, exact_n, MIN(cnt) AS cm_estimate
 FROM probes JOIN cells USING (r, bucket)
@@ -2294,7 +2299,9 @@ _LEAK_SIG_SQL = """
         WHERE b.is_eval
     )
     SELECT
-        (SELECT COUNT(*) FROM sig WHERE doc_id % 5 = 0) AS n_eval,
+        (SELECT COUNT(*) FROM documents
+         WHERE doc_id % 5 = 0 AND len(string_split(text, ' ')) >= 5)
+            AS n_eval,
         (SELECT COUNT(*) FROM contaminated) AS n_leaked
     """,
 )
@@ -2343,8 +2350,15 @@ def datapipe_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .agg(F.count(F.lit(1)).alias("n_leaked"))
     )
+    # n_eval = eval docs that HAVE a signature (>= 5 tokens) — counted
+    # straight off the documents scan, NOT by re-running the shingle
+    # MinHash lineage a second time (sig feeds two branches already)
     n_eval = (
-        sig.filter(F.col("doc_id") % 5 == 0)
+        load(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") % 5 == 0)
+            & (F.size(F.split("text", " ")) >= 5)
+        )
         .agg(F.count(F.lit(1)).alias("n_eval"))
     )
     return n_eval.crossJoin(F.broadcast(leaked))
@@ -2455,13 +2469,19 @@ _WS_KEY_SQL = (
         SELECT doc_id, n_chars,
                ROW_NUMBER() OVER (ORDER BY {_WS_KEY_SQL} DESC, doc_id)
                    AS rank
-        FROM documents
+        FROM documents WHERE n_chars > 0
     )
     WHERE rank <= 25
     """,
 )
 def datapipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # n_chars == 0 would divide by zero, and the engines disagree on
+    # the result (Spark NULL vs DuckDB -inf) — exclude weightless docs
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .filter(F.col("n_chars") > 0)
+    )
     # Spark spells string concat differently ('||' works in both, but
     # CAST ... AS STRING vs VARCHAR); rebuild the identical key
     key = F.expr(

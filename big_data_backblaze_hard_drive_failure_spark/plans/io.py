@@ -169,52 +169,6 @@ def _partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PARTITIONED_WRITTEN: set[str] = set()
 
 
-# --------------------------------------------------------------------
-# JSON-lines write -> explicit-schema JSON read -> aggregate: the
-# third interchange format next to parquet/CSV. JSON is the lossiest
-# of the three (no int32/int64 distinction on the wire, no binary),
-# so the roundtrip goes through an explicit read schema — never
-# inferSchema, which costs a full extra pass AND can flip types
-# between runs. Timestamps survive via ISO-8601 strings.
-# --------------------------------------------------------------------
-@query(
-    "io_json_roundtrip",
-    oracle="""
-    WITH daily AS (
-        SELECT CAST(ts AS DATE) AS day, event_type,
-               COUNT(*) AS n,
-               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
-                   AS sum_cents
-        FROM events GROUP BY day, event_type
-    )
-    SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_days,
-           CAST(SUM(n) AS BIGINT) AS n_events,
-           SUM(sum_cents) / 100.0 AS total_value
-    FROM daily GROUP BY event_type
-    """,
-)
-def io_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = scratch_dir("json_roundtrip")
-    daily = (
-        load(spark, sf_dir, "events")
-        .groupBy(F.to_date("ts").alias("day"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
-                "sum_cents"
-            ),
-        )
-    )
-    daily.coalesce(1).write.mode("overwrite").json(path)
-    back = spark.read.schema(_DAILY_SCHEMA).json(path)
-    return back.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_days"),
-        F.sum("n").alias("n_events"),
-        (F.sum("sum_cents") / 100.0).alias("total_value"),
-    )
-
-
 _ROUNDTRIP_ORACLE = """
     WITH daily AS (
         SELECT CAST(ts AS DATE) AS day, event_type,
@@ -289,4 +243,20 @@ def io_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema(_DAILY_SCHEMA)
         .load(path)
     )
+    return _daily_checksum(back)
+
+
+# --------------------------------------------------------------------
+# JSON-lines write -> explicit-schema JSON read -> aggregate: the
+# third interchange format next to parquet/CSV. JSON is the lossiest
+# of the three (no int32/int64 distinction on the wire, no binary),
+# so the roundtrip goes through an explicit read schema — never
+# inferSchema, which costs a full extra pass AND can flip types
+# between runs. Timestamps survive via ISO-8601 strings.
+# --------------------------------------------------------------------
+@query("io_json_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def io_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir("json_roundtrip")
+    _daily(spark, sf_dir).coalesce(1).write.mode("overwrite").json(path)
+    back = spark.read.schema(_DAILY_SCHEMA).json(path)
     return _daily_checksum(back)

@@ -123,13 +123,40 @@ def compact_parquet(
     file (plus NameNode/object-store listing pressure). Compaction
     sizes output from the ACTUAL on-disk bytes, optionally re-sorting
     to restore clustering (min/max skipping) destroyed by
-    append-order writes. Write-temp-then-swap so a crash never leaves
-    the directory half-compacted."""
+    append-order writes.
+
+    Crash discipline: the new data is fully written to a temp dir
+    before the swap, and every entry point first REPAIRS the previous
+    run's leftovers (stale temp, stale backup, interrupted swap), so
+    a crash at any point is recovered by simply calling again. The
+    swap itself is two renames — a crash between them leaves the data
+    intact under the backup name, which the repair step restores.
+
+    Partitioned (hive-layout) directories are refused: compacting
+    them as one dataset would flatten the partition directories and
+    destroy pruning — run per partition directory instead."""
     import glob as _glob
     import os
     import shutil
 
-    files = _glob.glob(os.path.join(path, "*.parquet"))
+    tmp = path.rstrip("/") + "._compacting"
+    old = path.rstrip("/") + "._old"
+    # repair any interrupted previous run, in dependency order
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # temp is always safe to discard
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)  # swap completed; backup is stale
+        else:
+            os.rename(old, path)  # crash mid-swap; restore backup
+
+    entries = os.listdir(path)
+    if any("=" in e for e in entries if os.path.isdir(os.path.join(path, e))):
+        raise ValueError(
+            f"{path} is hive-partitioned; compact each partition "
+            "directory separately to preserve pruning"
+        )
+    files = _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total // target_file_bytes))  # ceil
     df = spark.read.parquet(path)
@@ -139,9 +166,7 @@ def compact_parquet(
         )
     else:
         df = df.coalesce(n_out)
-    tmp = path.rstrip("/") + "._compacting"
     df.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "._old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

@@ -454,6 +454,16 @@ def test_merge_upsert_idempotent_and_deletes(spark):
     twice = merge_upsert(once, changes, ["k"], ["version"], tombstone="deleted")
     assert {r["k"]: r["v"] for r in twice.collect()} == got
 
+    # NULL tombstone means NOT deleted (snapshots that never tracked
+    # deletes must survive the merge)
+    base_null = spark.createDataFrame(
+        [(9, "keep", 1, None)], "k INT, v STRING, version INT, deleted BOOLEAN"
+    )
+    kept = merge_upsert(
+        base_null, changes, ["k"], ["version"], tombstone="deleted"
+    )
+    assert {r["k"] for r in kept.collect()} >= {9}
+
 
 def test_approx_percentile_rank_error_bound(spark, sf_smoke):
     """GK sketch contract: with accuracy a, the returned value's RANK

@@ -170,8 +170,12 @@ def test_countmin_merge_and_bound(spark):
         makes the sketch a one-pass, recombinable 100 TB aggregate.
     """
     from big_data_backblaze_hard_drive_failure_spark.plans.datapipe import (
+        _CM_D,
+        _CM_W,
         cm_sketch,
     )
+
+    hex_digits = (_CM_W - 1).bit_length() // 4  # bucket width in hex chars
 
     # Zipf-ish: key k appears ~200/(k+1) times.
     rows = [(k,) for k in range(40) for _ in range(200 // (k + 1))]
@@ -193,8 +197,16 @@ def test_countmin_merge_and_bound(spark):
 
     def cells(key: int) -> list[tuple[int, int]]:
         return [
-            (i, int(hashlib.md5(f"cm{i}|{key}".encode()).hexdigest()[:2], 16))
-            for i in range(3)
+            (
+                i,
+                int(
+                    hashlib.md5(f"cm{i}|{key}".encode()).hexdigest()[
+                        :hex_digits
+                    ],
+                    16,
+                ),
+            )
+            for i in range(_CM_D)
         ]
 
     for key, n in exact.items():

@@ -198,3 +198,41 @@ def test_compact_parquet_small_files(spark, sf_smoke, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2
+
+
+def test_compact_parquet_repairs_interrupted_swap(spark, sf_smoke, tmp_path):
+    """Crash-recovery contract: if a previous run died between the two
+    swap renames (data under `._old`, nothing at `path`), the next
+    call restores and proceeds; stale temp/backup dirs are discarded.
+    Partitioned layouts are refused outright."""
+    import glob
+    import os
+
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import load
+    from big_data_backblaze_hard_drive_failure_spark.sources.sinks import (
+        compact_parquet,
+    )
+
+    d = str(tmp_path / "data")
+    ev = load(spark, sf_smoke, "events").select("event_id", "user_id")
+    ev.repartition(16).write.mode("overwrite").parquet(d)
+    before = {r["event_id"] for r in spark.read.parquet(d).collect()}
+
+    # simulate a crash between the two renames
+    os.rename(d, d + "._old")
+    os.makedirs(d + "._compacting")  # stale temp too
+    n = compact_parquet(spark, d, target_file_bytes=256 * 1024)
+    assert n == len(glob.glob(d + "/*.parquet"))
+    assert {r["event_id"] for r in spark.read.parquet(d).collect()} == before
+    assert not os.path.exists(d + "._old")
+    assert not os.path.exists(d + "._compacting")
+
+    # partitioned layout is refused
+    part = str(tmp_path / "partitioned")
+    ev.withColumn("b", F.col("event_id") % 2).write.partitionBy(
+        "b"
+    ).mode("overwrite").parquet(part)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partitioned"):
+        compact_parquet(spark, part)
