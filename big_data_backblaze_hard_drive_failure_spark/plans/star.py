@@ -1619,3 +1619,131 @@ def star_pandas_api_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_cents").cast("long"),
             F.col("n_customers").cast("long"),
         )
+
+
+# --------------------------------------------------------------------
+# Time-series densification: generate the full day spine per series,
+# left-join the sparse daily aggregate onto it, zero-fill counts and
+# forward-fill the last observed value — the gap-filling operation
+# every dashboard/feature pipeline needs when days with no events
+# must still exist as rows. Spine = sequence() + explode (pure
+# expression, no driver loop); forward fill = last(ignorenulls) over
+# an unbounded-preceding row frame.
+# Scale: the spine is |series| × |days| rows — tiny next to the fact
+# table; the join is broadcast (spine side); one window per series.
+# --------------------------------------------------------------------
+@query(
+    "star_densify_daily",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT et.event_type, d.day
+        FROM (SELECT DISTINCT event_type FROM events) et
+        CROSS JOIN (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE
+                AS day
+            FROM bounds
+        ) d
+    ),
+    daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT s.event_type, s.day,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n,
+           CAST(last_value(d.cents IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cents_ffill
+    FROM spine s LEFT JOIN daily d
+      ON s.event_type = d.event_type AND s.day = d.day
+    """,
+)
+def star_densify_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.last("cents", ignorenulls=True).over(w).cast("long").alias(
+                "cents_ffill"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Pivot with MULTIPLE aggregates per pivoted value (count + exact
+# cents sum per status): Spark names the output columns
+# "<value>_<aggAlias>", so both measures ride one pivot pass — one
+# shuffle, 2×|values| output columns. star_pivot_status covers the
+# single-agg form.
+# --------------------------------------------------------------------
+@query(
+    "star_pivot_multi_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+               AS BIGINT) AS o_n,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
+               THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END), 0)
+               AS BIGINT) AS o_cents,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS f_n,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
+               THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END), 0)
+               AS BIGINT) AS f_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def star_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    piv = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents("o_totalprice")).alias("cents"),
+        )
+        .na.fill(0)
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("O_n").alias("o_n"),
+        F.col("O_cents").alias("o_cents"),
+        F.col("F_n").alias("f_n"),
+        F.col("F_cents").alias("f_cents"),
+    )
