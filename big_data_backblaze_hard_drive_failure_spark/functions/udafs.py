@@ -18,3 +18,27 @@ def exact_cents_mean(v: pd.Series) -> float:
     with accumulation order)."""
     cents = (v * 100).round().astype("int64")
     return int(cents.sum()) / (len(v) * 100.0)
+
+
+# Scalar Arrow UDFs (Spark 4 arrow_udf) — live here for the same
+# PEP-563 reason as the pandas_udf above: arrow_udf dispatches on the
+# REAL pa.Array type hints.
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pyspark.sql.functions import arrow_udf
+
+
+@arrow_udf("long")
+def arrow_n_tokens(text: pa.Array) -> pa.Array:
+    """Whitespace token count, computed by pyarrow C++ kernels."""
+    return pc.cast(
+        pc.list_value_length(pc.split_pattern(text, pattern=" ")),
+        pa.int64(),
+    )
+
+
+@arrow_udf("long")
+def arrow_n_chars(text: pa.Array) -> pa.Array:
+    """UTF-8 codepoint count (== DuckDB len())."""
+    return pc.cast(pc.utf8_length(text), pa.int64())

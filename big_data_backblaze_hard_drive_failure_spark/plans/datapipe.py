@@ -2557,3 +2557,37 @@ def datapipe_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bucket_size").cast("long").alias("bucket_size"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Scalar Arrow UDF (Spark 4 `arrow_udf`): the newest rung of the UDF
+# ladder — scalar call signature like pandas_udf, but the batch is a
+# raw pyarrow.Array and the body runs pyarrow.compute kernels with no
+# pandas conversion either side. Exact integer outputs, plain SQL
+# oracle. (mapInArrow covers the iterator form; this is the
+# expression-position form.)
+# --------------------------------------------------------------------
+@query(
+    "datapipe_arrow_udf_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(text) AS BIGINT) AS n_chars_utf8
+    FROM documents WHERE doc_id % 25 = 0
+    """,
+)
+def datapipe_arrow_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UDFs live in functions.udafs: arrow_udf dispatches on REAL type
+    # hints, which this module's `from __future__ import annotations`
+    # would stringify (same PEP-563 trap as pandas_udf)
+    from ..functions.udafs import arrow_n_chars, arrow_n_tokens
+
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select(
+            "doc_id",
+            arrow_n_tokens("text").alias("n_tokens"),
+            arrow_n_chars("text").alias("n_chars_utf8"),
+        )
+    )

@@ -260,3 +260,58 @@ def io_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     _daily(spark, sf_dir).coalesce(1).write.mode("overwrite").json(path)
     back = spark.read.schema(_DAILY_SCHEMA).json(path)
     return _daily_checksum(back)
+
+
+# --------------------------------------------------------------------
+# Schema evolution on read (mergeSchema): two parquet batches written
+# with different schemas — the second adds a column — read back as one
+# dataset with the union schema, old rows NULL in the new column.
+# The append-only table-growth pattern; explicit mergeSchema because
+# the default (first-file schema) would silently DROP the new column.
+# --------------------------------------------------------------------
+@query(
+    "io_schema_evolution",
+    oracle="""
+    WITH unioned AS (
+        SELECT o_orderkey, o_totalprice, NULL AS priority_rank
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice,
+               CAST(substring(o_orderpriority, 1, 1) AS INT)
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(COUNT(priority_rank) AS BIGINT) AS n_with_rank,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS total_cents,
+        CAST(COALESCE(SUM(priority_rank), 0) AS BIGINT) AS rank_sum
+    FROM unioned
+    """,
+)
+def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir("schema_evolution")
+    orders = load(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.substring("o_orderpriority", 1, 1).cast("int").alias(
+            "priority_rank"
+        ),
+    )
+    v1.write.mode("overwrite").parquet(path)
+    v2.write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("priority_rank").alias("n_with_rank"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+        F.coalesce(F.sum("priority_rank"), F.lit(0)).cast("long").alias(
+            "rank_sum"
+        ),
+    )

@@ -1747,3 +1747,64 @@ def star_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("F_n").alias("f_n"),
         F.col("F_cents").alias("f_cents"),
     )
+
+
+# --------------------------------------------------------------------
+# Data-quality constraint audit (expectations-style): null rates,
+# key uniqueness, domain membership, and referential integrity in ONE
+# pass per table + one anti-join for the FK check — the checks a
+# 100 TB ingest runs before promoting a batch. Everything is exact
+# counts, so the audit is oracle-checkable down to the last row.
+# --------------------------------------------------------------------
+@query(
+    "star_dq_audit",
+    oracle="""
+    SELECT
+        (SELECT COUNT(*) FROM orders) AS n_orders,
+        (SELECT COUNT(*) - COUNT(o_custkey) FROM orders)
+            AS null_custkey,
+        (SELECT COUNT(*) FROM
+            (SELECT o_orderkey FROM orders
+             GROUP BY o_orderkey HAVING COUNT(*) > 1) d)
+            AS dup_orderkeys,
+        (SELECT COUNT(*) FROM orders
+         WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+            AS bad_status,
+        (SELECT COUNT(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey))
+            AS orphan_lineitems
+    """,
+)
+def star_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    base = orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("null_custkey"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("bad_status"),
+    )
+    dups = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("dup_orderkeys"))
+    )
+    orphans = (
+        li.join(
+            orders.select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    )
+    return (
+        base.crossJoin(F.broadcast(dups))
+        .crossJoin(F.broadcast(orphans))
+        .select(
+            "n_orders", "null_custkey", "dup_orderkeys", "bad_status",
+            "orphan_lineitems",
+        )
+    )
