@@ -75,7 +75,14 @@ def main() -> int:
     )
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
-            prev = json.load(f).get("queries", {})
+            prev_all = json.load(f)
+        prev = prev_all.get("queries", {})
+        if prev_all.get("sf") != sf:
+            log(
+                f"baseline sf={prev_all.get('sf')} != run sf={sf}; "
+                "skipping regression compare"
+            )
+            prev = {}
         regressions = [
             (name, prev[name], t)
             for name, t in ok.items()

@@ -23,7 +23,8 @@ SALT_COL = "__salt"
 
 
 _SALT_SAFE_HOW = {"inner", "left", "left_outer", "leftouter",
-                  "left_semi", "leftsemi", "left_anti", "leftanti"}
+                  "left_semi", "leftsemi", "left_anti", "leftanti",
+                  "semi", "anti"}  # Spark accepts the bare aliases too
 
 
 def salted_join(

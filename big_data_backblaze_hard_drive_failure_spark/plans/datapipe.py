@@ -214,7 +214,6 @@ def datapipe_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket minima via WINDOW (not groupBy + join-back) so the
     # signature subtree is evaluated once: one exchange on the band
     # key, one on doc_id
-    from pyspark.sql import Window
 
     w = Window.partitionBy("band_id", "band_key")
     return (
@@ -278,7 +277,6 @@ def datapipe_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "doc_id",
     )
-    from pyspark.sql import Window
 
     w = Window.partitionBy("band_id", "band_key")
     small = bands.withColumn("n_bucket", F.count(F.lit(1)).over(w)).filter(
@@ -1067,6 +1065,7 @@ def _ivf_fit_centroids(
     sample = emb.orderBy("vec_id").limit(_IVF_TRAIN_CAP).toPandas()
     x = np.array(sample["v"].tolist())
     rng = np.random.RandomState(42)
+    k_cells = min(k_cells, len(x))  # tiny corpora: one cell per vector
     centers = x[rng.choice(len(x), size=k_cells, replace=False)]
     for _ in range(20):
         d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
@@ -1084,7 +1083,7 @@ def _ivf_fit_centroids(
     return _IVF_CENTROIDS[key]
 
 
-_IVF_CELL_EXPRS: dict[int, Column] = {}
+_IVF_CELL_EXPRS: dict[tuple, Column] = {}
 
 
 def _ivf_cell_expr(centroids: "list[list[float]]") -> Column:
@@ -1095,7 +1094,9 @@ def _ivf_cell_expr(centroids: "list[list[float]]") -> Column:
     k_cells*dim literals through py4j Column calls cost more than the
     whole scan — and memoized on the centroid identity so repeated
     calls skip the parse."""
-    key = id(centroids)
+    # key on the VALUES — id() can be reused after gc, handing a
+    # different centroid list someone else's cached expression
+    key = tuple(tuple(c) for c in centroids)
     if key in _IVF_CELL_EXPRS:
         return _IVF_CELL_EXPRS[key]
     cent_sql = "array(" + ",".join(
@@ -1392,7 +1393,6 @@ def datapipe_neardup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "doc_id",
     )
-    from pyspark.sql import Window
 
     w = Window.partitionBy("band_id", "band_key")
     small = bands.withColumn("n_bucket", F.count(F.lit(1)).over(w)).filter(

@@ -152,7 +152,13 @@ def io_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write the partitioned layout (once per process+sf) and return
     the re-read DataFrame; shared by the query and the plan test."""
-    key = os.path.basename(os.path.normpath(sf_dir))
+    real = os.path.realpath(sf_dir)
+    import hashlib as _hl
+
+    key = (
+        os.path.basename(os.path.normpath(sf_dir))
+        + "_" + _hl.md5(real.encode()).hexdigest()[:8]
+    )  # realpath-derived: same-basename fixture dirs must not collide
     path = scratch_dir(f"partitioned_events_{key}")
     if key not in _PARTITIONED_WRITTEN:
         staged = load(spark, sf_dir, "events").select(

@@ -536,7 +536,15 @@ def _gbt_forest(spark: SparkSession, sf_dir: str):
         return _GBT_FORESTS[key]
     train, _ = _gbt_split(spark, sf_dir)
     model = train_gbt(train, list(GBT_FEATURES), "label", max_depth=3, max_iter=8)
-    path = scratch_dir(f"gbt_model_{os.path.basename(key)}")
+    import hashlib as _hl
+
+    # artifact path: realpath-derived (same-basename dirs must not
+    # share it) + pid (concurrent pytest/bench processes must not
+    # read each other's half-written node tables)
+    path = scratch_dir(
+        f"gbt_model_{os.path.basename(key)}"
+        f"_{_hl.md5(key.encode()).hexdigest()[:8]}_{os.getpid()}"
+    )
     model.write().overwrite().save(path)
     _GBT_FORESTS[key] = extract_forest(spark, path, GBT_FEATURES)
     return _GBT_FORESTS[key]

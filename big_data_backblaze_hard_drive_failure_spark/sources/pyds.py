@@ -192,18 +192,35 @@ class JsonlWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import json
         import os
+        import uuid
 
         if self.overwrite:
             for name in os.listdir(self.path):
                 if name.startswith("part-"):
                     os.remove(os.path.join(self.path, name))
+        # part names carry a commit-scoped uuid: append-mode commits
+        # must never collide with (and silently replace) the part
+        # files of an earlier commit
+        commit_id = uuid.uuid4().hex[:12]
         total = 0
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            final = os.path.join(
+                self.path, f"part-{commit_id}-{i:05d}.jsonl"
+            )
             os.replace(m.temp_path, final)
             total += m.n_rows
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
-            json.dump({"n_rows": total, "n_files": len(messages)}, f)
+        # _SUCCESS reflects the DIRECTORY state (all live parts), not
+        # just this commit, so appends keep it truthful
+        n_parts = sum(
+            1 for n in os.listdir(self.path) if n.startswith("part-")
+        )
+        prev = 0
+        success = os.path.join(self.path, "_SUCCESS")
+        if not self.overwrite and os.path.exists(success):
+            with open(success) as f:
+                prev = json.load(f).get("n_rows", 0)
+        with open(success, "w") as f:
+            json.dump({"n_rows": prev + total, "n_files": n_parts}, f)
 
     def abort(self, messages) -> None:
         import os

@@ -22,12 +22,9 @@ from big_data_backblaze_hard_drive_failure_spark.plans import QUERIES
 
 
 def _tree(spark, name, sf):
-    df = QUERIES[name](spark, sf)
-    je = df._jdf.queryExecution()
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
-    return je.explainString(mode).split("\n\n")[0]
+    from tests.test_plans import _formatted  # single plan-extraction impl
+
+    return _formatted(spark, name, sf).split("\n\n")[0]
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

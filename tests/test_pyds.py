@@ -146,3 +146,46 @@ def test_jsonl_writer_commit_protocol_roundtrip(spark, tmp_path):
     open(tmp_file, "w").write("{}\n")
     w.abort([JsonlCommitMessage(temp_path=tmp_file, n_rows=1)])
     assert not os.path.exists(tmp_file)
+
+
+def test_jsonl_writer_append_preserves_prior_commits(spark, tmp_path):
+    """Append-mode commits must never clobber an earlier commit's part
+    files (part names are commit-scoped), and _SUCCESS must describe
+    the whole directory, not just the last commit."""
+    import json
+    import os
+
+    d = str(tmp_path / "jsonl_append")
+    df1 = spark.range(0, 5).selectExpr("id", "CAST(id AS STRING) AS s")
+    df2 = spark.range(5, 12).selectExpr("id", "CAST(id AS STRING) AS s")
+    df1.coalesce(2).write.format("jsonl_dir").option("path", d).mode(
+        "append"
+    ).save()
+    df2.coalesce(3).write.format("jsonl_dir").option("path", d).mode(
+        "append"
+    ).save()
+    back = (
+        spark.read.format("jsonl_dir")
+        .schema("id LONG, s STRING")
+        .option("path", d)
+        .load()
+    )
+    assert {r["id"] for r in back.collect()} == set(range(12))
+    with open(os.path.join(d, "_SUCCESS")) as f:
+        meta = json.load(f)
+    assert meta["n_rows"] == 12
+    assert meta["n_files"] == sum(
+        1 for n in os.listdir(d) if n.startswith("part-")
+    )
+
+    # overwrite still resets the directory
+    df1.coalesce(1).write.format("jsonl_dir").option("path", d).mode(
+        "overwrite"
+    ).save()
+    back2 = (
+        spark.read.format("jsonl_dir")
+        .schema("id LONG, s STRING")
+        .option("path", d)
+        .load()
+    )
+    assert {r["id"] for r in back2.collect()} == set(range(5))
