@@ -2591,3 +2591,117 @@ def datapipe_arrow_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             arrow_n_chars("text").alias("n_chars_utf8"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Pretraining-corpus assembly capstone: the full pipeline as ONE
+# declarative plan — quality gate -> PII scrub -> exact dedup on
+# scrubbed content -> benchmark decontamination (5-gram overlap,
+# which also removes the benchmark docs themselves) -> per-source
+# hash-threshold mixture -> per-source yield accounting. Every stage
+# is an operator this module already proves in isolation; the
+# capstone proves they COMPOSE into one Catalyst plan (each stage is
+# a projection/group-by/semi-join — no collect between stages, no
+# materialization barriers), which is how the pipeline actually runs
+# over 100 TB: one submission, full pushdown across stages.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_pretrain_assembly",
+    oracle=f"""
+    WITH quality AS (
+        SELECT doc_id, source,
+               regexp_replace(
+                   regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+        FROM documents
+        WHERE len(string_split(text, ' ')) BETWEEN 10 AND 1000
+    ),
+    dedup AS (
+        SELECT * FROM quality
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY sha256(scrubbed) ORDER BY doc_id) = 1
+    ),
+    bench AS (
+        SELECT DISTINCT unnest([array_to_string(toks[i:i+4], ' ')
+                                FOR i IN range(1, greatest(len(toks) - 3, 1))])
+                   AS shingle
+        FROM (SELECT string_split(text, ' ') AS toks
+              FROM documents WHERE doc_id < 5)
+        WHERE len(toks) >= 5
+    ),
+    corpus_shingles AS (
+        SELECT doc_id, unnest([array_to_string(toks[i:i+4], ' ')
+                               FOR i IN range(1, greatest(len(toks) - 3, 1))])
+                   AS shingle
+        FROM (SELECT doc_id, string_split(scrubbed, ' ') AS toks FROM dedup)
+    ),
+    contaminated AS (
+        SELECT DISTINCT c.doc_id
+        FROM corpus_shingles c JOIN bench USING (shingle)
+    ),
+    final AS (
+        SELECT d.doc_id, d.source, d.scrubbed FROM dedup d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+          AND substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)
+              < (CASE WHEN d.source = 'src0' THEN '8'
+                      WHEN d.source = 'src1' THEN '4' ELSE '2' END)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(scrubbed, ' '))) AS BIGINT)
+               AS n_tokens,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM final GROUP BY source
+    """,
+)
+def datapipe_pretrain_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    quality = docs.filter(
+        F.size(F.split("text", " ")).between(10, 1000)
+    ).select(
+        "doc_id",
+        "source",
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("scrubbed"),
+    )
+    w = Window.partitionBy(F.sha2("scrubbed", 256)).orderBy("doc_id")
+    dedup = (
+        quality.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    bench = (
+        docs.filter(
+            (F.col("doc_id") < 5) & (F.size(F.split("text", " ")) >= 5)
+        )
+        .select(F.explode(ngram_shingles("text", 5)).alias("shingle"))
+        .distinct()
+    )
+    corpus_shingles = dedup.select(
+        "doc_id", F.explode(ngram_shingles("scrubbed", 5)).alias("shingle")
+    )
+    contaminated = (
+        corpus_shingles.join(F.broadcast(bench), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    thresh = (
+        F.when(F.col("source") == "src0", F.lit("8"))
+        .when(F.col("source") == "src1", F.lit("4"))
+        .otherwise(F.lit("2"))
+    )
+    final = dedup.join(contaminated, "doc_id", "left_anti").filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < thresh
+    )
+    return final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("scrubbed", " ")).cast("long")).alias(
+            "n_tokens"
+        ),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
