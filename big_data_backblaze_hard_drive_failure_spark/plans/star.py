@@ -1808,3 +1808,110 @@ def star_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "orphan_lineitems",
         )
     )
+
+
+# --------------------------------------------------------------------
+# Cohort retention: group users by first-activity week (the cohort),
+# then count how many are still active N weeks later — the classic
+# product-analytics triangle. Two aggregations: first-touch per user
+# (groupBy min), then (cohort, week_offset) distinct-user counts.
+# Weeks are epoch-day div 7 — exact integers, no date-truncation
+# ambiguity between engines.
+# Scale: both aggs shuffle O(users); the triangle itself is tiny.
+# --------------------------------------------------------------------
+@query(
+    "star_cohort_retention",
+    oracle="""
+    WITH activity AS (
+        SELECT user_id,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) // 7 AS week
+        FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM activity
+        GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           a.week - c.cohort_week AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+    WHERE a.week - c.cohort_week <= 8
+    GROUP BY c.cohort_week, week_offset
+    """,
+)
+def star_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    activity = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "datediff(to_date(ts), DATE '1970-01-01') div 7"
+        ).cast("long").alias("week"),
+    )
+    cohorts = activity.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    return (
+        activity.join(cohorts, "user_id")
+        .withColumn("week_offset", F.col("week") - F.col("cohort_week"))
+        .filter(F.col("week_offset") <= 8)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+# --------------------------------------------------------------------
+# Marketing-style conversion attribution: for each purchase, credit
+# the FIRST and LAST click the same user made in the preceding 24h —
+# first-touch and last-touch in one pass. min_by/max_by over the
+# interval-joined (purchase, click) pairs; the interval join bounds
+# candidates exactly like the streaming attribution operator
+# (streaming/joins.py), so the pair space is per-user-per-day, never
+# all-pairs. Tie-break on click event_id via the (ts, id) struct so
+# simultaneous clicks attribute identically in both engines.
+# --------------------------------------------------------------------
+@query(
+    "star_touch_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           CAST(MIN(struct_pack(ts := c.ts, id := c.event_id)).id
+               AS BIGINT) AS first_touch_click,
+           CAST(MAX(struct_pack(ts := c.ts, id := c.event_id)).id
+               AS BIGINT) AS last_touch_click,
+           CAST(COUNT(*) AS BIGINT) AS n_candidate_clicks
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    JOIN (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 24 HOUR
+    GROUP BY p.event_id
+    """,
+)
+def star_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    pairs = p.join(
+        c,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") > F.col("pts") - F.expr("INTERVAL 24 HOUR")),
+    )
+    key = F.struct(F.col("cts"), F.col("click_id"))
+    return pairs.groupBy("purchase_id").agg(
+        F.min(key).getField("click_id").cast("long").alias(
+            "first_touch_click"
+        ),
+        F.max(key).getField("click_id").cast("long").alias(
+            "last_touch_click"
+        ),
+        F.count(F.lit(1)).alias("n_candidate_clicks"),
+    )
