@@ -1915,3 +1915,78 @@ def star_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_candidate_clicks"),
     )
+
+
+# --------------------------------------------------------------------
+# Conversion-latency distribution: exact percentiles of the
+# click->purchase delay over last-touch attributed pairs. Delays are
+# integer MICROSECONDS (epoch_us subtraction — the floor-vs-round
+# timestamp hazard doesn't exist for exact integer epochs), and
+# Spark's exact percentile() == DuckDB quantile_cont on identical
+# integer multisets.
+# --------------------------------------------------------------------
+@query(
+    "star_conversion_latency",
+    oracle="""
+    WITH pairs AS (
+        SELECT p.event_id,
+               MAX(struct_pack(ts := c.ts, id := c.event_id)).ts AS last_ts,
+               ANY_VALUE(p.ts) AS pts
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        JOIN (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 24 HOUR
+        GROUP BY p.event_id
+    ),
+    delays AS (
+        SELECT CAST(epoch_us(pts) - epoch_us(last_ts) AS BIGINT) AS delay_us
+        FROM pairs
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           quantile_cont(delay_us, 0.5) AS p50_us,
+           quantile_cont(delay_us, 0.9) AS p90_us,
+           CAST(MAX(delay_us) AS BIGINT) AS max_us
+    FROM delays
+    """,
+)
+def star_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    pairs = (
+        p.join(
+            c,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") > F.col("pts") - F.expr("INTERVAL 24 HOUR")),
+        )
+        .groupBy("purchase_id")
+        .agg(
+            F.max(F.struct(F.col("cts"), F.col("click_id")))
+            .getField("cts")
+            .alias("last_ts"),
+            F.first("pts").alias("pts"),
+        )
+    )
+    delays = pairs.select(
+        (
+            F.unix_micros(F.col("pts").cast("timestamp"))
+            - F.unix_micros(F.col("last_ts").cast("timestamp"))
+        ).alias("delay_us")
+    )
+    return delays.agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.expr("percentile(delay_us, 0.5)").alias("p50_us"),
+        F.expr("percentile(delay_us, 0.9)").alias("p90_us"),
+        F.max("delay_us").alias("max_us"),
+    )
