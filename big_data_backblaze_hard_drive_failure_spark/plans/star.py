@@ -1990,3 +1990,46 @@ def star_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(delay_us, 0.9)").alias("p90_us"),
         F.max("delay_us").alias("max_us"),
     )
+
+
+# --------------------------------------------------------------------
+# EXACT distinct counting via mergeable bitmaps (Spark 4 bitmap_*
+# aggregates): each 32k-wide bucket of the key space becomes one
+# bitmap; bitmaps OR together across partitions/slices (map-side
+# combinable, like the count-min grid but EXACT), and the distinct
+# count is the sum of bit counts. The scalable exact alternative
+# when approx_count_distinct's error is unacceptable and
+# COUNT(DISTINCT)'s expand/double-shuffle is too slow — and the
+# per-bucket bitmaps persist as an incremental-maintenance state.
+# Oracle = plain COUNT(DISTINCT): the bitmap path must agree bit-for-
+# bit because it IS exact.
+# --------------------------------------------------------------------
+@query(
+    "star_bitmap_distinct",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def star_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    per_bucket = (
+        joined.groupBy(
+            "c_mktsegment",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+        )
+        .agg(
+            F.expr(
+                "bitmap_construct_agg(bitmap_bit_position(o_custkey))"
+            ).alias("bm")
+        )
+    )
+    return per_bucket.groupBy("c_mktsegment").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_cust")
+    )
