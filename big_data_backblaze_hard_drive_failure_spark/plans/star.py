@@ -2033,3 +2033,58 @@ def star_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("c_mktsegment").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_cust")
     )
+
+
+# --------------------------------------------------------------------
+# Ordered string aggregation (SQL:2023 LISTAGG ... WITHIN GROUP,
+# Spark 4): deterministic because the within-group ORDER BY totally
+# orders the distinct elements; DuckDB's string_agg takes the same
+# ORDER BY. The "summarize group members into a row" reporting op.
+# --------------------------------------------------------------------
+@query(
+    "star_listagg_statuses",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+               AS statuses,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def star_listagg_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all(spark, sf_dir, tables=["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(DISTINCT o_orderstatus, ',')
+                   WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
+
+
+# --------------------------------------------------------------------
+# HLL sketches as DATA (Spark 4 Apache DataSketches integration):
+# unlike approx_count_distinct (estimate-only), hll_sketch_agg emits
+# the sketch BYTES — per-slice sketches persist, union incrementally
+# across days/partitions (hll_union_agg), and estimate on demand.
+# The mergeable-summaries pattern for approximate distinct at 100 TB
+# (exact twin: star_bitmap_distinct). rows-only: DuckDB has no
+# DataSketches HLL twin; pytest pins the error bound vs exact.
+# --------------------------------------------------------------------
+@query("star_hll_sketch_union")
+def star_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all(spark, sf_dir, tables=["orders"])
+    # per-status sketches (the persistable per-slice state), unioned
+    # to a grand estimate — one pass, map-side-combinable
+    return spark.sql(
+        """
+        SELECT CAST(hll_sketch_estimate(hll_union_agg(s)) AS BIGINT)
+                   AS est_distinct_cust,
+               CAST(COUNT(*) AS BIGINT) AS n_slices
+        FROM (SELECT o_orderstatus,
+                     hll_sketch_agg(o_custkey) AS s
+              FROM orders GROUP BY o_orderstatus)
+        """
+    )

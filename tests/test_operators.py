@@ -496,3 +496,23 @@ def test_approx_percentile_rank_error_bound(spark, sf_smoke):
             assert abs(rank - q * n) <= max(n / 10000, 1) + 1, (
                 r["o_orderstatus"], q, approx, rank, q * n,
             )
+
+
+def test_hll_sketch_union_error_bound(spark, sf_smoke):
+    """DataSketches HLL (default lgConfigK=12): relative error on the
+    unioned estimate stays within ~3*1.04/sqrt(2^12) ≈ 4.9% of the
+    exact distinct count."""
+    from big_data_backblaze_hard_drive_failure_spark.plans import QUERIES
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import load
+
+    [row] = QUERIES["star_hll_sketch_union"](spark, sf_smoke).collect()
+    exact = (
+        load(spark, sf_smoke, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert row["n_slices"] >= 1
+    assert abs(row["est_distinct_cust"] - exact) <= max(0.05 * exact, 2), (
+        row["est_distinct_cust"], exact,
+    )

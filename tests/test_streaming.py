@@ -829,3 +829,37 @@ def test_streaming_query_listener_receives_progress(spark, sf_smoke, tmp_path):
         assert events["terminated"] == 1
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_streaming_update_mode_counts(spark, sf_smoke, tmp_path):
+    """Update output mode: each micro-batch emits only the CHANGED
+    aggregate rows; the latest emission per key must equal the batch
+    aggregate — the third output mode next to the complete/append
+    coverage elsewhere in this suite."""
+    stream = read_events_stream(spark, sf_smoke)
+    counts = stream.groupBy("event_type").count()
+    sink = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_update"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # memory sink in update mode appends each emitted change; the
+    # final state per key is its LAST emission (batch ordering is
+    # preserved within the sink table's insertion order)
+    rows = spark.sql(f"SELECT * FROM {sink}").collect()
+    final = {}
+    for r in rows:
+        final[r["event_type"]] = r["count"]
+    want = {
+        r["event_type"]: r["n"]
+        for r in load(spark, sf_smoke, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == want
