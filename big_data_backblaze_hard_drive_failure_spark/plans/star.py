@@ -2088,3 +2088,47 @@ def star_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM orders GROUP BY o_orderstatus)
         """
     )
+
+
+# --------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE): hierarchy walk. The part
+# key space forms an implicit quad-tree (parent = key div 4); each
+# part walks its ancestor chain to the root and reports the depth —
+# the org-chart/BOM traversal pattern SQL engines historically
+# couldn't express without driver-side loops. Iterations are
+# Catalyst-planned unions (depth ~log4(|part|)); DuckDB runs the
+# identical recursion, so the result is hash-exact.
+# --------------------------------------------------------------------
+@query(
+    "star_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE anc AS (
+        SELECT p_partkey AS part, p_partkey AS node, 0 AS depth
+        FROM part
+        UNION ALL
+        SELECT part, node // 4 AS node, depth + 1
+        FROM anc WHERE node > 0
+    )
+    SELECT CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+           CAST(COUNT(DISTINCT part) AS BIGINT) AS n_parts
+    FROM (SELECT part, MAX(depth) AS depth FROM anc GROUP BY part) d
+    GROUP BY d.depth
+    """,
+)
+def star_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all(spark, sf_dir, tables=["part"])
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+            SELECT p_partkey AS part, p_partkey AS node, 0 AS depth
+            FROM part
+            UNION ALL
+            SELECT part, node div 4 AS node, depth + 1
+            FROM anc WHERE node > 0
+        )
+        SELECT CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+               CAST(COUNT(DISTINCT part) AS BIGINT) AS n_parts
+        FROM (SELECT part, MAX(depth) AS depth FROM anc GROUP BY part) d
+        GROUP BY d.depth
+        """
+    )

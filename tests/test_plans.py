@@ -233,3 +233,24 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_control_physical_operator(spark):
+    """Join-strategy hints are the per-query override when the
+    optimizer's default is wrong for a known workload: each hint must
+    actually flip the physical join operator (a hint that silently
+    no-ops is worse than none)."""
+    left = spark.range(100000).selectExpr("id AS k", "id AS v")
+    right = spark.range(1000).selectExpr("id AS k", "id*2 AS w")
+    for hint, node in [
+        ("broadcast", "BroadcastHashJoin"),
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+    ]:
+        plan = (
+            left.join(right.hint(hint), "k")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert node in plan, f"hint {hint}: expected {node}\n{plan[:800]}"
