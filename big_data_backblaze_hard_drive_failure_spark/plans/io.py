@@ -321,3 +321,29 @@ def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_sum"
         ),
     )
+
+
+# --------------------------------------------------------------------
+# File-source metadata columns (the hidden ``_metadata`` struct):
+# per-source-file row provenance — file name, size, modification time
+# — selectable with zero extra I/O (constant-folded from the scan's
+# own file listing). At 100 TB this is the built-in lineage/debugging
+# tool: "which ingest file produced this corrupt row" without a
+# custom input_file_name pipeline. The fixture is single-file, so the
+# oracle pins the (name, row-count) pair exactly.
+# --------------------------------------------------------------------
+@query(
+    "io_metadata_columns",
+    oracle="""
+    SELECT 'events.parquet' AS file_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events
+    """,
+)
+def io_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .select(F.expr("_metadata.file_name").alias("file_name"))
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

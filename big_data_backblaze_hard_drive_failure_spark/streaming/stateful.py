@@ -121,3 +121,71 @@ def running_event_counts_tws(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def session_finalize_with_timeout(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Custom sessionization with EVENT-TIME TIMEOUT eviction: state
+    per user accumulates (n, last_ts); when the watermark passes
+    last_ts + gap with no new events, the timeout FIRES for that key
+    (``state.hasTimedOut``) and the finalized session row is emitted
+    exactly once, with the state removed. This is the pattern for
+    operators whose OUTPUT happens on silence (session close, absence
+    alerts, SLA breaches) — something windowed aggregation can't
+    express directly. The engine's native-session twin is
+    pipeline.session_count_stream; this one owns its emission policy.
+
+    Scale: state per ACTIVE user only — the timeout is what keeps the
+    store from accumulating every user ever seen."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("session_end_us", T.LongType()),
+        ]
+    )
+    st_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+        ]
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "session_end_us": [last_us],
+                }
+            )
+            return
+        n, last_us = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            if len(pdf):
+                ts_us = pdf["ts"].astype("int64") // 1000
+                n += len(pdf)
+                last_us = max(last_us, int(ts_us.max()))
+        if n:
+            state.update((n, last_us))
+            # fire once the event-time watermark passes the gap
+            state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+        return
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=st_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

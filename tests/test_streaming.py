@@ -863,3 +863,90 @@ def test_streaming_update_mode_counts(spark, sf_smoke, tmp_path):
         .collect()
     }
     assert final == want
+
+
+def test_streaming_observe_metrics(spark, sf_smoke, tmp_path):
+    """df.observe on a STREAM: per-batch observed metrics ride the
+    micro-batch (no extra pass) and surface in StreamingQueryProgress
+    — the streaming face of the batch observe operator
+    (operators/observe.py)."""
+    stream = read_events_stream(spark, sf_smoke)
+    observed = stream.observe(
+        "ingest_metrics",
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents_seen"),
+    )
+    counts = observed.groupBy("event_type").count()
+    sink = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_observe"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows_seen = cents_seen = 0
+    for prog in q.recentProgress:
+        m = prog["observedMetrics"].get("ingest_metrics")
+        if m:
+            rows_seen += m["rows_seen"]
+            cents_seen += m["cents_seen"]
+    ev = load(spark, sf_smoke, "events")
+    want = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"),
+    ).collect()[0]
+    assert rows_seen == want["n"] and cents_seen == want["c"]
+
+
+def test_stateful_event_time_timeout_finalizes_sessions(spark, sf_smoke, tmp_path):
+    """EventTimeTimeout eviction: a user's session row is emitted when
+    the watermark passes last-event + gap — emit-on-silence semantics.
+    On the bounded fixture, every user whose last event precedes
+    final-watermark - gap must have fired exactly once with their
+    total event count."""
+    from big_data_backblaze_hard_drive_failure_spark.streaming.stateful import (
+        session_finalize_with_timeout,
+    )
+
+    stream = read_events_stream(spark, sf_smoke).withWatermark("ts", "1 hour")
+    sessions = session_finalize_with_timeout(stream, gap_minutes=30)
+    sink = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_timeout"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in spark.sql(f"SELECT * FROM {sink}").collect()
+    }
+
+    import datetime as dt
+
+    ev = load(spark, sf_smoke, "events")
+    hi = ev.agg(F.max("ts")).collect()[0][0]
+    # watermark = max ts - 1h; a timeout at last_ts + 30min fires if
+    # it's below that — add a batch-lag margin of the gap itself
+    cutoff = hi - dt.timedelta(hours=1, minutes=30, seconds=1)
+    per_user = {
+        r["user_id"]: (r["n"], r["last"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("ts").alias("last"))
+        .collect()
+    }
+    must_fire = {
+        u: n for u, (n, last) in per_user.items() if last < cutoff
+    }
+    assert must_fire, "fixture should contain users idle past the gap"
+    for u, n in must_fire.items():
+        assert got.get(u) == n, (u, n, got.get(u))
+    # soundness: no user reports more events than they actually have
+    for u, n in got.items():
+        assert n <= per_user[u][0]
