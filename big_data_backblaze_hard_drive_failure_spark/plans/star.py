@@ -2132,3 +2132,49 @@ def star_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.depth
         """
     )
+
+
+# --------------------------------------------------------------------
+# Rolling 7-day distinct users (WAU): distinct-count over a SLIDING
+# window can't ride an ordinary window frame (distinct isn't
+# decomposable), so each event is exploded into the 7 report days it
+# is visible to — a bounded ×(window/slide) expansion — followed by a
+# plain per-day distinct aggregation. The standard scale trade:
+# 7× more rows through one exchange beats 7 separate scans, and the
+# sketch/bitmap variants (star_hll_sketch_union / bitmap_distinct)
+# drop the expansion entirely when approximate/mergeable is enough.
+# Epoch-day integers keep the window arithmetic engine-exact.
+# --------------------------------------------------------------------
+@query(
+    "star_weekly_active_users",
+    oracle="""
+    WITH visible AS (
+        SELECT user_id,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) + offs.o AS report_day
+        FROM events
+        CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS o) offs
+    )
+    SELECT report_day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM visible
+    GROUP BY report_day
+    """,
+)
+def star_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("datediff(to_date(ts), DATE '1970-01-01')")
+        .cast("long")
+        .alias("day"),
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias(
+                "report_day"
+            ),
+        )
+        .groupBy("report_day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
