@@ -2178,3 +2178,124 @@ def star_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("report_day")
         .agg(F.count_distinct("user_id").alias("wau"))
     )
+
+
+# --------------------------------------------------------------------
+# Robust statistics: median absolute deviation per group — two exact
+# percentile passes (median of |x - median|). Both engines compute
+# exact interpolated percentiles over identical integer-cent
+# multisets, so even the interpolated halves agree bitwise. The
+# outlier-resistant spread measure for skewed money distributions.
+# --------------------------------------------------------------------
+@query(
+    "star_mad_robust_stats",
+    oracle="""
+    WITH med AS (
+        SELECT o_orderstatus, quantile_cont(
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.5) AS m
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderstatus,
+           ANY_VALUE(m) / 100.0 AS median_price,
+           quantile_cont(
+               abs(CAST(ROUND(o_totalprice * 100) AS BIGINT) - m), 0.5)
+               / 100.0 AS mad_price
+    FROM orders o JOIN med USING (o_orderstatus)
+    GROUP BY o.o_orderstatus
+    """,
+)
+def star_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderstatus", _cents("o_totalprice").alias("cents")
+    )
+    med = orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(cents, 0.5)").alias("m")
+    )
+    return (
+        orders.join(F.broadcast(med), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            (F.first("m") / 100.0).alias("median_price"),
+            (
+                F.expr("percentile(abs(cents - m), 0.5)") / 100.0
+            ).alias("mad_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Grouped OLS trend: per-priority revenue-over-time slope from the
+# closed form (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), every sum an exact
+# integer (epoch days × cents — fits int64 at fixture scale; at
+# 100 TB shift x to days-since-window-start to keep headroom). One
+# groupBy, no ML library, bit-identical across engines because only
+# the final division is floating point.
+# --------------------------------------------------------------------
+@query(
+    "star_grouped_ols_trend",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderpriority,
+               CAST(datediff('day', DATE '1995-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) * 1.0
+               / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+               AS slope_cents_per_day
+    FROM pts GROUP BY o_orderpriority
+    """,
+)
+def star_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("datediff(to_date(o_orderdate), DATE '1995-01-01')")
+        .cast("long")
+        .alias("x"),
+        _cents("o_totalprice").alias("y"),
+    )
+    n = F.count(F.lit(1))
+    return pts.groupBy("o_orderpriority").agg(
+        n.alias("n"),
+        (
+            (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            * 1.0
+            / (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        ).alias("slope_cents_per_day"),
+    )
+
+
+# --------------------------------------------------------------------
+# Top-k WITH TIES (rank() <= k): unlike row_number top-k
+# (star_topk_per_segment), ties at the boundary are all kept — the
+# correct semantics when "top 3 prices" must not arbitrarily drop a
+# tied order. Result size is data-dependent; rank still pushes down
+# (WindowGroupLimit handles rank() like row_number).
+# --------------------------------------------------------------------
+@query(
+    "star_topk_with_ties",
+    oracle="""
+    SELECT o_orderpriority, price_c, rnk
+    FROM (
+        SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+               RANK() OVER (PARTITION BY o_orderpriority
+                            ORDER BY ROUND(o_totalprice * 100) DESC)
+                   AS rnk
+        FROM orders
+    ) r WHERE rnk <= 3
+    """,
+)
+def star_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("price_c").desc()
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderpriority", _cents("o_totalprice").alias("price_c"))
+        .withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
