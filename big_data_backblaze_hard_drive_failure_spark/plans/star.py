@@ -2299,3 +2299,143 @@ def star_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.rank().over(w))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# --------------------------------------------------------------------
+# Co-occurrence (market-basket) analysis: which event types happen
+# together in the same user-day "basket". Self-join on the basket key
+# with a < b ordering — the pair space is bounded by (types per
+# basket)², not corpus², and the distinct-first projection keeps the
+# join input minimal.
+# --------------------------------------------------------------------
+@query(
+    "star_cooccurrence_baskets",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        FROM events
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_baskets
+    FROM basket a JOIN basket b
+      ON a.user_id = b.user_id AND a.day = b.day
+     AND a.event_type < b.event_type
+    GROUP BY type_a, type_b
+    """,
+)
+def star_cooccurrence_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    basket = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"), "event_type")
+        .distinct()
+    )
+    a = basket.alias("a")
+    b = basket.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
+
+
+# --------------------------------------------------------------------
+# Percent-of-total via window aggregate: each nation's share of its
+# region's revenue WITHOUT a second group-by-and-join — the window
+# sum rides the same shuffle as the group-by. Numerator and
+# denominator stay exact int64 until one final division, so the
+# shares are bit-identical cross-engine.
+# --------------------------------------------------------------------
+@query(
+    "star_share_of_region",
+    oracle="""
+    WITH nat AS (
+        SELECT r_name, n_name,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS rev_c
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name, rev_c,
+           rev_c * 1.0 / SUM(rev_c) OVER (PARTITION BY r_name)
+               AS share_of_region
+    FROM nat
+    """,
+)
+def star_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", _cents("o_totalprice").alias("cents"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            cust.c_nationkey == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(load(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("cents").alias("rev_c"))
+    )
+    w = Window.partitionBy("r_name")
+    return nat.select(
+        "r_name",
+        "n_name",
+        "rev_c",
+        (F.col("rev_c") * 1.0 / F.sum("rev_c").over(w)).alias(
+            "share_of_region"
+        ),
+    )
+
+
+# --------------------------------------------------------------------
+# Conditional carry-forward: microseconds since each user's LAST
+# error event — last_value(CASE WHEN error THEN ts END) IGNORE NULLS
+# over the ordered history. The "time since last incident" feature
+# every monitoring pipeline computes; NULL until the first error, by
+# construction in both engines.
+# --------------------------------------------------------------------
+@query(
+    "star_time_since_last_error",
+    oracle="""
+    SELECT event_id,
+           CAST(epoch_us(ts) - last_value(
+                   CASE WHEN event_type = 'error' THEN epoch_us(ts) END
+                   IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS us_since_error
+    FROM events
+    WHERE user_id % 17 = 0
+    """,
+)
+def star_time_since_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 17 == 0)
+    err_us = F.when(
+        F.col("event_type") == "error",
+        F.unix_micros(F.col("ts").cast("timestamp")),
+    )
+    return ev.select(
+        "event_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.last(err_us, ignorenulls=True).over(w)
+        ).alias("us_since_error"),
+    )
