@@ -2225,11 +2225,12 @@ def star_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------
 # Grouped OLS trend: per-priority revenue-over-time slope from the
-# closed form (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), every sum an exact
-# integer (epoch days × cents — fits int64 at fixture scale; at
-# 100 TB shift x to days-since-window-start to keep headroom). One
-# groupBy, no ML library, bit-identical across engines because only
-# the final division is floating point.
+# closed form (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). The SUMS are exact
+# int64 (epoch days × cents); the n·Σ COMBINATION is done in DOUBLE
+# on both sides — n·Σxy alone tops int64 beyond ~100k rows/group,
+# and identical int64 sums convert to identical doubles, so the
+# combination stays bit-identical cross-engine while never
+# overflowing. One groupBy, no ML library.
 # --------------------------------------------------------------------
 @query(
     "star_grouped_ols_trend",
@@ -2243,8 +2244,10 @@ def star_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) * 1.0
-               / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+           (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * y) AS DOUBLE)
+            - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+               / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * x) AS DOUBLE)
+                  - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
                AS slope_cents_per_day
     FROM pts GROUP BY o_orderpriority
     """,
@@ -2257,14 +2260,16 @@ def star_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x"),
         _cents("o_totalprice").alias("y"),
     )
-    n = F.count(F.lit(1))
+    n_d = F.count(F.lit(1)).cast("double")
+    sxy = F.sum(F.col("x") * F.col("y")).cast("double")
+    sx = F.sum("x").cast("double")
+    sy = F.sum("y").cast("double")
+    sxx = F.sum(F.col("x") * F.col("x")).cast("double")
     return pts.groupBy("o_orderpriority").agg(
-        n.alias("n"),
-        (
-            (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
-            * 1.0
-            / (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
-        ).alias("slope_cents_per_day"),
+        F.count(F.lit(1)).alias("n"),
+        ((n_d * sxy - sx * sy) / (n_d * sxx - sx * sx)).alias(
+            "slope_cents_per_day"
+        ),
     )
 
 
