@@ -2705,3 +2705,62 @@ def datapipe_pretrain_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+# --------------------------------------------------------------------
+# Shingle CONTAINMENT (asymmetric near-dup): |A∩B| / |A| instead of
+# Jaccard — detects that doc A is QUOTED/EMBEDDED inside doc B even
+# when B is much larger (Jaccard would dilute toward 0). The quote/
+# subset detector the dedup family needs alongside symmetric
+# similarity; same bounded-candidate discipline as
+# datapipe_ngram_jaccard (pairwise only ever on a candidate set).
+# Exact integer intersection and size; one final division.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_shingle_containment",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   FOR i IN range(1, greatest(len(toks) - 1, 1))
+               ]) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE doc_id < 12)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+               AS n_common,
+           CAST(len(a.shingles) AS BIGINT) AS n_a,
+           len(list_intersect(a.shingles, b.shingles)) * 1.0
+               / len(a.shingles) AS containment_a_in_b
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE len(a.shingles) > 0
+    """,
+)
+def datapipe_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 12)
+        .select(
+            "doc_id",
+            F.array_distinct(ngram_shingles("text", 3)).alias("shingles"),
+        )
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(
+        F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))
+    )
+    n_a = F.size(F.col("a.shingles"))
+    return (
+        a.join(b, F.col("a.doc_id") != F.col("b.doc_id"))
+        .filter(n_a > 0)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.cast("long").alias("n_common"),
+            n_a.cast("long").alias("n_a"),
+            (inter * 1.0 / n_a).alias("containment_a_in_b"),
+        )
+    )

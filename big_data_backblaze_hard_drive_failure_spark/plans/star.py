@@ -2444,3 +2444,50 @@ def star_time_since_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.last(err_us, ignorenulls=True).over(w)
         ).alias("us_since_error"),
     )
+
+
+# --------------------------------------------------------------------
+# Session path analysis: the most common opening event sequences.
+# Ordered collect within (user, day) sessions — determinism comes
+# from sorting an array of (ts, event_id, type) structs rather than
+# trusting collect_list's arrival order (which is partition-
+# dependent); the path is the first 3 steps joined to a string.
+# Sequence mining's entry point, all within native array functions.
+# --------------------------------------------------------------------
+@query(
+    "star_session_paths",
+    oracle="""
+    WITH steps AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               array_to_string(
+                   (list(event_type ORDER BY ts, event_id))[1:3], '>')
+                   AS path3
+        FROM events GROUP BY user_id, day
+    )
+    SELECT path3, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM steps GROUP BY path3
+    HAVING COUNT(*) >= 5
+    """,
+)
+def star_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.struct("ts", "event_id", "event_type").alias("step"),
+    )
+    steps = (
+        ev.groupBy("user_id", "day")
+        .agg(F.sort_array(F.collect_list("step")).alias("steps"))
+        .select(
+            F.array_join(
+                F.slice(F.col("steps.event_type"), 1, 3), ">"
+            ).alias("path3")
+        )
+    )
+    return (
+        steps.groupBy("path3")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .filter(F.col("n_sessions") >= 5)
+    )
+
+
