@@ -2491,3 +2491,55 @@ def star_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --------------------------------------------------------------------
+# Contingency table (df.stat.crosstab): event type × day-of-week
+# counts as a wide table — the DataFrame stat API's face of the CASE
+# pivot, oracle-matched against the explicit conditional-sum form.
+# Columns are the 7 ISO day numbers (Sunday=1, Spark dayofweek ==
+# DuckDB dayofweek(ts)+1 offset handled below).
+# --------------------------------------------------------------------
+@query(
+    "star_crosstab_dow",
+    oracle="""
+    SELECT event_type AS event_type_dow,
+           CAST(SUM(CASE WHEN dow = 1 THEN 1 ELSE 0 END) AS BIGINT) AS "1",
+           CAST(SUM(CASE WHEN dow = 2 THEN 1 ELSE 0 END) AS BIGINT) AS "2",
+           CAST(SUM(CASE WHEN dow = 3 THEN 1 ELSE 0 END) AS BIGINT) AS "3",
+           CAST(SUM(CASE WHEN dow = 4 THEN 1 ELSE 0 END) AS BIGINT) AS "4",
+           CAST(SUM(CASE WHEN dow = 5 THEN 1 ELSE 0 END) AS BIGINT) AS "5",
+           CAST(SUM(CASE WHEN dow = 6 THEN 1 ELSE 0 END) AS BIGINT) AS "6",
+           CAST(SUM(CASE WHEN dow = 7 THEN 1 ELSE 0 END) AS BIGINT) AS "7"
+    FROM (SELECT event_type, dayofweek(CAST(ts AS DATE)) + 1 AS dow
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def star_crosstab_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").alias("dow")
+    )
+    ct = df.stat.crosstab("event_type", "dow")
+    return ct.select(
+        "event_type_dow",
+        *[F.col(f"`{d}`").cast("long").alias(str(d)) for d in range(1, 8)],
+    )
+
+
+# --------------------------------------------------------------------
+# Seeded stratified sampling (df.stat.sampleBy): per-stratum Bernoulli
+# fractions with a fixed seed — MLlib-style randomized sampling next
+# to the deterministic hash-threshold twin (datapipe_stratified_
+# sample). Seeded-but-engine-private randomness -> rows-only; the
+# pytest pins per-stratum fraction accuracy.
+# --------------------------------------------------------------------
+@query("star_sample_by_strata")
+def star_sample_by_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+    fractions = {"click": 0.5, "view": 0.25, "purchase": 1.0,
+                 "signup": 1.0, "error": 1.0}
+    sampled = ev.stat.sampleBy("event_type", fractions, seed=42)
+    return sampled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )

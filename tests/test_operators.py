@@ -516,3 +516,32 @@ def test_hll_sketch_union_error_bound(spark, sf_smoke):
     assert abs(row["est_distinct_cust"] - exact) <= max(0.05 * exact, 2), (
         row["est_distinct_cust"], exact,
     )
+
+
+def test_sample_by_strata_fractions(spark, sf_smoke):
+    """df.stat.sampleBy: per-stratum sampled counts track the requested
+    fractions (±15% relative at fixture size; exact for fraction=1.0)."""
+    from big_data_backblaze_hard_drive_failure_spark.plans import QUERIES
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import load
+
+    got = {
+        r["event_type"]: r["n_sampled"]
+        for r in QUERIES["star_sample_by_strata"](spark, sf_smoke).collect()
+    }
+    totals = {
+        r["event_type"]: r["n"]
+        for r in load(spark, sf_smoke, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    fractions = {"click": 0.5, "view": 0.25, "purchase": 1.0,
+                 "signup": 1.0, "error": 1.0}
+    for et, frac in fractions.items():
+        want = totals[et] * frac
+        if frac == 1.0:
+            assert got[et] == totals[et]
+        else:
+            assert abs(got[et] - want) <= 0.15 * totals[et] + 5, (
+                et, got[et], want,
+            )
