@@ -1103,3 +1103,51 @@ def ref_grouped_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------
+# ANSI-safe arithmetic family (try_add / try_subtract / try_multiply /
+# try_divide / try_sum / try_avg): under ANSI mode (the engine
+# default) plain operators THROW on overflow and division-by-zero;
+# the try_* forms return NULL instead — the right semantics for
+# dirty-data aggregation where one bad row must not kill a 100 TB
+# job. Pins NULL-on-edge behavior and try_sum == sum equivalence on
+# clean data. Extends ref_try_cast (P-family error safety).
+# --------------------------------------------------------------------
+@query(
+    "ref_try_arithmetic",
+    oracle="""
+    SELECT CAST(NULL AS BIGINT) AS div_zero,
+           CAST(NULL AS BIGINT) AS mul_overflow,
+           CAST(NULL AS BIGINT) AS add_overflow,
+           (SELECT CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+            FROM events) AS try_sum_cents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+            WHERE value / 1.0 IS NOT NULL) AS n_clean_div
+    """,
+)
+def ref_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.try_sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "try_sum_cents"
+        ),
+        F.sum(
+            F.when(
+                F.try_divide(F.col("value"), F.lit(1.0)).isNotNull(), 1
+            ).otherwise(0)
+        ).alias("n_clean_div"),
+    )
+    return agg.select(
+        F.try_divide(F.lit(1).cast("long"), F.lit(0).cast("long"))
+        .cast("long")
+        .alias("div_zero"),
+        F.try_multiply(
+            F.lit(9223372036854775807).cast("long"), F.lit(2).cast("long")
+        ).alias("mul_overflow"),
+        F.try_add(
+            F.lit(9223372036854775807).cast("long"), F.lit(1).cast("long")
+        ).alias("add_overflow"),
+        "try_sum_cents",
+        "n_clean_div",
+    )
