@@ -672,10 +672,10 @@ def datapipe_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     "datapipe_doc_fingerprint",
     oracle="""
     SELECT doc_id,
-           list_sum([
+           CAST(list_sum([
                i * (length(toks[i]) * 31 + ascii(substring(toks[i], 1, 1)))
                for i in range(1, len(toks) + 1)
-           ]) % 1000000007 AS fingerprint
+           ]) % 1000000007 AS BIGINT) AS fingerprint
     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     """,
 )

@@ -323,7 +323,7 @@ def tpch_q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_partkey
     ),
     tot AS (SELECT SUM(value_c) AS total_c FROM val)
-    SELECT l_partkey, value_c
+    SELECT l_partkey, CAST(value_c AS BIGINT) AS value_c
     FROM val, tot
     WHERE value_c * 1000 > total_c
     """,
@@ -477,7 +477,7 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     JOIN customer ON c_custkey = o_custkey
     JOIN (SELECT l_orderkey,
-                 SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
           FROM lineitem GROUP BY l_orderkey
           HAVING SUM(CAST(l_quantity AS BIGINT)) > 250) big
       ON o_orderkey = l_orderkey

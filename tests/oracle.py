@@ -60,9 +60,21 @@ def run_oracle(sf_dir: str, sql: str):
         con.execute(
             f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
         )
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+    rel = con.sql(sql)
+    # The driver fetches oracle results via .df(); DuckDB HUGEINT
+    # (e.g. an uncast SUM over BIGINT) silently becomes float64 there
+    # and hash-mismatches Spark's int64 — reject it at the source.
+    hug = [
+        c
+        for c, t in zip(rel.columns, rel.types)
+        if "HUGEINT" in str(t).upper()
+    ]
+    assert not hug, (
+        f"oracle outputs HUGEINT column(s) {hug}: wrap with "
+        "CAST(... AS BIGINT) so the driver's pandas fetch stays integral"
+    )
+    cols = list(rel.columns)
+    rows = rel.fetchall()
     con.close()
     return cols, rows
 
