@@ -50,12 +50,13 @@ def _load_all() -> None:
 
 
 # Names that already have a green row in a prior round's driver
-# CORRECTNESS file (r01: 29, r02: first 50 of the then-93 registry).
-# The driver verifies the registry in iteration order and stopped at
-# exactly 50 entries in round 2, so queries it has never seen are
-# floated to the FRONT of the registry: whatever its budget, the
-# not-yet-verified surface gets the hard signal first, and across
-# rounds every query accumulates a driver row.
+# CORRECTNESS file (r01: 29, r02: first 50 of the then-93 registry,
+# r03/r04: the identical next-50 sample — all green). The driver
+# verifies the registry in iteration order and stops at 50 entries,
+# so queries it has never seen are floated to the FRONT of the
+# registry: whatever its budget, the not-yet-verified surface gets
+# the hard signal first, and across rounds every query accumulates a
+# driver row. Cumulative driver-checked after r04: 100 of 174.
 _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "ref_ingest_profile", "ref_project_cast", "ref_label_lead",
     "ref_label_distribution", "ref_leakage_filter", "ref_rolling_features",
@@ -74,6 +75,28 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "star_pivot_status", "star_exists_sql", "star_approx_distinct",
     "star_disjunctive_filter", "star_correlated_subquery",
     "star_pricing_summary", "star_window_rank",
+    # round 3/4 sample (identical sets, all green in CORRECTNESS_r04)
+    "ref_grouped_arrow_stats", "ref_grouped_zscore_expr",
+    "ref_sliding_window_daily", "ref_try_arithmetic", "star_bitmap_distinct",
+    "star_cohort_retention", "star_conversion_latency",
+    "star_cooccurrence_baskets", "star_crosstab_dow",
+    "star_customer_distribution", "star_densify_daily",
+    "star_dormant_customers", "star_dq_audit", "star_grouped_ols_trend",
+    "star_late_shipment_priority", "star_listagg_statuses",
+    "star_mad_robust_stats", "star_market_share", "star_merge_upsert",
+    "star_null_semantics", "star_pandas_api_stats", "star_percentiles",
+    "star_pipe_syntax_revenue", "star_pivot_multi_agg", "star_priority_buckets",
+    "star_promo_revenue_ratio", "star_recursive_hierarchy",
+    "star_returned_items", "star_salted_skew_join", "star_session_paths",
+    "star_share_of_region", "star_shipping_priority",
+    "star_sql_function_revenue", "star_time_since_last_error",
+    "star_top_supplier", "star_topk_with_ties", "star_touch_attribution",
+    "star_unpivot", "star_volume_shipping", "star_weekly_active_users",
+    "tpch_q02_min_cost_supplier", "tpch_q04_order_priority",
+    "tpch_q05_local_supplier_volume", "tpch_q06_revenue_change",
+    "tpch_q09_product_profit", "tpch_q11_important_stock",
+    "tpch_q16_supplier_variety", "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customer", "tpch_q20_part_promotion",
 })
 
 
