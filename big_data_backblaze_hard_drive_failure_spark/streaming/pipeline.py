@@ -21,15 +21,23 @@ from ..sources.catalog import schema_for
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture directory with the
-    catalog's explicit schema (never inferSchema on a stream). The
-    fixture's raw parquet stores ts as TIMESTAMP(NANOS); under
-    ``nanosAsLong`` it surfaces as bigint and is rebuilt exactly like
-    sources.catalog.load does for batch."""
+    catalog's explicit schema (never inferSchema on a stream).
+
+    The fixture has shipped two physical layouts for ``ts``:
+    TIMESTAMP(NANOS) (surfaces as bigint under ``nanosAsLong``) and
+    TIMESTAMP(MICROS) (surfaces as timestamp/timestamp_ntz). A stream
+    declared with the wrong one silently mangles every event time, so
+    probe the surfaced dtype with a metadata-only batch read — the
+    same guard sources.catalog.load applies — and declare the stream
+    schema to match.
+    """
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_dtype = dict(probe.dtypes).get("ts", "timestamp")
     schema = schema_for("events")
     raw_schema = ", ".join(
-        f"{f.name} {'BIGINT' if f.name == 'ts' else f.dataType.simpleString()}"
+        f"{f.name} {ts_dtype.upper() if f.name == 'ts' else f.dataType.simpleString()}"
         for f in schema.fields
     )
     # the file stream source monitors a DIRECTORY; the fixture is a
@@ -40,11 +48,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    # watermarks require TIMESTAMP (an instant), not TIMESTAMP_NTZ —
-    # build the micros instant directly; run streaming sessions in UTC
-    # (the engine session factory pins this) so wall-clock semantics
-    # match the batch NTZ reads
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # watermarks want TIMESTAMP (an instant) — build/convert to the
+    # micros instant; streaming sessions run in UTC (the engine
+    # session factory pins this) so wall-clock semantics match the
+    # batch NTZ reads
+    if ts_dtype == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def score_stream(stream: DataFrame, model: LinearModel) -> DataFrame:
