@@ -215,6 +215,266 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_decode, DECODED_IMAGE_SCHEMA)
 
 
+def resize_nearest(
+    width: int, height: int, rgb: bytes, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor resize of top-down row-major RGB triples:
+    output pixel (x, y) samples source (x*width//out_w,
+    y*height//out_h) — the standard floor mapping, closed-form
+    recomputable by the oracle."""
+    out = bytearray(out_w * out_h * 3)
+    for y in range(out_h):
+        sy = y * height // out_h
+        for x in range(out_w):
+            sx = x * width // out_w
+            si = (sy * width + sx) * 3
+            di = (y * out_w + x) * 3
+            out[di: di + 3] = rgb[si: si + 3]
+    return bytes(out)
+
+
+RESIZED_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("rs_byte_sum", T.LongType()),
+        T.StructField("rs_top_left_r", T.IntegerType()),
+        T.StructField("rs_bottom_right_b", T.IntegerType()),
+    ]
+)
+
+
+def decode_resize_meta(df: DataFrame, out_w: int = 2, out_h: int = 2) -> DataFrame:
+    """Decode real container bytes, nearest-neighbor resize, emit
+    resized-pixel stats — the decode+preprocess stage of an image
+    training pipeline as one Arrow map stage."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "rs_byte_sum", "rs_top_left_r", "rs_bottom_right_b",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rgb = decode_image(bytes(payload))
+                rs = resize_nearest(w, h, rgb, out_w, out_h)
+                out["doc_id"].append(int(doc_id))
+                out["rs_byte_sum"].append(sum(rs))
+                out["rs_top_left_r"].append(rs[0])
+                out["rs_bottom_right_b"].append(rs[-1])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_go, RESIZED_META_SCHEMA)
+
+
+# --------------------------------------------------------------------
+# Audio: WAV (RIFF little-endian, PCM16 mono) — the classic
+# header-parseable audio container, same pure-Python treatment as BMP.
+# --------------------------------------------------------------------
+DECODED_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("amp_sum", T.LongType()),
+        T.StructField("amp_max", T.IntegerType()),
+        T.StructField("first_sample", T.IntegerType()),
+        T.StructField("last_sample", T.IntegerType()),
+    ]
+)
+
+
+def encode_wav(sample_rate: int, samples: "list[int]") -> bytes:
+    """Minimal RIFF/WAVE writer: PCM16 mono, little-endian. Samples
+    are signed 16-bit ints."""
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_audio(payload: bytes) -> tuple[int, "list[int]"]:
+    """Pure-Python WAV decode: RIFF chunk walk -> (sample_rate,
+    samples) for PCM16 mono. Compressed audio (MP3/AAC/FLAC) needs
+    codec libraries absent from this container and raises."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "unsupported audio container (MP3/AAC need codec libs); "
+            "supported: RIFF/WAVE PCM16 mono"
+        )
+    i, sample_rate, samples = 12, None, None
+    while i + 8 <= len(payload):
+        chunk, size = payload[i: i + 4], struct.unpack_from("<I", payload, i + 4)[0]
+        body = payload[i + 8: i + 8 + size]
+        if chunk == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM16 mono WAV (fmt={audio_fmt}, ch={channels}, bits={bits})"
+                )
+        elif chunk == b"data":
+            samples = [
+                struct.unpack_from("<h", body, j)[0] for j in range(0, size, 2)
+            ]
+        i += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    if sample_rate is None or samples is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return sample_rate, samples
+
+
+def synth_audio_payload(doc_id: int) -> bytes:
+    """Deterministic tiny WAV for doc_id: 8000+1000*(id%3) Hz,
+    20+id%13 samples, sample i = ((id*37 + i*11) % 4001) - 2000.
+    Closed-form so the DuckDB oracle recomputes decoded stats."""
+    n = 20 + doc_id % 13
+    rate = 8000 + 1000 * (doc_id % 3)
+    return encode_wav(rate, [((doc_id * 37 + i * 11) % 4001) - 2000 for i in range(n)])
+
+
+def synth_audio_payloads(df: DataFrame) -> DataFrame:
+    """doc_id frame -> (doc_id, payload) with real WAV bytes."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": ids.map(synth_audio_payload)}
+            )
+
+    return df.mapInPandas(_gen, PAYLOAD_SCHEMA)
+
+
+def decode_audio_meta(df: DataFrame) -> DataFrame:
+    """REAL audio decode path: (doc_id, payload) -> parsed rate and
+    amplitude stats via decode_audio, Arrow-batched mapInPandas."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "sample_rate", "n_samples", "amp_sum",
+                "amp_max", "first_sample", "last_sample",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = decode_audio(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["amp_sum"].append(sum(abs(s) for s in samples))
+                out["amp_max"].append(max(abs(s) for s in samples))
+                out["first_sample"].append(samples[0])
+                out["last_sample"].append(samples[-1])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_decode, DECODED_AUDIO_SCHEMA)
+
+
+# --------------------------------------------------------------------
+# Video: concatenated binary-PPM frame stream (what
+# ``ffmpeg -f image2pipe -vcodec ppm`` emits) — real multi-frame
+# parsing without a container library.
+# --------------------------------------------------------------------
+DECODED_VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sampled_frame_ids", T.ArrayType(T.IntegerType())),
+        T.StructField("sampled_byte_sum", T.LongType()),
+    ]
+)
+
+
+def decode_video_frames(payload: bytes) -> "list[tuple[int, int, bytes]]":
+    """Parse a concatenated-PPM frame stream into a list of decoded
+    frames. Each frame is a complete P6 image; frames follow each
+    other back-to-back (the image2pipe convention)."""
+    frames = []
+    i = 0
+    while i < len(payload):
+        if payload[i: i + 2] != b"P6":
+            raise ValueError(f"bad frame magic at offset {i}")
+        w, h, rgb = decode_image(payload[i:])
+        frames.append((w, h, rgb))
+        # advance past this frame: header ends one byte before pixel
+        # data; recompute its length by re-scanning the three fields
+        j, fields = i + 2, 0
+        while fields < 3:
+            while payload[j: j + 1].isspace():
+                j += 1
+            if payload[j: j + 1] == b"#":
+                while payload[j] != 0x0A:
+                    j += 1
+                continue
+            while not payload[j: j + 1].isspace():
+                j += 1
+            fields += 1
+        i = j + 1 + w * h * 3
+    return frames
+
+
+def synth_video_payload(doc_id: int) -> bytes:
+    """Deterministic frame stream for doc_id: 2+id%6 frames of
+    (3+id%4) x 2 pixels; frame f's logical byte i =
+    (id*13 + f*7 + i) % 256. Closed-form for the oracle."""
+    n_frames = 2 + doc_id % 6
+    w, h = 3 + doc_id % 4, 2
+    out = []
+    for f in range(n_frames):
+        rgb = bytes((doc_id * 13 + f * 7 + i) % 256 for i in range(w * h * 3))
+        out.append(b"P6\n%d %d\n255\n" % (w, h) + rgb)
+    return b"".join(out)
+
+
+def synth_video_payloads(df: DataFrame) -> DataFrame:
+    """doc_id frame -> (doc_id, payload) with real frame-stream bytes."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": ids.map(synth_video_payload)}
+            )
+
+    return df.mapInPandas(_gen, PAYLOAD_SCHEMA)
+
+
+def decode_video_meta(df: DataFrame, k_frames: int = 2) -> DataFrame:
+    """REAL video path: parse the frame stream, sample k evenly-spaced
+    frames (index rule ``f_j = j * (n-1) // (k-1)``, the same rule the
+    index-only twin datapipe_frame_sample uses), decode those frames
+    and emit their pixel stats."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_frames", "width", "height",
+                "sampled_frame_ids", "sampled_byte_sum",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = decode_video_frames(bytes(payload))
+                n = len(frames)
+                if k_frames == 1 or n == 1:
+                    picks = [0]
+                else:
+                    picks = sorted(
+                        {j * (n - 1) // (k_frames - 1) for j in range(k_frames)}
+                    )
+                out["doc_id"].append(int(doc_id))
+                out["n_frames"].append(n)
+                out["width"].append(frames[0][0])
+                out["height"].append(frames[0][1])
+                out["sampled_frame_ids"].append(picks)
+                out["sampled_byte_sum"].append(
+                    sum(sum(frames[p][2]) for p in picks)
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_decode, DECODED_VIDEO_SCHEMA)
+
+
 def fake_decode_meta(df: DataFrame) -> DataFrame:
     """Deterministic 'decode': byte length, first byte, fake dims
     derived from the payload — exercises the exact mapInPandas shape a

@@ -32,9 +32,14 @@ from pyspark.sql import functions as F
 from ..functions.hashing import DEFAULT_SALTS, minhash_expr, text_sha256
 from ..functions.multimodal import (
     binary_payload,
+    decode_audio_meta,
     decode_image_meta,
+    decode_resize_meta,
+    decode_video_meta,
     fake_decode_meta,
+    synth_audio_payloads,
     synth_image_payloads,
+    synth_video_payloads,
 )
 from ..functions.text import (
     BPE_ISH_PATTERN,
@@ -814,6 +819,96 @@ def datapipe_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesizer swapped for a real blob column."""
     df = load(spark, sf_dir, "documents").select("doc_id")
     return decode_image_meta(synth_image_payloads(df))
+
+
+@query(
+    "datapipe_image_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_sum(flatten(list_transform(range(0, 2), y ->
+                flatten(list_transform(range(0, 2), x ->
+                    list_transform(range(0, 3), c ->
+                        (doc_id * 31
+                         + (((y * (3 + doc_id % 5)) // 2)
+                              * (4 + doc_id % 8)
+                            + (x * (4 + doc_id % 8)) // 2) * 3
+                         + c) % 256
+                    )))))) AS BIGINT) AS rs_byte_sum,
+           CAST(doc_id * 31 % 256 AS INTEGER) AS rs_top_left_r,
+           CAST((doc_id * 31
+                 + ((((3 + doc_id % 5) // 2) * (4 + doc_id % 8)
+                     + (4 + doc_id % 8) // 2) * 3 + 2)) % 256
+                AS INTEGER) AS rs_bottom_right_b
+    FROM documents
+    """,
+)
+def datapipe_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + nearest-neighbor resize to 2x2 in one Arrow map stage —
+    the preprocess step of an image training pipeline (decode, resize,
+    featurize) with the resize floor-mapping recomputed closed-form by
+    the oracle. Same no-shuffle scale shape as the decode query."""
+    df = load(spark, sf_dir, "documents").select("doc_id")
+    return decode_resize_meta(synth_image_payloads(df))
+
+
+@query(
+    "datapipe_video_frame_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 + doc_id % 6 AS INTEGER) AS n_frames,
+           CAST(3 + doc_id % 4 AS INTEGER) AS width,
+           CAST(2 AS INTEGER) AS height,
+           [CAST(0 AS INTEGER), CAST(1 + doc_id % 6 AS INTEGER)]
+               AS sampled_frame_ids,
+           CAST(list_sum(list_transform(range(0, (3 + doc_id % 4) * 6),
+                    i -> (doc_id * 13 + i) % 256))
+                + list_sum(list_transform(range(0, (3 + doc_id % 4) * 6),
+                    i -> (doc_id * 13 + (1 + doc_id % 6) * 7 + i) % 256))
+               AS BIGINT) AS sampled_byte_sum
+    FROM documents
+    """,
+)
+def datapipe_video_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: parse a concatenated-PPM frame
+    stream (the ffmpeg image2pipe convention) per doc, pick 2
+    evenly-spaced frames with the same index rule as the index-only
+    twin datapipe_frame_sample, and decode the sampled frames' pixels
+    — all in one Arrow map stage. Oracle recomputes frame count,
+    dims, sampled indices, and sampled pixel sums closed-form from
+    the generator rule; any frame-boundary or header-scan mistake in
+    the stream parser breaks the hash."""
+    df = load(spark, sf_dir, "documents").select("doc_id")
+    return decode_video_meta(synth_video_payloads(df), k_frames=2)
+
+
+@query(
+    "datapipe_audio_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 + 1000 * (doc_id % 3) AS INTEGER) AS sample_rate,
+           CAST(20 + doc_id % 13 AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(range(0, 20 + doc_id % 13),
+                i -> abs(((doc_id * 37 + i * 11) % 4001) - 2000)))
+               AS BIGINT) AS amp_sum,
+           CAST(list_aggregate(list_transform(range(0, 20 + doc_id % 13),
+                i -> abs(((doc_id * 37 + i * 11) % 4001) - 2000)), 'max')
+               AS INTEGER) AS amp_max,
+           CAST(((doc_id * 37) % 4001) - 2000 AS INTEGER) AS first_sample,
+           CAST(((doc_id * 37 + (19 + doc_id % 13) * 11) % 4001) - 2000
+                AS INTEGER) AS last_sample
+    FROM documents
+    """,
+)
+def datapipe_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: synthesize genuine RIFF/WAVE
+    PCM16 payloads into a binary column, parse them back with the
+    pure-Python chunk walker (functions/multimodal.py:decode_audio),
+    emit rate + amplitude stats. Oracle recomputes every stat from
+    the generator's closed-form sample rule — a chunk-offset or
+    endianness mistake breaks the hash. Same Arrow map-only scale
+    shape as the image decode."""
+    df = load(spark, sf_dir, "documents").select("doc_id")
+    return decode_audio_meta(synth_audio_payloads(df))
 
 
 # --------------------------------------------------------------------

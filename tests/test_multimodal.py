@@ -9,8 +9,12 @@ import struct
 import pytest
 
 from big_data_backblaze_hard_drive_failure_spark.functions.multimodal import (
+    decode_audio,
     decode_image,
     encode_bmp,
+    encode_wav,
+    resize_nearest,
+    synth_audio_payload,
     synth_image_payload,
 )
 
@@ -53,6 +57,75 @@ def test_ppm_with_comment():
 def test_unsupported_container_raises():
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0JFIF-like")
+
+
+def test_wav_roundtrip():
+    samples = [0, -2000, 1999, 32767, -32768, 5]
+    rate, out = decode_audio(encode_wav(11025, samples))
+    assert (rate, out) == (11025, samples)
+
+
+def test_wav_extra_chunk_and_odd_padding():
+    # RIFF walkers must skip unknown chunks and honor 2-byte alignment
+    wav = bytearray(encode_wav(8000, [1, 2, 3]))
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOX" + b"\x00"  # odd size + pad
+    insert_at = 12  # right after RIFF....WAVE
+    wav[insert_at:insert_at] = extra
+    struct.pack_into("<I", wav, 4, len(wav) - 8)
+    rate, out = decode_audio(bytes(wav))
+    assert (rate, out) == (8000, [1, 2, 3])
+
+
+def test_wav_unsupported_container_raises():
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04mp3-like-bytes")
+
+
+def test_synth_audio_payload_obeys_sample_rule():
+    for doc_id in (0, 1, 5, 12):
+        rate, samples = decode_audio(synth_audio_payload(doc_id))
+        assert rate == 8000 + 1000 * (doc_id % 3)
+        n = 20 + doc_id % 13
+        assert samples == [((doc_id * 37 + i * 11) % 4001) - 2000 for i in range(n)]
+
+
+def test_resize_nearest_floor_mapping():
+    # 4x2 -> 2x2: output (x,y) samples source (x*4//2, y*2//2)=(2x, y)
+    w, h = 4, 2
+    rgb = bytes(range(w * h * 3))
+    rs = resize_nearest(w, h, rgb, 2, 2)
+    expect = b"".join(
+        rgb[(sy * w + sx) * 3: (sy * w + sx) * 3 + 3]
+        for sy, sx in [(0, 0), (0, 2), (1, 0), (1, 2)]
+    )
+    assert rs == expect
+
+
+def test_video_frame_stream_roundtrip():
+    from big_data_backblaze_hard_drive_failure_spark.functions.multimodal import (
+        decode_video_frames,
+        synth_video_payload,
+    )
+
+    for doc_id in (0, 3, 5, 11):
+        frames = decode_video_frames(synth_video_payload(doc_id))
+        assert len(frames) == 2 + doc_id % 6
+        w, h = 3 + doc_id % 4, 2
+        for f, (fw, fh, rgb) in enumerate(frames):
+            assert (fw, fh) == (w, h)
+            assert list(rgb) == [
+                (doc_id * 13 + f * 7 + i) % 256 for i in range(w * h * 3)
+            ]
+
+
+def test_video_bad_frame_boundary_raises():
+    from big_data_backblaze_hard_drive_failure_spark.functions.multimodal import (
+        decode_video_frames,
+    )
+
+    good = b"P6\n2 1\n255\n" + bytes(6)
+    with pytest.raises(ValueError):
+        decode_video_frames(good + b"JUNK")
 
 
 def test_synth_payload_mixes_containers_and_obeys_byte_rule():
