@@ -180,6 +180,8 @@ def main() -> int:
         "datapipe_lsh_buckets", "datapipe_neardup_components",
         "datapipe_knn_lsh", "datapipe_knn_ivf",
         "datapipe_lang_id", "datapipe_token_count_regex",
+        "datapipe_multimodal_decode", "datapipe_embedding_quantize",
+        "datapipe_hamming_neardup",
         "mlops_train_eval", "mlops_score_pandas_udf",
         "mlops_pr_at_thresholds", "io_parquet_roundtrip",
     ]

@@ -53,3 +53,35 @@ def save_model_artifact(path: str, model: LinearModel) -> None:
 def load_model_artifact(path: str) -> LinearModel:
     with open(path) as f:
         return LinearModel.from_dict(json.load(f))
+
+
+def save_ann_index_artifact(
+    path: str,
+    centroids: "list[list[float]]",
+    metric: str = "l2",
+    extra: dict[str, Any] | None = None,
+) -> None:
+    """ANN index artifact: IVF centroids as JSON — O(k * dim), a
+    driver-side policy artifact like the model file. Build the index
+    once, ship the artifact, and any later job (batch scoring, online
+    lookup) assigns cells with a pure JVM expression instead of
+    re-running k-means over the corpus."""
+    payload = {
+        "kind": "ivf_centroids",
+        "metric": metric,
+        "k_cells": len(centroids),
+        "dim": len(centroids[0]) if centroids else 0,
+        "centroids": [[float(v) for v in c] for c in centroids],
+        **(extra or {}),
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(payload, f)
+
+
+def load_ann_index_artifact(path: str) -> dict[str, Any]:
+    with open(path) as f:
+        payload = json.load(f)
+    if payload.get("kind") != "ivf_centroids":
+        raise ValueError(f"not an ANN index artifact: {path}")
+    return payload

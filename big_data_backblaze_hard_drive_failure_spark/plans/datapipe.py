@@ -549,6 +549,124 @@ def datapipe_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "datapipe_embedding_quantize",
+    oracle="""
+    WITH dims AS (
+        SELECT d.d AS dim, max(abs(CAST(e.embedding[d.d] AS DOUBLE))) AS s
+        FROM embeddings e, (SELECT unnest(range(1, 65)) AS d) d
+        GROUP BY 1
+    ), sc AS (
+        SELECT list(CASE WHEN s = 0 THEN 1 ELSE s END ORDER BY dim)
+                   AS scales
+        FROM dims
+    )
+    SELECT e.vec_id,
+           list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(floor(CAST(127 AS DOUBLE)
+                               * CAST(e.embedding[i] AS DOUBLE)
+                               / sc.scales[i]
+                               + CAST(0.5 AS DOUBLE)) AS INTEGER))
+               AS codes
+    FROM embeddings e, sc
+    """,
+)
+def datapipe_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization — the standard 4x embedding
+    compression before ANN at scale. Per-dim max-abs scales come from
+    one posexplode + 64-group agg (map-side combinable, 64-row
+    result), broadcast back as a 1-row array; codes are a pure
+    zip_with map. Rounding is floor(x + 0.5) — identical IEEE double
+    ops in both engines, so the oracle is bit-exact (Spark ROUND and
+    DuckDB ROUND disagree on half-way rationals; floor does not).
+    Scale: one shuffle of 64 partial maxima, then map-only."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    scales = (
+        emb.select(F.posexplode("v").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(F.max(F.abs(F.col("val"))).alias("s"))
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("ds"))
+        .select(
+            F.expr("transform(ds, x -> IF(x.s = 0D, 1D, x.s))").alias("scales")
+        )
+    )
+    return emb.crossJoin(F.broadcast(scales)).select(
+        "vec_id",
+        F.expr(
+            "zip_with(v, scales, (x, s) ->"
+            " CAST(floor(127D * x / s + 0.5D) AS INT))"
+        ).alias("codes"),
+    )
+
+
+_SIGN_SIG_SQL = (
+    "CAST(list_sum(list_transform(range(0, 32), i -> CASE WHEN "
+    "embedding[i + {off}] > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END)) "
+    "AS BIGINT)"
+)
+
+
+@query(
+    "datapipe_hamming_neardup",
+    oracle=f"""
+    WITH sigs AS (
+        SELECT vec_id,
+               {_SIGN_SIG_SQL.format(off=1)} AS sig_lo,
+               {_SIGN_SIG_SQL.format(off=33)} AS sig_hi
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(bit_count(xor(a.sig_lo, b.sig_lo))
+                + bit_count(xor(a.sig_hi, b.sig_hi)) AS INTEGER)
+               AS hamming
+    FROM sigs a JOIN sigs b
+      ON (a.sig_lo & 255) = (b.sig_lo & 255) AND a.vec_id < b.vec_id
+    """,
+)
+def datapipe_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit Hamming candidate generation — binarize each embedding
+    to 64 sign bits (each bit IS a random-hyperplane LSH hash of the
+    vector), band on the low 8 bits, and compute exact Hamming
+    distance only inside buckets. The pair space is never
+    materialized: candidates are the ~N^2/256 band collisions, not
+    N^2 (widen the band for bigger corpora — each extra band bit
+    halves candidates). Signature build is a pure JVM map; the only
+    shuffle is the band-key join."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+
+    def sig(offset: int) -> Column:
+        return F.expr(
+            f"aggregate(zip_with(slice(v, {offset}, 32), sequence(0, 31),"
+            " (x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)),"
+            " 0L, (a, b) -> a + b)"
+        )
+
+    sigs = emb.select(
+        "vec_id", sig(1).alias("sig_lo"), sig(33).alias("sig_hi")
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.expr("a.sig_lo & 255") == F.expr("b.sig_lo & 255"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (
+                F.expr("bit_count(a.sig_lo ^ b.sig_lo)")
+                + F.expr("bit_count(a.sig_hi ^ b.sig_hi)")
+            ).cast("int").alias("hamming"),
+        )
+    )
+
+
 # Memoized BRP-LSH fit, same rationale as _IVF_CENTROIDS below: the
 # fit (random hyperplane draw) is seeded and input-independent in
 # everything but the vector dimension, yet costs a full MLlib fit job

@@ -95,6 +95,54 @@ def test_artifact_roundtrip(tmp_path):
     assert m == MODEL
 
 
+def test_ann_index_artifact_roundtrip_and_reuse(spark, sf_smoke, tmp_path):
+    """Build the IVF index once, persist it, and verify a 'later job'
+    assigns identical cells from the loaded artifact — the index-reuse
+    contract of a production ANN pipeline."""
+    from pyspark.sql import functions as F
+
+    from big_data_backblaze_hard_drive_failure_spark.ml.artifacts import (
+        load_ann_index_artifact,
+        save_ann_index_artifact,
+    )
+    from big_data_backblaze_hard_drive_failure_spark.plans.datapipe import (
+        _ivf_cell_expr,
+        _ivf_fit_centroids,
+    )
+    from big_data_backblaze_hard_drive_failure_spark.functions.vector import (
+        as_double_array,
+    )
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import load
+
+    centroids = _ivf_fit_centroids(spark, sf_smoke, k_cells=8)
+    path = tmp_path / "ivf.json"
+    save_ann_index_artifact(str(path), centroids, extra={"corpus": "sf0.001"})
+    loaded = load_ann_index_artifact(str(path))
+    assert loaded["k_cells"] == len(centroids)
+    assert loaded["dim"] == len(centroids[0])
+    assert loaded["centroids"] == centroids  # JSON float round-trip exact
+
+    emb = load(spark, sf_smoke, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    fresh = emb.select("vec_id", _ivf_cell_expr(centroids).alias("cell"))
+    reused = emb.select(
+        "vec_id", _ivf_cell_expr(loaded["centroids"]).alias("cell")
+    )
+    mismatches = (
+        fresh.alias("f")
+        .join(reused.alias("r"), "vec_id")
+        .filter(F.col("f.cell") != F.col("r.cell"))
+        .count()
+    )
+    assert mismatches == 0
+
+    with pytest.raises(ValueError, match="not an ANN index"):
+        bad = tmp_path / "bad.json"
+        bad.write_text('{"kind": "other"}')
+        load_ann_index_artifact(str(bad))
+
+
 def test_guarded_to_pandas_cap(spark, sf_smoke):
     from big_data_backblaze_hard_drive_failure_spark.sources.catalog import load
 
