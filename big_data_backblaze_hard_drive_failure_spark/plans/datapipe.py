@@ -1000,6 +1000,57 @@ def datapipe_video_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "datapipe_multimodal_curation",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(4 + doc_id % 8 AS INTEGER) AS width,
+           CAST(3 + doc_id % 5 AS INTEGER) AS height,
+           CAST(list_sum(list_transform(
+                    range(0, (4 + doc_id % 8) * (3 + doc_id % 5) * 3),
+                    i -> (doc_id * 31 + i) % 256))
+                // ((4 + doc_id % 8) * (3 + doc_id % 5) * 3)
+               AS BIGINT) AS mean_pixel
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 5
+      AND (4 + doc_id % 8) * (3 + doc_id % 5) >= 24
+      AND list_sum(list_transform(
+              range(0, (4 + doc_id % 8) * (3 + doc_id % 5) * 3),
+              i -> (doc_id * 31 + i) % 256))
+          // ((4 + doc_id % 8) * (3 + doc_id % 5) * 3) BETWEEN 64 AND 192
+    """,
+)
+def datapipe_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal curation capstone: join per-doc TEXT quality
+    (JVM-side token count) with REAL decoded IMAGE stats (the Arrow
+    decode stage) and keep docs passing both modality gates — minimum
+    caption length, minimum resolution, mid-range mean brightness
+    (integer division keeps it exact). Shape at 100 TB: the image
+    branch is map-only over the same scan, the join is a same-key
+    hash join on doc_id, filters push into both branches. This is the
+    image-text pair filtering step of a multimodal pretraining
+    pipeline (CLIP/LAION-style) with the synthesizer standing in for
+    the blob column."""
+    t = tokens("text")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(t).alias("n_tokens")
+    )
+    imgs = decode_image_meta(synth_image_payloads(docs.select("doc_id")))
+    return (
+        docs.join(imgs, "doc_id")
+        .withColumn(
+            "mean_pixel", F.expr("pixel_byte_sum div (n_pixels * 3)")
+        )
+        .filter(
+            (F.col("n_tokens") >= 5)
+            & (F.col("n_pixels") >= 24)
+            & F.col("mean_pixel").between(64, 192)
+        )
+        .select("doc_id", "n_tokens", "width", "height", "mean_pixel")
+    )
+
+
+@query(
     "datapipe_audio_decode",
     oracle="""
     SELECT doc_id,

@@ -128,6 +128,53 @@ def test_video_bad_frame_boundary_raises():
         decode_video_frames(good + b"JUNK")
 
 
+def test_streaming_decode_matches_batch(spark, sf_smoke, tmp_path):
+    """The Arrow decode stage runs unchanged on a stream (Structured
+    Streaming's unified model): stream the documents fixture, synth +
+    decode, and compare against the batch result."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from big_data_backblaze_hard_drive_failure_spark.functions.multimodal import (
+        decode_image_meta,
+        synth_image_payloads,
+    )
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import load
+
+    batch = decode_image_meta(
+        synth_image_payloads(
+            load(spark, sf_smoke, "documents").select("doc_id")
+        )
+    )
+    want = {r["doc_id"]: r["pixel_byte_sum"] for r in batch.collect()}
+
+    schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_smoke)
+        .select("doc_id")
+    )
+    decoded = decode_image_meta(synth_image_payloads(stream))
+    sink = f"mm_{uuid.uuid4().hex[:8]}"
+    q = (
+        decoded.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["pixel_byte_sum"]
+        for r in spark.sql(f"SELECT doc_id, pixel_byte_sum FROM {sink}").collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_synth_payload_mixes_containers_and_obeys_byte_rule():
     for doc_id in range(7):
         payload = synth_image_payload(doc_id)
