@@ -111,33 +111,47 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
                 rgb[j], rgb[j + 1], rgb[j + 2] = r, g, b
         return width, height, bytes(rgb)
     if payload[:2] == b"P6":
-        # header: "P6" <ws> width <ws> height <ws> maxval <single ws>
-        fields: list[int] = []
-        i = 2
-        while len(fields) < 3:
-            while i < len(payload) and payload[i: i + 1].isspace():
-                i += 1
-            if payload[i: i + 1] == b"#":  # comment to end of line
-                while i < len(payload) and payload[i] != 0x0A:
-                    i += 1
-                continue
-            j = i
-            while j < len(payload) and not payload[j: j + 1].isspace():
-                j += 1
-            fields.append(int(payload[i:j]))
-            i = j
-        i += 1  # the single whitespace after maxval
-        width, height, maxval = fields
-        if maxval > 255:
-            raise NotImplementedError("16-bit PPM not supported")
-        rgb = payload[i: i + width * height * 3]
-        if len(rgb) != width * height * 3:
-            raise ValueError("truncated PPM pixel data")
+        width, height, rgb, _ = _parse_ppm(payload, 0)
         return width, height, rgb
     raise NotImplementedError(
         "unsupported image container (JPEG/PNG need codec libs absent "
         "from this environment); supported: 24-bit BMP, binary PPM"
     )
+
+
+def _parse_ppm(payload: bytes, start: int) -> tuple[int, int, bytes, int]:
+    """Parse one binary-PPM (P6) image at ``start``; returns
+    (width, height, rgb, end_offset) with ``end_offset`` one past the
+    pixel data — the single header scanner shared by the still-image
+    and frame-stream decoders, bounds-checked throughout."""
+    if payload[start: start + 2] != b"P6":
+        raise ValueError(f"bad PPM magic at offset {start}")
+    # header: "P6" <ws> width <ws> height <ws> maxval <single ws>
+    fields: list[int] = []
+    i = start + 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i: i + 1].isspace():
+            i += 1
+        if payload[i: i + 1] == b"#":  # comment to end of line
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j: j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    width, height, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    end = i + width * height * 3
+    rgb = payload[i:end]
+    if len(rgb) != width * height * 3:
+        raise ValueError("truncated PPM pixel data")
+    return width, height, rgb, end
 
 
 # Schema of the REAL-decode record batch (decode_image over BMP/PPM)
@@ -174,19 +188,23 @@ def synth_image_payload(doc_id: int) -> bytes:
     return encode_bmp(w, h, rgb)
 
 
-def synth_image_payloads(df: DataFrame) -> DataFrame:
-    """doc_id frame -> (doc_id, payload) with real BMP/PPM bytes in a
-    binary column, Arrow-batched (the production shape: blobs live in
-    a binary column next to their key, never driver-side)."""
+def _synth_payloads(df: DataFrame, payload_fn) -> DataFrame:
+    """doc_id frame -> (doc_id, payload) with real container bytes in
+    a binary column, Arrow-batched (the production shape: blobs live
+    in a binary column next to their key, never driver-side)."""
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame(
-                {"doc_id": ids, "payload": ids.map(synth_image_payload)}
+                {"doc_id": ids, "payload": ids.map(payload_fn)}
             )
 
     return df.mapInPandas(_gen, PAYLOAD_SCHEMA)
+
+
+def synth_image_payloads(df: DataFrame) -> DataFrame:
+    return _synth_payloads(df, synth_image_payload)
 
 
 def decode_image_meta(df: DataFrame) -> DataFrame:
@@ -335,15 +353,7 @@ def synth_audio_payload(doc_id: int) -> bytes:
 
 def synth_audio_payloads(df: DataFrame) -> DataFrame:
     """doc_id frame -> (doc_id, payload) with real WAV bytes."""
-
-    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["doc_id"].astype("int64")
-            yield pd.DataFrame(
-                {"doc_id": ids, "payload": ids.map(synth_audio_payload)}
-            )
-
-    return df.mapInPandas(_gen, PAYLOAD_SCHEMA)
+    return _synth_payloads(df, synth_audio_payload)
 
 
 def decode_audio_meta(df: DataFrame) -> DataFrame:
@@ -394,24 +404,8 @@ def decode_video_frames(payload: bytes) -> "list[tuple[int, int, bytes]]":
     frames = []
     i = 0
     while i < len(payload):
-        if payload[i: i + 2] != b"P6":
-            raise ValueError(f"bad frame magic at offset {i}")
-        w, h, rgb = decode_image(payload[i:])
+        w, h, rgb, i = _parse_ppm(payload, i)
         frames.append((w, h, rgb))
-        # advance past this frame: header ends one byte before pixel
-        # data; recompute its length by re-scanning the three fields
-        j, fields = i + 2, 0
-        while fields < 3:
-            while payload[j: j + 1].isspace():
-                j += 1
-            if payload[j: j + 1] == b"#":
-                while payload[j] != 0x0A:
-                    j += 1
-                continue
-            while not payload[j: j + 1].isspace():
-                j += 1
-            fields += 1
-        i = j + 1 + w * h * 3
     return frames
 
 
@@ -430,15 +424,7 @@ def synth_video_payload(doc_id: int) -> bytes:
 
 def synth_video_payloads(df: DataFrame) -> DataFrame:
     """doc_id frame -> (doc_id, payload) with real frame-stream bytes."""
-
-    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["doc_id"].astype("int64")
-            yield pd.DataFrame(
-                {"doc_id": ids, "payload": ids.map(synth_video_payload)}
-            )
-
-    return df.mapInPandas(_gen, PAYLOAD_SCHEMA)
+    return _synth_payloads(df, synth_video_payload)
 
 
 def decode_video_meta(df: DataFrame, k_frames: int = 2) -> DataFrame:

@@ -680,8 +680,14 @@ _BRP_LSH_MODELS: dict[tuple[str, str], object] = {}
 def _brp_lsh_fit(spark: SparkSession, sf_dir: str, emb: DataFrame):
     from pyspark.ml.feature import BucketedRandomProjectionLSH
 
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, os.path.realpath(sf_dir))
     if key not in _BRP_LSH_MODELS:
+        # evict entries from other (stopped) sessions: their JVM
+        # handles are dead and would otherwise accumulate unbounded
+        # across session restarts in one long-lived process
+        for stale in [k for k in _BRP_LSH_MODELS if k[0] != app_id]:
+            del _BRP_LSH_MODELS[stale]
         lsh = BucketedRandomProjectionLSH(
             inputCol="v", outputCol="h", bucketLength=2.0,
             numHashTables=3, seed=42,

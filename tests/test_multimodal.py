@@ -140,7 +140,10 @@ def test_streaming_decode_matches_batch(spark, sf_smoke, tmp_path):
         decode_image_meta,
         synth_image_payloads,
     )
-    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import load
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import (
+        load,
+        schema_for,
+    )
 
     batch = decode_image_meta(
         synth_image_payloads(
@@ -149,9 +152,8 @@ def test_streaming_decode_matches_batch(spark, sf_smoke, tmp_path):
     )
     want = {r["doc_id"]: r["pixel_byte_sum"] for r in batch.collect()}
 
-    schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(schema_for("documents"))
         .format("parquet")
         .option("pathGlobFilter", "documents.parquet")
         .load(sf_smoke)
