@@ -283,6 +283,59 @@ def decode_resize_meta(df: DataFrame, out_w: int = 2, out_h: int = 2) -> DataFra
     return df.mapInPandas(_go, RESIZED_META_SCHEMA)
 
 
+TOLERANT_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixel_byte_sum", T.LongType()),
+    ]
+)
+
+
+def decode_image_meta_tolerant(df: DataFrame) -> DataFrame:
+    """Error-tolerant decode: at corpus scale some blobs are ALWAYS
+    corrupt, and one bad payload must not kill a 10k-row Arrow batch
+    (let alone the stage). Decode failures are flagged per row
+    (``ok = false``, stats null) so downstream can filter or audit
+    the corrupt subset — the production posture for a 100 TB decode
+    pass, vs decode_image_meta which propagates (fail-fast for
+    pipelines that treat corruption as a data bug)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "ok", "width", "height", "pixel_byte_sum",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(int(doc_id))
+                try:
+                    w, h, rgb = decode_image(bytes(payload))
+                    out["ok"].append(True)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["pixel_byte_sum"].append(sum(rgb))
+                except (ValueError, NotImplementedError, struct.error):
+                    out["ok"].append(False)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["pixel_byte_sum"].append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "ok": pd.Series(out["ok"], dtype="bool"),
+                    "width": pd.Series(out["width"], dtype="Int32"),
+                    "height": pd.Series(out["height"], dtype="Int32"),
+                    "pixel_byte_sum": pd.Series(
+                        out["pixel_byte_sum"], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(_decode, TOLERANT_DECODE_SCHEMA)
+
+
 # --------------------------------------------------------------------
 # Audio: WAV (RIFF little-endian, PCM16 mono) — the classic
 # header-parseable audio container, same pure-Python treatment as BMP.

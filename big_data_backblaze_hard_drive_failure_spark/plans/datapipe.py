@@ -34,6 +34,7 @@ from ..functions.multimodal import (
     binary_payload,
     decode_audio_meta,
     decode_image_meta,
+    decode_image_meta_tolerant,
     decode_resize_meta,
     decode_video_meta,
     fake_decode_meta,
@@ -86,6 +87,54 @@ def datapipe_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keep_id"),
             F.count(F.lit(1)).alias("n_copies"),
         )
+    )
+
+
+@query(
+    "datapipe_incremental_dedup",
+    oracle="""
+    WITH batch AS (
+        SELECT doc_id, source, sha256(text) AS fp,
+               row_number() OVER (PARTITION BY sha256(text)
+                                  ORDER BY doc_id) AS rn
+        FROM documents WHERE source = 'src0'
+    )
+    SELECT b.doc_id, b.source, b.fp
+    FROM batch b
+    WHERE b.rn = 1
+      AND NOT EXISTS (
+          SELECT 1 FROM documents h
+          WHERE h.source <> 'src0' AND sha256(h.text) = b.fp
+      )
+    """,
+)
+def datapipe_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — THE production shape for a corpus
+    that grows daily: dedupe the new batch internally (min-doc_id
+    survivor via a rank-1 window) then LEFT ANTI join against the
+    history's fingerprints, so only never-seen content lands. Shuffle
+    is O(batch + history fingerprints), not O(corpus text); at 100 TB
+    the history side is a bucketed fingerprint table and the anti
+    join stays co-partitioned. Here 'src0' plays the new batch and
+    the other sources play history."""
+    docs = load(spark, sf_dir, "documents")
+    batch = (
+        docs.filter(F.col("source") == "src0")
+        .select("doc_id", "source", text_sha256("text").alias("fp"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("fp").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    history = docs.filter(F.col("source") != "src0").select(
+        text_sha256("text").alias("fp")
+    )
+    return batch.join(history, "fp", "left_anti").select(
+        "doc_id", "source", "fp"
     )
 
 
@@ -943,6 +992,44 @@ def datapipe_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesizer swapped for a real blob column."""
     df = load(spark, sf_dir, "documents").select("doc_id")
     return decode_image_meta(synth_image_payloads(df))
+
+
+@query(
+    "datapipe_multimodal_decode_tolerant",
+    oracle="""
+    SELECT doc_id,
+           doc_id % 7 <> 0 AS ok,
+           CASE WHEN doc_id % 7 <> 0
+                THEN CAST(4 + doc_id % 8 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 7 <> 0
+                THEN CAST(3 + doc_id % 5 AS INTEGER) END AS height,
+           CASE WHEN doc_id % 7 <> 0
+                THEN CAST(list_sum(list_transform(
+                         range(0, (4 + doc_id % 8) * (3 + doc_id % 5) * 3),
+                         i -> (doc_id * 31 + i) % 256)) AS BIGINT)
+           END AS pixel_byte_sum
+    FROM documents
+    """,
+)
+def datapipe_multimodal_decode_tolerant(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corruption-tolerant decode: every 7th payload is truncated to
+    10 bytes (JVM-side substring on the binary column — deterministic
+    stand-in for real-world corrupt blobs), and the tolerant decoder
+    flags those rows (ok=false, stats null) instead of failing the
+    batch. The oracle recomputes both branches closed-form. At 100 TB
+    this is the difference between a decode pass that finishes with
+    an audit trail and one that dies on the first bad blob."""
+    df = load(spark, sf_dir, "documents").select("doc_id")
+    payloads = synth_image_payloads(df).withColumn(
+        "payload",
+        F.expr(
+            "CASE WHEN doc_id % 7 = 0 THEN substring(payload, 1, 10) "
+            "ELSE payload END"
+        ),
+    )
+    return decode_image_meta_tolerant(payloads)
 
 
 @query(

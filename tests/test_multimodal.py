@@ -177,6 +177,20 @@ def test_streaming_decode_matches_batch(spark, sf_smoke, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_tolerant_decode_flags_corrupt_rows(spark):
+    from big_data_backblaze_hard_drive_failure_spark.functions.multimodal import (
+        decode_image_meta_tolerant,
+    )
+
+    good = synth_image_payload(1)
+    rows = [(1, good), (2, good[:10]), (3, b"garbage")]
+    df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+    got = {r["doc_id"]: r for r in decode_image_meta_tolerant(df).collect()}
+    assert got[1]["ok"] and got[1]["width"] == 5
+    assert not got[2]["ok"] and got[2]["width"] is None
+    assert not got[3]["ok"] and got[3]["pixel_byte_sum"] is None
+
+
 def test_synth_payload_mixes_containers_and_obeys_byte_rule():
     for doc_id in range(7):
         payload = synth_image_payload(doc_id)
