@@ -2543,3 +2543,29 @@ def star_sample_by_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_sampled")
     )
+
+
+# --------------------------------------------------------------------
+# Correlated LATERAL join (SQL:2016 LATERAL, Spark 3.2+/DuckDB): the
+# "top-N related rows per outer row" idiom in its declarative form.
+# Catalyst decorrelates the limit-2 subquery (DomainJoin rewrite)
+# instead of nested-looping the customer scan per nation; the
+# DataFrame twin of the same shape is star_topk_per_segment's
+# rank-pushdown window. One shared SQL string serves both engines.
+# --------------------------------------------------------------------
+_LATERAL_SQL = """
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2
+    ) t
+"""
+
+
+@query("star_lateral_topn", oracle=_LATERAL_SQL)
+def star_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all(spark, sf_dir, tables=["nation", "customer"])
+    return spark.sql(_LATERAL_SQL)
