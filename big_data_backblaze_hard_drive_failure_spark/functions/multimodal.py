@@ -101,6 +101,13 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
         top_down = height < 0
         height = abs(height)
         row_size = (width * 3 + 3) & ~3
+        # validate claimed dims against the actual payload BEFORE
+        # allocating: a bit-flipped header claiming 2^31 x 2^31 must
+        # raise, not near-OOM the worker on a bogus allocation
+        if width <= 0 or height <= 0:
+            raise ValueError(f"bad BMP dimensions {width}x{height}")
+        if offset + row_size * height > len(payload):
+            raise ValueError("truncated BMP pixel data")
         rgb = bytearray(width * height * 3)
         for row in range(height):
             y = row if top_down else height - 1 - row
@@ -294,14 +301,29 @@ TOLERANT_DECODE_SCHEMA = T.StructType(
 )
 
 
+def _try_decode_image(payload) -> tuple[bool, "int | None", "int | None", "bytes | None"]:
+    """Failure-normalizing decode shared by the tolerant paths:
+    returns ``(ok, width, height, rgb)`` and NEVER raises on
+    malformed input — null payloads (``bytes(None)`` is TypeError)
+    and every parse failure decode_image classifies (truncation,
+    bogus dims, unsupported container) all map to ``ok=False``."""
+    if payload is None:
+        return False, None, None, None
+    try:
+        w, h, rgb = decode_image(bytes(payload))
+        return True, w, h, rgb
+    except (ValueError, NotImplementedError, struct.error, TypeError):
+        return False, None, None, None
+
+
 def decode_image_meta_tolerant(df: DataFrame) -> DataFrame:
     """Error-tolerant decode: at corpus scale some blobs are ALWAYS
-    corrupt, and one bad payload must not kill a 10k-row Arrow batch
-    (let alone the stage). Decode failures are flagged per row
-    (``ok = false``, stats null) so downstream can filter or audit
-    the corrupt subset — the production posture for a 100 TB decode
-    pass, vs decode_image_meta which propagates (fail-fast for
-    pipelines that treat corruption as a data bug)."""
+    corrupt (including null payloads), and one bad row must not kill
+    a 10k-row Arrow batch (let alone the stage). Decode failures are
+    flagged per row (``ok = false``, stats null) so downstream can
+    filter or audit the corrupt subset — the production posture for a
+    100 TB decode pass, vs decode_image_meta which propagates
+    (fail-fast for pipelines that treat corruption as a data bug)."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -309,18 +331,12 @@ def decode_image_meta_tolerant(df: DataFrame) -> DataFrame:
                 "doc_id", "ok", "width", "height", "pixel_byte_sum",
             )}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                ok, w, h, rgb = _try_decode_image(payload)
                 out["doc_id"].append(int(doc_id))
-                try:
-                    w, h, rgb = decode_image(bytes(payload))
-                    out["ok"].append(True)
-                    out["width"].append(w)
-                    out["height"].append(h)
-                    out["pixel_byte_sum"].append(sum(rgb))
-                except (ValueError, NotImplementedError, struct.error):
-                    out["ok"].append(False)
-                    out["width"].append(None)
-                    out["height"].append(None)
-                    out["pixel_byte_sum"].append(None)
+                out["ok"].append(ok)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["pixel_byte_sum"].append(sum(rgb) if ok else None)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(out["doc_id"], dtype="int64"),

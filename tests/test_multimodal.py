@@ -183,12 +183,24 @@ def test_tolerant_decode_flags_corrupt_rows(spark):
     )
 
     good = synth_image_payload(1)
-    rows = [(1, good), (2, good[:10]), (3, b"garbage")]
+    # bit-flipped header claiming absurd dims must be rejected by the
+    # payload-size validation, not attempted as a giant allocation
+    bogus_dims = bytearray(synth_image_payload(1))
+    struct.pack_into("<ii", bogus_dims, 18, 2**31 - 1, 2**31 - 1)
+    rows = [
+        (1, good),
+        (2, good[:10]),
+        (3, b"garbage"),
+        (4, None),
+        (5, bytes(bogus_dims)),
+    ]
     df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
     got = {r["doc_id"]: r for r in decode_image_meta_tolerant(df).collect()}
     assert got[1]["ok"] and got[1]["width"] == 5
     assert not got[2]["ok"] and got[2]["width"] is None
     assert not got[3]["ok"] and got[3]["pixel_byte_sum"] is None
+    assert not got[4]["ok"]  # null payload flagged, batch survives
+    assert not got[5]["ok"]  # bogus dims rejected without allocation
 
 
 def test_synth_payload_mixes_containers_and_obeys_byte_rule():
