@@ -3179,3 +3179,174 @@ def datapipe_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (inter * 1.0 / n_a).alias("containment_a_in_b"),
         )
     )
+
+# --------------------------------------------------------------------
+# BM25 ranking: score every document against a fixed query-term set
+# (Okapi BM25, Lucene IDF variant). Complements TF-IDF top terms
+# above: TF-IDF ranks terms within a doc, BM25 ranks docs for a
+# query — the retrieval primitive a RAG/dedup pipeline runs before
+# the embedding stage.
+#
+# Scale design: the term-filter lands BEFORE the tf group-by, so the
+# shuffled key space is |query_terms| x docs-containing-a-term, not
+# the full token stream; df/avgdl/N are tiny aggregates broadcast as
+# 1-row/|Q|-row frames. One O(tokens) map pass + two small shuffles —
+# the same plan at 100 TB. All counts exact-integer; only the final
+# score is floating point, rounded to 6dp on both engines.
+# --------------------------------------------------------------------
+BM25_TERMS = ("merge", "stream", "hash")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@query(
+    "datapipe_bm25_rank",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(dl * 1.0) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM docs)
+        WHERE tok IN ('merge', 'stream', 'hash')
+        GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf * ({BM25_K1} + 1.0)
+                   / (tf + {BM25_K1}
+                      * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))
+               ) AS bm25
+        FROM tf
+        JOIN df USING (tok)
+        JOIN dl USING (doc_id), stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(bm25, 6) AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def datapipe_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 over the whitespace token stream.
+
+    Reference scope: the reference has no retrieval; this is the
+    beyond-reference text-analysis family (SURVEY §2.14). IDF is the
+    Lucene ``ln((N - df + 0.5)/(df + 0.5) + 1)`` form (always
+    positive), k1=1.2, b=0.75.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    dl = docs.select(
+        "doc_id", F.size("toks").cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl") * 1.0).alias("avgdl"),
+    )  # 1-row, broadcast
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )  # |Q| rows, broadcast
+    term_score = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            + 1.0
+        )
+        * F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------
+# Unigram language-model quality score (CCNet-style perplexity
+# filter): score each document by the mean log-probability of its
+# tokens under the corpus's own unigram distribution. Low scorers
+# are boilerplate/garbage; the canonical pretraining-curation filter
+# after the heuristic gates (datapipe_quality_classifier) and before
+# embedding-based dedup.
+#
+# Scale design: the unigram table is a groupBy(tok) — O(vocab)
+# shuffle with map-side combine; the doc join is an equi-join on tok
+# that AQE sizes (broadcast if the vocab fits, shuffle-hash
+# otherwise — at 100 TB web-scale vocab it shuffles, which is the
+# right plan). No Python, no global sort; perplexity threshold
+# applies as a post-agg filter.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    freq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY tok
+    ),
+    tot AS (SELECT SUM(freq) AS t FROM freq)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(ln(freq * 1.0 / t)), 6) AS avg_logprob
+    FROM toks JOIN freq USING (tok), tot
+    GROUP BY doc_id
+    ORDER BY avg_logprob, doc_id
+    LIMIT 20
+    """,
+)
+def datapipe_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20 lowest-scoring documents under the corpus unigram LM
+    (ascending mean token log-probability — the doc the filter
+    would drop first). AVG of per-token doubles is rounded to 6dp on
+    both engines; token and total counts are exact integers.
+    """
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens("text")).alias("tok"))
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    tot = freq.agg(F.sum("freq").alias("t"))  # 1-row, broadcast
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("freq") * 1.0 / F.col("t"))), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("avg_logprob", "doc_id")
+        .limit(20)
+    )

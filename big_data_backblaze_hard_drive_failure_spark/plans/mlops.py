@@ -714,3 +714,239 @@ def mlops_value_error_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     )
     return s.select("n", (num / den).alias("corr_value_error"))
+
+
+# --------------------------------------------------------------------
+# Deployment drift monitoring (extends reference 06_deployment_code.py
+# metrics): compare the score distribution of the CURRENT serving
+# window against the REFERENCE (training-era) window.
+#
+# Both detectors bin failure_probability into 10 FIXED-width bins —
+# fixed edges (not quantiles) keep the result deterministic and make
+# the whole computation one conditional-aggregation pass: map-side
+# combinable, a 10-row shuffle, scale-free tail. At 100 TB this is
+# the same plan; nothing grows with the data but the scan.
+# --------------------------------------------------------------------
+DRIFT_SPLIT = "2024-01-15"
+
+# bin = least(floor(p*10), 9); smoothing (+0.5 / +5.0) keeps empty
+# bins finite (standard Laplace PSI practice), identically on both
+# engines.
+_PSI_BINS_SQL = f"""
+    SELECT LEAST(CAST(FLOOR(failure_probability * 10) AS BIGINT), 9)
+               AS bin,
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+           CAST(SUM(CASE WHEN ts >= TIMESTAMP '{DRIFT_SPLIT}'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+    FROM ({_SCORED_SQL})
+    GROUP BY bin
+"""
+
+
+@query(
+    "mlops_psi_drift",
+    oracle=f"""
+    WITH bins AS ({_PSI_BINS_SQL}),
+    tot AS (
+        SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM bins
+    )
+    SELECT bin, n_ref, n_cur,
+           ROUND((n_cur + 0.5) / (t_cur + 5.0)
+                 - (n_ref + 0.5) / (t_ref + 5.0), 6) AS p_delta,
+           ROUND(((n_cur + 0.5) / (t_cur + 5.0)
+                  - (n_ref + 0.5) / (t_ref + 5.0))
+                 * ln(((n_cur + 0.5) / (t_cur + 5.0))
+                      / ((n_ref + 0.5) / (t_ref + 5.0))), 6) AS psi_term
+    FROM bins, tot
+    ORDER BY bin
+    """,
+)
+def mlops_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index, per score-decile bin.
+
+    The total PSI is the sum of ``psi_term``; per-bin rows are
+    returned so the monitor can also SAY which deciles moved. One
+    scan, one 10-row shuffle, 1-row totals broadcast back.
+    """
+    scored = scored_frame(spark, sf_dir, via="column")
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+    bins = (
+        scored.select(
+            F.least(
+                F.floor(F.col("failure_probability") * 10).cast("long"),
+                F.lit(9).cast("long"),
+            ).alias("bin"),
+            F.when(F.col("ts") < split, 1).otherwise(0).alias("in_ref"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("in_ref").cast("long").alias("n_ref"),
+            F.sum(1 - F.col("in_ref")).cast("long").alias("n_cur"),
+        )
+    )
+    tot = bins.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )  # 1-row, broadcast
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 5.0)
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 5.0)
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round(p_cur - p_ref, 6).alias("p_delta"),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
+                "psi_term"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "mlops_ks_drift",
+    oracle=f"""
+    WITH bins AS ({_PSI_BINS_SQL}),
+    tot AS (
+        SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM bins
+    ),
+    cdf AS (
+        SELECT bin,
+               SUM(n_ref) OVER (ORDER BY bin) * 1.0 / t_ref AS cdf_ref,
+               SUM(n_cur) OVER (ORDER BY bin) * 1.0 / t_cur AS cdf_cur
+        FROM bins, tot
+    )
+    SELECT CAST(t_ref AS BIGINT) AS n_ref,
+           CAST(t_cur AS BIGINT) AS n_cur,
+           ROUND(MAX(ABS(cdf_ref - cdf_cur)), 6) AS ks_stat
+    FROM cdf, tot
+    GROUP BY t_ref, t_cur
+    """,
+)
+def mlops_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov distance between the two windows' score
+    CDFs, computed on the shared 10-bin histogram (binned KS — the
+    streaming-monitor standard; exact KS would need a global sort of
+    distinct scores, the known-weak mlops_pr_curve shape).
+
+    The cumulative window runs over AT MOST 10 rows — bounded by the
+    bin count, not the data — so the unpartitioned window is
+    scale-free.
+    """
+    scored = scored_frame(spark, sf_dir, via="column")
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+    bins = (
+        scored.select(
+            F.least(
+                F.floor(F.col("failure_probability") * 10).cast("long"),
+                F.lit(9).cast("long"),
+            ).alias("bin"),
+            F.when(F.col("ts") < split, 1).otherwise(0).alias("in_ref"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("in_ref").cast("long").alias("n_ref"),
+            F.sum(1 - F.col("in_ref")).cast("long").alias("n_cur"),
+        )
+    )
+    tot = bins.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = bins.crossJoin(F.broadcast(tot)).select(
+        "t_ref",
+        "t_cur",
+        (F.sum("n_ref").over(w) * 1.0 / F.col("t_ref")).alias("cdf_ref"),
+        (F.sum("n_cur").over(w) * 1.0 / F.col("t_cur")).alias("cdf_cur"),
+    )
+    return cdf.groupBy("t_ref", "t_cur").agg(
+        F.round(F.max(F.abs(F.col("cdf_ref") - F.col("cdf_cur"))), 6).alias(
+            "ks_stat"
+        )
+    ).select(
+        F.col("t_ref").cast("long").alias("n_ref"),
+        F.col("t_cur").cast("long").alias("n_cur"),
+        "ks_stat",
+    )
+
+
+@query(
+    "mlops_lift_gain",
+    oracle=f"""
+    WITH bins AS (
+        SELECT LEAST(CAST(FLOOR(failure_probability * 10) AS BIGINT), 9)
+                   AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(is_error AS BIGINT)) AS BIGINT) AS n_pos
+        FROM ({_SCORED_SQL})
+        GROUP BY bin
+    ),
+    tot AS (SELECT SUM(n) AS t_n, SUM(n_pos) AS t_pos FROM bins),
+    cum AS (
+        SELECT bin, n, n_pos,
+               SUM(n) OVER (ORDER BY bin DESC) AS cum_n,
+               SUM(n_pos) OVER (ORDER BY bin DESC) AS cum_pos
+        FROM bins
+    )
+    SELECT bin, n, n_pos,
+           ROUND(cum_pos * 1.0 / t_pos, 6) AS gain,
+           ROUND((cum_pos * 1.0 / t_pos) / (cum_n * 1.0 / t_n), 6)
+               AS lift
+    FROM cum, tot
+    ORDER BY bin DESC
+    """,
+)
+def mlops_lift_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table by score bin (reference
+    06_deployment_code.py metric family, extended): walking the bins
+    from the highest score down, ``gain`` = share of all positives
+    captured so far, ``lift`` = gain over the share of traffic
+    alerted. Uses the same FIXED decile bins as the drift detectors
+    (equal-population ntile would need a global sort; fixed bins keep
+    it one conditional-agg pass + a window over ≤10 rows).
+    """
+    scored = scored_frame(spark, sf_dir, via="column")
+    bins = (
+        scored.select(
+            F.least(
+                F.floor(F.col("failure_probability") * 10).cast("long"),
+                F.lit(9).cast("long"),
+            ).alias("bin"),
+            F.col("is_error").cast("long").alias("pos"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pos").alias("n_pos"),
+        )
+    )
+    tot = bins.agg(
+        F.sum("n").alias("t_n"), F.sum("n_pos").alias("t_pos")
+    )  # 1-row, broadcast
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n_pos").over(w).alias("cum_pos"),
+        "t_n",
+        "t_pos",
+    )
+    return cum.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(F.col("cum_pos") * 1.0 / F.col("t_pos"), 6).alias("gain"),
+        F.round(
+            (F.col("cum_pos") * 1.0 / F.col("t_pos"))
+            / (F.col("cum_n") * 1.0 / F.col("t_n")),
+            6,
+        ).alias("lift"),
+    ).orderBy(F.col("bin").desc())

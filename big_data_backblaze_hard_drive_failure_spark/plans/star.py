@@ -2569,3 +2569,82 @@ _LATERAL_SQL = """
 def star_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_all(spark, sf_dir, tables=["nation", "customer"])
     return spark.sql(_LATERAL_SQL)
+
+
+# --------------------------------------------------------------------
+# SCD2 dimension build (slowly-changing dimension, type 2): collapse
+# each user's event stream into validity intervals — one row per run
+# of consecutive identical event_type, with [valid_from, valid_to)
+# and an is_current flag on the open interval. The standard
+# warehouse pattern for versioning a dimension from a CDC/event feed
+# (gaps-and-islands via lag + conditional running sum).
+#
+# Scale design: every window is partitioned by user_id — the sort is
+# per-user, the shuffle is one hash exchange on user_id reused by
+# both window passes and the final group-by (same key, Catalyst
+# plans ONE Exchange). Nothing global; skew = one hot user, handled
+# by AQE. [beyond-reference]
+# --------------------------------------------------------------------
+_SCD2_SQL = """
+    WITH flagged AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT user_id, event_type, ts,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS run_id
+        FROM flagged
+    ),
+    versions AS (
+        SELECT user_id, CAST(run_id AS BIGINT) AS version,
+               event_type, MIN(ts) AS valid_from,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM runs
+        GROUP BY user_id, run_id, event_type
+    )
+    SELECT user_id, version, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to,
+           CASE WHEN LEAD(valid_from) OVER (
+                    PARTITION BY user_id ORDER BY version)
+                IS NULL THEN 1 ELSE 0 END AS is_current,
+           n_events
+    FROM versions
+"""
+
+
+@query("star_scd2_history", oracle=_SCD2_SQL)
+def star_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("chg")
+    )
+    runs = events.select(
+        "user_id", "event_type", "ts", "event_id", chg
+    ).withColumn("run_id", F.sum("chg").over(w))
+    versions = runs.groupBy(
+        "user_id", F.col("run_id").cast("long").alias("version"), "event_type"
+    ).agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    valid_to = F.lead("valid_from").over(wv)
+    return versions.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
+        "n_events",
+    )
