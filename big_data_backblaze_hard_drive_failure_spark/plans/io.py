@@ -347,3 +347,90 @@ def io_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("file_name")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+# --------------------------------------------------------------------
+# binaryFile source: Spark's scan for opaque payloads (images, audio
+# — the ingest edge of the multimodal family, which otherwise reads
+# payloads from parquet binary columns). A bounded set of document
+# texts is materialized as one file per doc, re-scanned with
+# format("binaryFile"), and digest-compared against the source table
+# — a correct scan preserves every byte. pathGlobFilter prunes the
+# listing; at scale the source parallelizes by file, so "many small
+# files" is the real layout risk (see datapipe compaction).
+# --------------------------------------------------------------------
+_BINARYFILE_CAP = 24
+
+
+@query(
+    "io_binaryfile_scan",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha
+    FROM documents WHERE doc_id < {_BINARYFILE_CAP}
+    """,
+)
+def io_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir("binaryfile_scan")
+    os.makedirs(path, exist_ok=True)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _BINARYFILE_CAP)
+        .select("doc_id", "text")
+        .collect()  # bounded: < _BINARYFILE_CAP rows, fixture setup only
+    )
+    keep = {f"{r['doc_id']}.bin" for r in docs}
+    for fname in os.listdir(path):  # idempotent reruns, stale-file-safe
+        if fname.endswith(".bin") and fname not in keep:
+            os.remove(os.path.join(path, fname))
+    for r in docs:
+        with open(os.path.join(path, f"{r['doc_id']}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    return back.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("sha"),
+    )
+
+
+# --------------------------------------------------------------------
+# text source/sink: newline-delimited plain text, the rawest corpus
+# interchange format. Write the bounded doc set as .txt part files,
+# re-read with spark.read.text, and profile — the oracle computes the
+# same profile straight from the table (value-neutral round-trip,
+# same contract as the CSV/JSON/ORC/XML roundtrips above).
+# --------------------------------------------------------------------
+@query(
+    "io_text_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents
+    """,
+)
+def io_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir("text_roundtrip")
+    (
+        load(spark, sf_dir, "documents")
+        .select("text")
+        .coalesce(2)
+        .write.mode("overwrite")
+        .text(path)
+    )
+    back = spark.read.text(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).cast("long").alias("total_chars"),
+        F.sum(F.size(F.split(F.col("value"), " ")))
+        .cast("long")
+        .alias("total_tokens"),
+    )
