@@ -545,3 +545,101 @@ def test_sample_by_strata_fractions(spark, sf_smoke):
             assert abs(got[et] - want) <= 0.15 * totals[et] + 5, (
                 et, got[et], want,
             )
+
+
+# ---------------------------------------------------------------
+# invariants for the model-monitoring / retrieval / SCD2 family
+# (cross-engine equality is already pinned by test_oracle_parity;
+# these check the SEMANTIC contracts the oracle can't express)
+# ---------------------------------------------------------------
+def test_psi_drift_partitions_every_event(spark, sf_smoke):
+    import math
+
+    from big_data_backblaze_hard_drive_failure_spark.plans.mlops import (
+        mlops_psi_drift,
+    )
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import load
+
+    rows = mlops_psi_drift(spark, sf_smoke).collect()
+    total = sum(r["n_ref"] + r["n_cur"] for r in rows)
+    assert total == load(spark, sf_smoke, "events").count()
+    assert all(math.isfinite(r["psi_term"]) for r in rows)
+
+
+def test_ks_drift_is_a_distance(spark, sf_smoke):
+    row = __import__(
+        "big_data_backblaze_hard_drive_failure_spark.plans.mlops",
+        fromlist=["mlops_ks_drift"],
+    ).mlops_ks_drift(spark, sf_smoke).collect()[0]
+    assert 0.0 <= row["ks_stat"] <= 1.0
+    assert row["n_ref"] > 0 and row["n_cur"] > 0
+
+
+def test_lift_gain_monotone_and_exhaustive(spark, sf_smoke):
+    from big_data_backblaze_hard_drive_failure_spark.plans.mlops import (
+        mlops_lift_gain,
+    )
+
+    rows = mlops_lift_gain(spark, sf_smoke).collect()  # bin descending
+    gains = [r["gain"] for r in rows]
+    assert gains == sorted(gains), "gain must be cumulative walking down"
+    assert abs(gains[-1] - 1.0) < 1e-9, "walking all bins captures all positives"
+
+
+def test_bm25_returns_docs_containing_query_terms(spark, sf_smoke):
+    from big_data_backblaze_hard_drive_failure_spark.plans.datapipe import (
+        BM25_TERMS,
+        datapipe_bm25_rank,
+    )
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import load
+
+    ranked = datapipe_bm25_rank(spark, sf_smoke).collect()
+    assert ranked and all(r["bm25"] > 0 for r in ranked)
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_smoke, "documents")
+        .filter(F.col("doc_id").isin([r["doc_id"] for r in ranked]))
+        .collect()
+    }
+    for r in ranked:
+        assert any(t in texts[r["doc_id"]].split(" ") for t in BM25_TERMS)
+
+
+def test_unigram_logprob_bounds(spark, sf_smoke):
+    from big_data_backblaze_hard_drive_failure_spark.plans.datapipe import (
+        datapipe_unigram_logprob,
+    )
+
+    rows = datapipe_unigram_logprob(spark, sf_smoke).collect()
+    assert rows and all(r["n_tokens"] > 0 for r in rows)
+    # every token probability < 1 => mean log-prob strictly negative
+    assert all(r["avg_logprob"] < 0 for r in rows)
+
+
+def test_scd2_intervals_tile_each_user_timeline(spark, sf_smoke):
+    from big_data_backblaze_hard_drive_failure_spark.plans.star import (
+        star_scd2_history,
+    )
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import load
+
+    hist = star_scd2_history(spark, sf_smoke).collect()
+    by_user: dict[int, list] = {}
+    for r in hist:
+        by_user.setdefault(r["user_id"], []).append(r)
+    counts = {
+        r["user_id"]: r["n"]
+        for r in load(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: r["version"])
+        assert sum(r["n_events"] for r in rows) == counts[uid]
+        assert sum(r["is_current"] for r in rows) == 1
+        assert rows[-1]["is_current"] == 1 and rows[-1]["valid_to"] is None
+        for a, b in zip(rows, rows[1:]):
+            # half-open intervals tile: next version starts where the
+            # previous one closes, and versions alternate event_type
+            assert a["valid_to"] == b["valid_from"]
+            assert a["event_type"] != b["event_type"]
