@@ -2648,3 +2648,119 @@ def star_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
         "n_events",
     )
+
+
+# --------------------------------------------------------------------
+# Point-in-time (PIT) join against the SCD2 dimension: each probe
+# (user, probe_ts) picks the version whose half-open validity
+# interval contains it — the feature-store join that keeps training
+# data leakage-free (features as-of label time, never later). Probes
+# are the events themselves shifted +12h, so some land in their own
+# version and some in the next: both directions of the interval
+# predicate are exercised.
+#
+# Scale design: equi-join on user_id carries the interval predicate
+# as a post-join filter — per-user version lists are short (bounded
+# by that user's change count), so the range check is cheap inside
+# each matched pair; no interval explosion, no cartesian product.
+# Same shape as star_range_join but against a DERIVED versioned dim.
+# --------------------------------------------------------------------
+_PIT_SQL = f"""
+    WITH versions AS ({_SCD2_SQL}),
+    probes AS (
+        SELECT event_id, user_id, ts + INTERVAL 12 HOUR AS probe_ts
+        FROM events WHERE event_id < 400
+    )
+    SELECT p.event_id, p.user_id, p.probe_ts,
+           v.version, v.event_type AS version_type
+    FROM probes p JOIN versions v
+      ON p.user_id = v.user_id
+     AND p.probe_ts >= v.valid_from
+     AND (v.valid_to IS NULL OR p.probe_ts < v.valid_to)
+"""
+
+
+@query("star_scd2_pit_join", oracle=_PIT_SQL)
+def star_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    versions = star_scd2_history(spark, sf_dir).select(
+        "user_id",
+        "version",
+        F.col("event_type").alias("version_type"),
+        "valid_from",
+        "valid_to",
+    )
+    probes = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 400)
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("ts") + F.expr("INTERVAL 12 HOUR")).alias("probe_ts"),
+        )
+    )
+    return probes.join(
+        versions,
+        on=[
+            probes["user_id"] == versions["user_id"],
+            probes["probe_ts"] >= versions["valid_from"],
+            versions["valid_to"].isNull()
+            | (probes["probe_ts"] < versions["valid_to"]),
+        ],
+    ).select(
+        "event_id",
+        probes["user_id"].alias("user_id"),
+        "probe_ts",
+        "version",
+        "version_type",
+    )
+
+
+# --------------------------------------------------------------------
+# Join-key skew profile: the diagnostic run BEFORE committing to a
+# join strategy — per-key frequency of the prospective join key, its
+# share of the table, and the key-vs-mean hot ratio. The output is
+# what decides between plain shuffle join, AQE skew split, and
+# manual salting (operators/skew.py). One group-by + a 2-row-ish
+# broadcast of the grand totals; top-k via rank pushdown, no global
+# sort.
+# --------------------------------------------------------------------
+@query(
+    "star_skew_profile",
+    oracle="""
+    WITH per_key AS (
+        SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+        SELECT SUM(n) AS total_rows, COUNT(*) AS n_keys FROM per_key
+    )
+    SELECT key, n,
+           ROUND(n * 1.0 / total_rows, 6) AS share,
+           ROUND(n * n_keys * 1.0 / total_rows, 6) AS hot_ratio
+    FROM per_key, tot
+    ORDER BY n DESC, key
+    LIMIT 15
+    """,
+)
+def star_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_key = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = per_key.agg(
+        F.sum("n").alias("total_rows"), F.count(F.lit(1)).alias("n_keys")
+    )  # 1-row, broadcast
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("total_rows"), 6).alias("share"),
+            F.round(
+                F.col("n") * F.col("n_keys") * 1.0 / F.col("total_rows"), 6
+            ).alias("hot_ratio"),
+        )
+        .orderBy(F.col("n").desc(), "key")
+        .limit(15)
+    )
