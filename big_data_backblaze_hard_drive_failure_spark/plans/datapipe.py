@@ -3350,3 +3350,93 @@ def datapipe_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("avg_logprob", "doc_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------
+# Incremental NEAR-dup: dedup an arriving batch against the existing
+# corpus via LSH bucket collisions — the continuous-ingest complement
+# to datapipe_incremental_dedup (exact) and datapipe_neardup_clusters
+# (full-corpus). The batch is docs with doc_id % 10 = 0 (a stable
+# ~10% slice at every SF); the corpus is everything else.
+#
+# The scale property this shape buys: the corpus NEVER joins itself.
+# Band keys are computed for both sides (a production run loads the
+# corpus side from the persisted signature index instead of
+# recomputing — see save_ann_index_artifact for the pattern), the
+# join is new-bands x old-bands on the short band key, and pairwise
+# verification (exact token Jaccard) runs only for each new doc
+# against its MIN colliding partner — O(batch) verifications, not
+# O(batch x corpus).
+# --------------------------------------------------------------------
+@query(
+    "datapipe_incremental_neardup",
+    oracle=f"""
+    WITH sig AS ({_SIG_SQL}),
+    bands AS (
+        SELECT 0 AS band_id, mh0 || mh1 AS band_key, doc_id FROM sig
+        UNION ALL
+        SELECT 1 AS band_id, mh2 || mh3 AS band_key, doc_id FROM sig
+    ),
+    nb AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+    ob AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+    cand AS (
+        SELECT nb.doc_id AS doc_id,
+               CAST(MIN(ob.doc_id) AS BIGINT) AS partner_id,
+               CAST(COUNT(DISTINCT ob.doc_id) AS BIGINT) AS n_old_partners
+        FROM nb JOIN ob USING (band_id, band_key)
+        GROUP BY nb.doc_id
+    ),
+    toks AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+        FROM documents
+    )
+    SELECT doc_id, partner_id, n_old_partners,
+           len(list_intersect(a.ts, b.ts)) * 1.0
+               / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+               AS jaccard
+    FROM cand c
+    JOIN toks a USING (doc_id)
+    JOIN toks b ON b.doc_id = c.partner_id
+    """,
+)
+def datapipe_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.expr(
+            "stack(2, 0, concat(mh0, mh1), 1, concat(mh2, mh3)) "
+            "AS (band_id, band_key)"
+        ),
+    )
+    is_new = F.col("doc_id") % 10 == 0
+    nb = bands.filter(is_new).withColumnRenamed("doc_id", "new_id")
+    ob = bands.filter(~is_new).withColumnRenamed("doc_id", "old_id")
+    cand = (
+        nb.join(ob, ["band_id", "band_key"])
+        .groupBy(F.col("new_id").alias("doc_id"))
+        .agg(
+            F.min("old_id").cast("long").alias("partner_id"),
+            F.countDistinct("old_id").cast("long").alias("n_old_partners"),
+        )
+    )
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(tokens("text")).alias("ts")
+    )
+    a = toks.withColumnRenamed("ts", "ts_a")
+    b = toks.select(
+        F.col("doc_id").alias("partner_id"), F.col("ts").alias("ts_b")
+    )
+    inter = F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b")))
+    return (
+        cand.join(a, "doc_id")
+        .join(b, "partner_id")
+        .select(
+            "doc_id",
+            "partner_id",
+            "n_old_partners",
+            (
+                inter * 1.0
+                / (F.size("ts_a") + F.size("ts_b") - inter)
+            ).alias("jaccard"),
+        )
+    )
