@@ -110,3 +110,38 @@ def session_count_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
             "n_events",
         )
     )
+
+
+def score_histogram_stream(
+    stream: DataFrame, model: LinearModel, split: str = "2024-01-15"
+) -> DataFrame:
+    """Streaming twin of the drift monitor's binning stage
+    (plans.mlops.mlops_psi_drift): running per-bin counts of the
+    scored stream, split into the reference window (ts < split) and
+    the current window. Runs in COMPLETE output mode with NO
+    watermark — correct here because the aggregate's state is
+    bounded by the BIN COUNT (≤10 rows), not by history; this is the
+    small-cardinality-running-aggregate streaming pattern, the
+    opposite end of the spectrum from the watermarked per-key aggs
+    above. The finished histogram must equal the batch query's bins —
+    tests/test_streaming.py::test_streaming_drift_histogram_matches_batch.
+    """
+    scored = score_stream(stream, model)
+    return (
+        scored.select(
+            F.least(
+                F.floor(F.col("failure_probability") * 10).cast("long"),
+                F.lit(9).cast("long"),
+            ).alias("bin"),
+            F.when(
+                F.col("ts") < F.lit(split).cast("timestamp"), 1
+            )
+            .otherwise(0)
+            .alias("in_ref"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("in_ref").cast("long").alias("n_ref"),
+            F.sum(1 - F.col("in_ref")).cast("long").alias("n_cur"),
+        )
+    )

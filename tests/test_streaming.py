@@ -950,3 +950,43 @@ def test_stateful_event_time_timeout_finalizes_sessions(spark, sf_smoke, tmp_pat
     # soundness: no user reports more events than they actually have
     for u, n in got.items():
         assert n <= per_user[u][0]
+
+
+def test_streaming_drift_histogram_matches_batch(spark, sf_smoke, tmp_path):
+    """The drift monitor's binning stage computed ON THE STREAM
+    (complete mode, bin-bounded state) must equal the batch query's
+    histogram exactly — monitoring a live scorer and auditing it
+    offline give one answer."""
+    from big_data_backblaze_hard_drive_failure_spark.plans.mlops import (
+        DRIFT_SPLIT,
+        MODEL,
+        mlops_psi_drift,
+    )
+    from big_data_backblaze_hard_drive_failure_spark.streaming.pipeline import (
+        read_events_stream,
+        score_histogram_stream,
+    )
+
+    hist = score_histogram_stream(
+        read_events_stream(spark, sf_smoke), MODEL, split=DRIFT_SPLIT
+    )
+    sink = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        hist.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_drift"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["bin"]: (r["n_ref"], r["n_cur"])
+        for r in spark.sql(f"SELECT * FROM {sink}").collect()
+    }
+    want = {
+        r["bin"]: (r["n_ref"], r["n_cur"])
+        for r in mlops_psi_drift(spark, sf_smoke).collect()
+    }
+    assert got == want and sum(a + b for a, b in got.values()) > 0
