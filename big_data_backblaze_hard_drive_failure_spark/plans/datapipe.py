@@ -196,14 +196,32 @@ def datapipe_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _signatures(spark, sf_dir)
 
 
+# LSH banding scheme (b=2 bands x r=2 signature rows) — ONE
+# definition shared by every near-dup family member (buckets,
+# clusters, pairs, components, editdist, incremental), with
+# _BANDS_FROM_SIG_SQL as its oracle-side twin over a CTE named
+# ``sig``: changing the scheme is a single edit on each side.
+_BAND_STACK = (
+    "stack(2, 0, concat(mh0, mh1), 1, concat(mh2, mh3)) "
+    "AS (band_id, band_key)"
+)
+_BANDS_FROM_SIG_SQL = """
+        SELECT 0 AS band_id, mh0 || mh1 AS band_key, doc_id FROM sig
+        UNION ALL
+        SELECT 1 AS band_id, mh2 || mh3 AS band_key, doc_id FROM sig
+"""
+
+
+def _bands(sig: DataFrame) -> DataFrame:
+    """One row per (doc, band), keyed by the concatenated band hash —
+    the candidate-generation unit for the whole near-dup family."""
+    return sig.select("doc_id", F.expr(_BAND_STACK))
+
+
 _BANDS_SQL = f"""
     WITH sig AS ({_SIG_SQL})
     SELECT band_id, band_key, COUNT(*) AS n_docs
-    FROM (
-        SELECT 0 AS band_id, mh0 || mh1 AS band_key FROM sig
-        UNION ALL
-        SELECT 1 AS band_id, mh2 || mh3 AS band_key FROM sig
-    )
+    FROM ({_BANDS_FROM_SIG_SQL})
     GROUP BY band_id, band_key
     HAVING COUNT(*) >= 2
 """
@@ -217,13 +235,7 @@ def datapipe_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — the O(n^2) pair space is never materialized; skewed buckets
     (boilerplate docs) are visible right here as outliers and AQE
     splits them in the downstream join."""
-    sig = _signatures(spark, sf_dir)
-    bands = sig.select(
-        F.expr(
-            "stack(2, 0, concat(mh0, mh1), 1, concat(mh2, mh3)) "
-            "AS (band_id, band_key)"
-        )
-    )
+    bands = _bands(_signatures(spark, sf_dir))  # doc_id pruned below
     return (
         bands.groupBy("band_id", "band_key")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -238,11 +250,7 @@ _PAIR_BUCKET_CAP = 16  # pairwise verify only inside small buckets
     "datapipe_neardup_clusters",
     oracle=f"""
     WITH sig AS ({_SIG_SQL}),
-    bands AS (
-        SELECT 0 AS band_id, mh0 || mh1 AS band_key, doc_id FROM sig
-        UNION ALL
-        SELECT 1 AS band_id, mh2 || mh3 AS band_key, doc_id FROM sig
-    ),
+    bands AS ({_BANDS_FROM_SIG_SQL}),
     bucket_min AS (
         SELECT band_id, band_key, MIN(doc_id) AS bucket_rep
         FROM bands GROUP BY band_id, band_key
@@ -264,14 +272,7 @@ def datapipe_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min. The quadratic pair space never exists; mega-clusters of
     boilerplate (which real corpora always have) cost the same as
     singletons. Survivors = docs with rep_id == doc_id."""
-    sig = _signatures(spark, sf_dir)
-    bands = sig.select(
-        F.expr(
-            "stack(2, 0, concat(mh0, mh1), 1, concat(mh2, mh3)) "
-            "AS (band_id, band_key)"
-        ),
-        "doc_id",
-    )
+    bands = _bands(_signatures(spark, sf_dir))
     # bucket minima via WINDOW (not groupBy + join-back) so the
     # signature subtree is evaluated once: one exchange on the band
     # key, one on doc_id
@@ -288,11 +289,7 @@ def datapipe_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "datapipe_neardup_pairs",
     oracle=f"""
     WITH sig AS ({_SIG_SQL}),
-    bands AS (
-        SELECT 0 AS band_id, mh0 || mh1 AS band_key, doc_id FROM sig
-        UNION ALL
-        SELECT 1 AS band_id, mh2 || mh3 AS band_key, doc_id FROM sig
-    ),
+    bands AS ({_BANDS_FROM_SIG_SQL}),
     sized AS (
         SELECT band_id, band_key, doc_id,
                COUNT(*) OVER (PARTITION BY band_id, band_key) AS n_bucket
@@ -330,14 +327,7 @@ def datapipe_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic pair join — the bucket-size gate is what keeps this
     plan's worst case bounded at any corpus size. Exact-integer
     Jaccard -> cross-engine reproducible."""
-    sig = _signatures(spark, sf_dir)
-    bands = sig.select(
-        F.expr(
-            "stack(2, 0, concat(mh0, mh1), 1, concat(mh2, mh3)) "
-            "AS (band_id, band_key)"
-        ),
-        "doc_id",
-    )
+    bands = _bands(_signatures(spark, sf_dir))
 
     w = Window.partitionBy("band_id", "band_key")
     small = bands.withColumn("n_bucket", F.count(F.lit(1)).over(w)).filter(
@@ -1265,14 +1255,7 @@ def datapipe_neardup_components(
 ) -> DataFrame:
     from ..operators.staging import lineage_cut
 
-    sig = _signatures(spark, sf_dir)
-    edges = sig.select(
-        F.expr(
-            "stack(2, 0, concat(mh0, mh1), 1, concat(mh2, mh3)) "
-            "AS (band_id, band_key)"
-        ),
-        "doc_id",
-    ).select(
+    edges = _bands(_signatures(spark, sf_dir)).select(
         F.concat_ws("#", F.col("band_id").cast("string"), "band_key").alias(
             "band"
         ),
@@ -1621,11 +1604,7 @@ def datapipe_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "datapipe_dedup_survivors",
     oracle=f"""
     WITH sig AS ({_SIG_SQL}),
-    bands AS (
-        SELECT 0 AS band_id, mh0 || mh1 AS band_key, doc_id FROM sig
-        UNION ALL
-        SELECT 1 AS band_id, mh2 || mh3 AS band_key, doc_id FROM sig
-    ),
+    bands AS ({_BANDS_FROM_SIG_SQL}),
     bucket_min AS (
         SELECT band_id, band_key, MIN(doc_id) AS bucket_rep
         FROM bands GROUP BY band_id, band_key
@@ -1768,11 +1747,7 @@ _LEV_PREFIX = 200
     "datapipe_neardup_editdist",
     oracle=f"""
     WITH sig AS ({_SIG_SQL}),
-    bands AS (
-        SELECT 0 AS band_id, mh0 || mh1 AS band_key, doc_id FROM sig
-        UNION ALL
-        SELECT 1 AS band_id, mh2 || mh3 AS band_key, doc_id FROM sig
-    ),
+    bands AS ({_BANDS_FROM_SIG_SQL}),
     sized AS (
         SELECT band_id, band_key, doc_id,
                COUNT(*) OVER (PARTITION BY band_id, band_key) AS n_bucket
@@ -1800,14 +1775,7 @@ _LEV_PREFIX = 200
     """,
 )
 def datapipe_neardup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _signatures(spark, sf_dir)
-    bands = sig.select(
-        F.expr(
-            "stack(2, 0, concat(mh0, mh1), 1, concat(mh2, mh3)) "
-            "AS (band_id, band_key)"
-        ),
-        "doc_id",
-    )
+    bands = _bands(_signatures(spark, sf_dir))
 
     w = Window.partitionBy("band_id", "band_key")
     small = bands.withColumn("n_bucket", F.count(F.lit(1)).over(w)).filter(
@@ -2698,11 +2666,7 @@ _LEAK_SIG_SQL = """
     WITH sig AS ({_LEAK_SIG_SQL}),
     banded AS (
         SELECT doc_id, doc_id % 5 = 0 AS is_eval, band_id, band_key
-        FROM (
-            SELECT doc_id, 0 AS band_id, mh0 || mh1 AS band_key FROM sig
-            UNION ALL
-            SELECT doc_id, 1 AS band_id, mh2 || mh3 AS band_key FROM sig
-        )
+        FROM ({_BANDS_FROM_SIG_SQL})
     ),
     train_keys AS (
         SELECT DISTINCT band_id, band_key FROM banded WHERE NOT is_eval
@@ -2737,22 +2701,9 @@ def datapipe_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    banded = sig.select(
-        "doc_id",
-        (F.col("doc_id") % 5 == 0).alias("is_eval"),
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(0).alias("band_id"),
-                    F.concat("mh0", "mh1").alias("band_key"),
-                ),
-                F.struct(
-                    F.lit(1).alias("band_id"),
-                    F.concat("mh2", "mh3").alias("band_key"),
-                ),
-            )
-        ).alias("b"),
-    ).select("doc_id", "is_eval", "b.band_id", "b.band_key")
+    banded = _bands(sig).withColumn(
+        "is_eval", F.col("doc_id") % 5 == 0
+    )
     train_keys = (
         banded.filter(~F.col("is_eval"))
         .select("band_id", "band_key")
@@ -3372,11 +3323,7 @@ def datapipe_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "datapipe_incremental_neardup",
     oracle=f"""
     WITH sig AS ({_SIG_SQL}),
-    bands AS (
-        SELECT 0 AS band_id, mh0 || mh1 AS band_key, doc_id FROM sig
-        UNION ALL
-        SELECT 1 AS band_id, mh2 || mh3 AS band_key, doc_id FROM sig
-    ),
+    bands AS ({_BANDS_FROM_SIG_SQL}),
     nb AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
     ob AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
     cand AS (
@@ -3400,14 +3347,7 @@ def datapipe_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def datapipe_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _signatures(spark, sf_dir)
-    bands = sig.select(
-        "doc_id",
-        F.expr(
-            "stack(2, 0, concat(mh0, mh1), 1, concat(mh2, mh3)) "
-            "AS (band_id, band_key)"
-        ),
-    )
+    bands = _bands(_signatures(spark, sf_dir))
     is_new = F.col("doc_id") % 10 == 0
     nb = bands.filter(is_new).withColumnRenamed("doc_id", "new_id")
     ob = bands.filter(~is_new).withColumnRenamed("doc_id", "old_id")

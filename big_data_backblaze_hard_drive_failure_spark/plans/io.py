@@ -412,16 +412,23 @@ def io_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "io_text_roundtrip",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
-           CAST(SUM(strlen(text)) AS BIGINT) AS total_chars,
-           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
-    FROM documents
+           CAST(SUM(strlen(line)) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(line, ' '))) AS BIGINT) AS total_tokens
+    FROM (
+        SELECT replace(replace(text, chr(10), ' '), chr(13), ' ') AS line
+        FROM documents
+    )
     """,
 )
 def io_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = scratch_dir("text_roundtrip")
+    # newlines ARE the sink's record delimiter: a doc containing one
+    # would split into extra lines on re-read and break the
+    # one-line-per-doc contract (the fixture is newline-free; this
+    # normalization makes the round-trip hold for any corpus)
     (
         load(spark, sf_dir, "documents")
-        .select("text")
+        .select(F.translate("text", "\n\r", "  ").alias("value"))
         .coalesce(2)
         .write.mode("overwrite")
         .text(path)

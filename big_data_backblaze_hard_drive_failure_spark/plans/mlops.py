@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..ml.monitor import DRIFT_SPLIT, N_SCORE_BINS, drift_histogram, score_decile_bin
 from ..ml.scorer import LinearModel, score_column, score_pandas_udf
 from ..ml.threshold import threshold_at_recall
 from ..sources.catalog import load
@@ -474,11 +475,10 @@ def mlops_pr_at_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mlops_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = scored_frame(spark, sf_dir, via="column")
-    decile = F.least(
-        F.floor(F.col("failure_probability") * 10), F.lit(9)
-    ).cast("long")
     return (
-        scored.groupBy(decile.alias("score_decile"))
+        scored.groupBy(
+            score_decile_bin("failure_probability").alias("score_decile")
+        )
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("is_error").cast("long").alias("n_pos"),
@@ -721,26 +721,36 @@ def mlops_value_error_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # metrics): compare the score distribution of the CURRENT serving
 # window against the REFERENCE (training-era) window.
 #
-# Both detectors bin failure_probability into 10 FIXED-width bins —
-# fixed edges (not quantiles) keep the result deterministic and make
-# the whole computation one conditional-aggregation pass: map-side
-# combinable, a 10-row shuffle, scale-free tail. At 100 TB this is
-# the same plan; nothing grows with the data but the scan.
+# Both detectors bin failure_probability into the shared fixed-width
+# decile bins (ml/monitor.py — ONE definition for batch, streaming,
+# and calibration) — fixed edges (not quantiles) keep the result
+# deterministic and make the whole computation one
+# conditional-aggregation pass: map-side combinable, a 10-row
+# shuffle, scale-free tail. At 100 TB this is the same plan; nothing
+# grows with the data but the scan.
 # --------------------------------------------------------------------
-DRIFT_SPLIT = "2024-01-15"
 
-# bin = least(floor(p*10), 9); smoothing (+0.5 / +5.0) keeps empty
-# bins finite (standard Laplace PSI practice), identically on both
-# engines.
+# bin = least(floor(p*10), 9); smoothing (+0.5 / +5.0 = bins/2 * 0.5)
+# keeps empty bins finite (standard Laplace PSI practice), identically
+# on both engines. The range() spine keeps bins empty in BOTH windows
+# in the output — without it their smoothed psi_terms silently vanish
+# and "total PSI = sum of psi_term" understates for degenerate score
+# distributions (ml/monitor.py:drift_histogram mirrors this).
 _PSI_BINS_SQL = f"""
-    SELECT LEAST(CAST(FLOOR(failure_probability * 10) AS BIGINT), 9)
-               AS bin,
-           CAST(SUM(CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}'
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
-           CAST(SUM(CASE WHEN ts >= TIMESTAMP '{DRIFT_SPLIT}'
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
-    FROM ({_SCORED_SQL})
-    GROUP BY bin
+    SELECT s.bin,
+           COALESCE(b.n_ref, 0) AS n_ref,
+           COALESCE(b.n_cur, 0) AS n_cur
+    FROM (SELECT unnest(range(0, {N_SCORE_BINS})) AS bin) s
+    LEFT JOIN (
+        SELECT LEAST(CAST(FLOOR(failure_probability * 10) AS BIGINT), 9)
+                   AS bin,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '{DRIFT_SPLIT}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        FROM ({_SCORED_SQL})
+        GROUP BY bin
+    ) b ON s.bin = b.bin
 """
 
 
@@ -770,21 +780,7 @@ def mlops_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, one 10-row shuffle, 1-row totals broadcast back.
     """
     scored = scored_frame(spark, sf_dir, via="column")
-    split = F.lit(DRIFT_SPLIT).cast("timestamp")
-    bins = (
-        scored.select(
-            F.least(
-                F.floor(F.col("failure_probability") * 10).cast("long"),
-                F.lit(9).cast("long"),
-            ).alias("bin"),
-            F.when(F.col("ts") < split, 1).otherwise(0).alias("in_ref"),
-        )
-        .groupBy("bin")
-        .agg(
-            F.sum("in_ref").cast("long").alias("n_ref"),
-            F.sum(1 - F.col("in_ref")).cast("long").alias("n_cur"),
-        )
-    )
+    bins = drift_histogram(scored, DRIFT_SPLIT)
     tot = bins.agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
     )  # 1-row, broadcast
@@ -836,21 +832,7 @@ def mlops_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-free.
     """
     scored = scored_frame(spark, sf_dir, via="column")
-    split = F.lit(DRIFT_SPLIT).cast("timestamp")
-    bins = (
-        scored.select(
-            F.least(
-                F.floor(F.col("failure_probability") * 10).cast("long"),
-                F.lit(9).cast("long"),
-            ).alias("bin"),
-            F.when(F.col("ts") < split, 1).otherwise(0).alias("in_ref"),
-        )
-        .groupBy("bin")
-        .agg(
-            F.sum("in_ref").cast("long").alias("n_ref"),
-            F.sum(1 - F.col("in_ref")).cast("long").alias("n_cur"),
-        )
-    )
+    bins = drift_histogram(scored, DRIFT_SPLIT)
     tot = bins.agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
     )
@@ -912,10 +894,7 @@ def mlops_lift_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = scored_frame(spark, sf_dir, via="column")
     bins = (
         scored.select(
-            F.least(
-                F.floor(F.col("failure_probability") * 10).cast("long"),
-                F.lit(9).cast("long"),
-            ).alias("bin"),
+            score_decile_bin("failure_probability").alias("bin"),
             F.col("is_error").cast("long").alias("pos"),
         )
         .groupBy("bin")

@@ -15,6 +15,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..ml.monitor import score_decile_bin
 from ..ml.scorer import LinearModel, score_column
 from ..sources.catalog import schema_for
 
@@ -113,26 +114,29 @@ def session_count_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
 
 def score_histogram_stream(
-    stream: DataFrame, model: LinearModel, split: str = "2024-01-15"
+    stream: DataFrame, model: LinearModel, split: str
 ) -> DataFrame:
     """Streaming twin of the drift monitor's binning stage
     (plans.mlops.mlops_psi_drift): running per-bin counts of the
     scored stream, split into the reference window (ts < split) and
-    the current window. Runs in COMPLETE output mode with NO
-    watermark — correct here because the aggregate's state is
-    bounded by the BIN COUNT (≤10 rows), not by history; this is the
-    small-cardinality-running-aggregate streaming pattern, the
-    opposite end of the spectrum from the watermarked per-key aggs
-    above. The finished histogram must equal the batch query's bins —
+    the current window. ``split`` is REQUIRED — pass the same
+    boundary the batch monitor uses (ml.monitor.DRIFT_SPLIT) so the
+    two can never silently bin against different dates. Runs in
+    COMPLETE output mode with NO watermark — correct here because
+    the aggregate's state is bounded by the BIN COUNT (≤10 rows),
+    not by history; this is the small-cardinality-running-aggregate
+    streaming pattern, the opposite end of the spectrum from the
+    watermarked per-key aggs above. Emits OBSERVED bins only (a
+    stream can't left-join the static bin spine after a
+    complete-mode aggregate); the batch drift_histogram densifies to
+    the full spine. The histogram must equal the batch query's
+    populated bins —
     tests/test_streaming.py::test_streaming_drift_histogram_matches_batch.
     """
     scored = score_stream(stream, model)
     return (
         scored.select(
-            F.least(
-                F.floor(F.col("failure_probability") * 10).cast("long"),
-                F.lit(9).cast("long"),
-            ).alias("bin"),
+            score_decile_bin("failure_probability").alias("bin"),
             F.when(
                 F.col("ts") < F.lit(split).cast("timestamp"), 1
             )

@@ -985,8 +985,11 @@ def test_streaming_drift_histogram_matches_batch(spark, sf_smoke, tmp_path):
         r["bin"]: (r["n_ref"], r["n_cur"])
         for r in spark.sql(f"SELECT * FROM {sink}").collect()
     }
+    # the batch monitor densifies to the full bin spine; the stream
+    # emits observed bins only — parity holds on the populated bins
     want = {
         r["bin"]: (r["n_ref"], r["n_cur"])
         for r in mlops_psi_drift(spark, sf_smoke).collect()
+        if r["n_ref"] + r["n_cur"] > 0
     }
     assert got == want and sum(a + b for a, b in got.values()) > 0
