@@ -441,3 +441,55 @@ def io_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_tokens"),
     )
+
+
+# --------------------------------------------------------------------
+# Dynamic partition overwrite: the incremental-reload primitive — a
+# date-partitioned table gets ONE day rewritten in place;
+# partitionOverwriteMode=dynamic replaces only the partitions the
+# incoming frame touches instead of truncating the table (the
+# default STATIC mode would wipe the other 29 days). At scale this
+# is how daily corrections land: O(changed day), not O(table).
+# The oracle computes the expected post-overwrite state straight
+# from the source (day-05 rows doubled), so a wrong overwrite scope
+# — every other day lost, or day 05 duplicated — breaks parity.
+# --------------------------------------------------------------------
+_DYN_DAY = "2024-01-05"
+
+
+@query(
+    "io_dynamic_partition_overwrite",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN CAST(ts AS DATE) = DATE '{_DYN_DAY}'
+                         THEN CAST(ROUND(value * 100) AS BIGINT) * 2
+                         ELSE CAST(ROUND(value * 100) AS BIGINT)
+                    END) AS BIGINT) AS total_cents
+    FROM events
+    """,
+)
+def io_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir("dyn_overwrite")
+    staged = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    staged.write.mode("overwrite").partitionBy("day").parquet(path)
+    patch = (
+        staged.filter(F.col("day") == F.lit(_DYN_DAY).cast("date"))
+        .withColumn("cents", F.col("cents") * 2)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patch.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("day").cast("long").alias("n_days"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )

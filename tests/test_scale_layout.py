@@ -236,3 +236,40 @@ def test_compact_parquet_repairs_interrupted_swap(spark, sf_smoke, tmp_path):
 
     with _pytest.raises(ValueError, match="partitioned"):
         compact_parquet(spark, part)
+
+
+def test_analyze_table_stats_feed_the_optimizer(spark, sf_smoke):
+    """ANALYZE TABLE COMPUTE STATISTICS: catalog row/size stats are
+    the input the cost-based pieces of Catalyst (join selection,
+    reorder) consume. Pins that (1) the stats land in the catalog and
+    (2) a scan of the analyzed table carries the exact row count into
+    the optimized plan's statistics — the number a 100 TB planner
+    decides broadcastability with."""
+    import uuid as _uuid
+
+    table = f"stats_events_{_uuid.uuid4().hex[:8]}"
+    n = load(spark, sf_smoke, "events").count()
+    load(spark, sf_smoke, "events").write.saveAsTable(table)
+    try:
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        }
+        assert "Statistics" in desc, "ANALYZE left no catalog statistics"
+        assert f"{n} rows" in desc["Statistics"]
+        # row counts reach plan statistics only under the cost-based
+        # optimizer; size-only estimation is the (default) fallback
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            stats = (
+                spark.table(table)
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+            )
+            assert int(stats.rowCount().get()) == n, stats.toString()
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", "false")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
