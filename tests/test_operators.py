@@ -643,3 +643,32 @@ def test_scd2_intervals_tile_each_user_timeline(spark, sf_smoke):
             # previous one closes, and versions alternate event_type
             assert a["valid_to"] == b["valid_from"]
             assert a["event_type"] != b["event_type"]
+
+
+def test_incremental_neardup_only_flags_batch_docs(spark, sf_smoke):
+    from big_data_backblaze_hard_drive_failure_spark.plans.datapipe import (
+        datapipe_incremental_neardup,
+    )
+
+    rows = datapipe_incremental_neardup(spark, sf_smoke).collect()
+    assert rows, "the synthetic corpus always has cross-slice collisions"
+    for r in rows:
+        # candidates come from the arriving batch; partners from the corpus
+        assert r["doc_id"] % 10 == 0
+        assert r["partner_id"] % 10 != 0
+        assert r["n_old_partners"] >= 1
+        assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_scd2_pit_join_matches_at_most_one_version(spark, sf_smoke):
+    """SCD2 intervals tile each user's timeline (tested above), so a
+    point-in-time probe can match AT MOST one version — a duplicate
+    match means overlapping intervals, the classic PIT-join bug."""
+    from big_data_backblaze_hard_drive_failure_spark.plans.star import (
+        star_scd2_pit_join,
+    )
+
+    pit = star_scd2_pit_join(spark, sf_smoke)
+    n = pit.count()
+    assert n > 0
+    assert pit.select("event_id").distinct().count() == n
