@@ -273,3 +273,26 @@ def test_analyze_table_stats_feed_the_optimizer(spark, sf_smoke):
             spark.conf.set("spark.sql.cbo.enabled", "false")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_rebalance_hint_plans_aqe_rebalance(spark, sf_smoke):
+    """/*+ REBALANCE */: AQE's write-path leveler — repartitions to
+    even-sized outputs, splitting skewed partitions (plain
+    repartition(n) can't) and coalescing tiny ones; the pre-write
+    answer to the small-files problem at 100 TB. Pins that the hint
+    survives into the optimized plan as RebalancePartitions."""
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import (
+        register_all,
+    )
+
+    register_all(spark, sf_smoke, tables=["orders"])
+    df = spark.sql(
+        "SELECT /*+ REBALANCE(o_orderdate) */ o_orderkey, o_orderdate "
+        "FROM orders"
+    )
+    optimized = (
+        df._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "RebalancePartitions" in optimized.replace(
+        "rebalancepartitions", "RebalancePartitions"
+    ), optimized
