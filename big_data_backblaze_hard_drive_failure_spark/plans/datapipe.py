@@ -3380,3 +3380,275 @@ def datapipe_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ====================================================================
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"): score every doc by
+# how target-like it is under two smoothed unigram LMs — the target
+# slice (lang = 'en') vs the raw corpus. Score = mean over the doc's
+# tokens of log(p_target(tok) / p_raw(tok)), add-one smoothing over
+# the shared vocabulary.
+#
+# Scale shape: one explode + one token group-by computes BOTH counts
+# (map-side combinable), totals are a 1-row broadcast, the per-doc
+# score is a second group-by on doc_id. O(total tokens) with two
+# shuffles, no pair joins, no UDF — the same shape DSIR runs at
+# Pile scale.
+# ====================================================================
+@query(
+    "datapipe_dsir_importance",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    freq AS (
+        SELECT tok,
+               COUNT(*) AS c_raw,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_tgt
+        FROM toks GROUP BY tok
+    ),
+    tot AS (
+        SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+               CAST(SUM(c_tgt) AS BIGINT) AS n_tgt,
+               COUNT(*) AS v
+        FROM freq
+    ),
+    scored AS (
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               ROUND(AVG(ln((c_tgt + 1.0) / (n_tgt + v))
+                         - ln((c_raw + 1.0) / (n_raw + v))), 6)
+                   AS dsir_score
+        FROM toks JOIN freq USING (tok) CROSS JOIN tot
+        GROUP BY doc_id
+    )
+    SELECT s.doc_id, d.lang, n_tokens, dsir_score
+    FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    ORDER BY dsir_score DESC, s.doc_id LIMIT 20
+    """,
+)
+def datapipe_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most target-like docs under the DSIR importance score
+    (lang='en' as the target distribution)."""
+    return (
+        _dsir_scored(spark, sf_dir)
+        .orderBy(F.desc("dsir_score"), "doc_id")
+        .limit(20)
+        .select("doc_id", "lang", "n_tokens", "dsir_score")
+    )
+
+
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every doc with its DSIR importance score (no ranking cut) —
+    the frame the resampling step would hash-threshold over."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_tgt"),
+    )
+    tot = freq.agg(
+        F.sum("c_raw").alias("n_raw"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    logratio = F.log(
+        (F.col("c_tgt") + 1.0) / (F.col("n_tgt") + F.col("v"))
+    ) - F.log((F.col("c_raw") + 1.0) / (F.col("n_raw") + F.col("v")))
+    scored = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(logratio), 6).alias("dsir_score"),
+        )
+    )
+    return scored.join(docs.select("doc_id", "lang"), "doc_id")
+
+
+# ====================================================================
+# Bloom-filter membership dedup — the streaming-ingest scale path for
+# exact dedup. The corpus (doc_id % 10 <> 0) is folded into an
+# explicit Bloom filter: K=4 arithmetic hash positions per content
+# fingerprint over an M = 2^20 bit space, materialized as a DISTINCT
+# position table. An arriving batch (doc_id % 10 = 0) probes it: a
+# doc is flagged iff ALL its positions are set.
+#
+# Why this instead of Spark's built-in bloom_filter_agg: the
+# arithmetic construction is engine-portable, so the whole filter —
+# including its false-positive behavior — is DuckDB-oracle-checked
+# exactly, not just bounded. The no-false-negative guarantee (every
+# true duplicate is flagged) is structural: a corpus fingerprint sets
+# exactly the positions its batch twin probes.
+#
+# Scale: the position table is bounded by M (~1M rows) REGARDLESS of
+# corpus size — it broadcasts forever, so the probe is a map-side
+# join of the batch alone. The true-dup audit column joins batch
+# fingerprints against corpus fingerprints (shuffle, O(corpus)); a
+# production ingest drops that column and keeps only the O(M) probe.
+# ====================================================================
+_BLOOM_M = 1 << 20
+_BLOOM_HASHES = ((31, 7), (37, 11), (61, 13), (89, 17))
+_FP_EXPR = (
+    "aggregate("
+    "  transform(split(text, ' '), (t, i) ->"
+    "    CAST((i + 1) * (length(t) * 31 + ascii(substring(t, 1, 1)))"
+    "         AS BIGINT)),"
+    "  CAST(0 AS BIGINT), (acc, x) -> acc + x"
+    ") % 1000000007"
+)
+_FP_SQL = """
+    CAST(list_sum([
+        i * (length(toks[i]) * 31 + ascii(substring(toks[i], 1, 1)))
+        for i in range(1, len(toks) + 1)
+    ]) % 1000000007 AS BIGINT)
+"""
+_POS_SQL = ", ".join(
+    f"(fp * {a} + {b}) % {_BLOOM_M}" for a, b in _BLOOM_HASHES
+)
+
+
+@query(
+    "datapipe_bloom_dedup",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, {_FP_SQL} AS fp
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents)
+    ),
+    corpus AS (SELECT * FROM fp WHERE doc_id % 10 <> 0),
+    batch AS (SELECT * FROM fp WHERE doc_id % 10 = 0),
+    bloom AS (
+        SELECT DISTINCT unnest([{_POS_SQL}]) AS pos FROM corpus
+    ),
+    probe AS (
+        SELECT doc_id, fp,
+               unnest(list_distinct([{_POS_SQL}])) AS pos
+        FROM batch
+    ),
+    agg AS (
+        SELECT p.doc_id, p.fp,
+               COUNT(*) AS n_probe,
+               CAST(SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit
+        FROM probe p LEFT JOIN bloom b ON p.pos = b.pos
+        GROUP BY p.doc_id, p.fp
+    )
+    SELECT a.doc_id,
+           CAST(n_hit = n_probe AS INTEGER) AS bloom_hit,
+           CAST(a.fp IN (SELECT fp FROM corpus) AS INTEGER) AS true_dup
+    FROM agg a
+    """,
+)
+def datapipe_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_FP_EXPR).alias("fp")
+    )
+    is_batch = F.col("doc_id") % 10 == 0
+    corpus = docs.filter(~is_batch)
+    batch = docs.filter(is_batch)
+    positions = F.array(
+        *[
+            (F.col("fp") * a + b) % _BLOOM_M
+            for a, b in _BLOOM_HASHES
+        ]
+    )
+    bloom = (
+        corpus.select(F.explode(positions).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probe = batch.select(
+        "doc_id",
+        "fp",
+        F.explode(F.array_distinct(positions)).alias("pos"),
+    )
+    agg = (
+        probe.join(F.broadcast(bloom), "pos", "left")
+        .groupBy("doc_id", "fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_probe"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    corp_fps = corpus.select("fp").distinct().withColumn("td", F.lit(1))
+    return (
+        agg.join(corp_fps, "fp", "left")
+        .select(
+            "doc_id",
+            (F.col("n_hit") == F.col("n_probe"))
+            .cast("int")
+            .alias("bloom_hit"),
+            F.coalesce(F.col("td"), F.lit(0)).cast("int").alias("true_dup"),
+        )
+    )
+
+
+# ====================================================================
+# Cross-corpus n-gram novelty: for every doc, the fraction of its
+# DISTINCT 5-gram shingles that also occur in at least one OTHER doc
+# (the "burned n-gram" ratio used to rank near-duplicated / boilerplate
+# documents for removal). Complements datapipe_shingle_containment
+# (pairwise, bounded pair set): this is corpus-global with NO pair
+# join — gram -> distinct-doc-count group-by, join back, per-doc
+# ratio. O(total shingles) with map-side combine.
+# ====================================================================
+@query(
+    "datapipe_ngram_novelty",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([
+                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       || ' ' || toks[i+3] || ' ' || toks[i+4]
+                   FOR i IN range(1, greatest(len(toks) - 3, 1))
+               ])) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents)
+        WHERE len(toks) >= 5
+    ),
+    gd AS (
+        SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY gram
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+           ROUND(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS dup_ratio
+    FROM sh JOIN gd USING (gram)
+    GROUP BY doc_id
+    ORDER BY dup_ratio DESC, doc_id LIMIT 20
+    """,
+)
+def datapipe_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-duplicated docs by shared-5-gram ratio."""
+    sh = (
+        load(spark, sf_dir, "documents")
+        .filter(F.size(tokens("text")) >= 5)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(ngram_shingles("text", 5))).alias(
+                "gram"
+            ),
+        )
+    )
+    gd = sh.groupBy("gram").agg(F.countDistinct("doc_id").alias("nd"))
+    shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return (
+        sh.join(gd, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            shared.alias("n_shared"),
+            F.round(shared * 1.0 / F.count(F.lit(1)), 6).alias("dup_ratio"),
+        )
+        .orderBy(F.desc("dup_ratio"), "doc_id")
+        .limit(20)
+    )

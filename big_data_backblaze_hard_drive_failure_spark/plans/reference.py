@@ -1151,3 +1151,61 @@ def ref_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "try_sum_cents",
         "n_clean_div",
     )
+
+
+# --------------------------------------------------------------------
+# W+ [beyond-reference]: exponentially weighted moving average per
+# entity, closed form. The recursive definition
+#     s_1 = x_1 ;  s_i = a*x_i + (1-a)*s_{i-1}
+# is not directly expressible as a Spark window aggregate (no
+# recursive frames), but the closed form
+#     s_n = (1-a)^(n-1) * x_1  +  a * sum_{i=2..n} (1-a)^(n-i) * x_i
+# is a plain weighted sum: one window pass (row_number + partition
+# count share a single hash exchange on user_id) followed by a
+# group-by on the SAME key — Catalyst reuses the partitioning, so
+# the whole query is one shuffle. At 100 TB this is the per-entity
+# smoothing shape you want: no iteration, no driver loop, no UDF.
+# Weights underflow to exact 0.0 identically in both engines for
+# long histories (IEEE 754), so cross-engine parity holds at any
+# partition length.
+# --------------------------------------------------------------------
+_EWMA_ALPHA = 0.3
+
+
+@query(
+    "ref_ewma_smoothing",
+    oracle=f"""
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           ROUND(SUM(CASE WHEN rn = 1
+                          THEN power({1 - _EWMA_ALPHA}, n - 1)
+                          ELSE {_EWMA_ALPHA}
+                               * power({1 - _EWMA_ALPHA}, n - rn)
+                     END * value), 6) AS ewma
+    FROM (SELECT user_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n
+          FROM events)
+    GROUP BY user_id
+    """,
+)
+def ref_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final EWMA state per user (alpha=0.3) via the closed-form
+    weighted sum — window + same-key group-by, one shuffle total."""
+    w = Window.partitionBy(ENTITY).orderBy(*ORDER)
+    wp = Window.partitionBy(ENTITY)
+    a = _EWMA_ALPHA
+    rows = load(spark, sf_dir, "events").select(
+        ENTITY,
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    weight = F.when(
+        F.col("rn") == 1, F.pow(F.lit(1 - a), F.col("n") - 1)
+    ).otherwise(F.lit(a) * F.pow(F.lit(1 - a), F.col("n") - F.col("rn")))
+    return rows.groupBy(ENTITY).agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.round(F.sum(weight * F.col("value")), 6).alias("ewma"),
+    )

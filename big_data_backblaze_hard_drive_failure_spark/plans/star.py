@@ -2764,3 +2764,101 @@ def star_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "key")
         .limit(15)
     )
+
+
+# --------------------------------------------------------------------
+# SQL:2023 aggregate surface [beyond-reference]: count_if, bool_and
+# (EVERY), bool_or (ANY), and exact interpolated median — one hash
+# aggregate over orders, all map-side-combinable except median (which
+# Spark evaluates as exact percentile; the mergeable scale twin is
+# star_approx_percentiles). Median runs on exact integer cents so the
+# interpolation midpoint is bit-reproducible cross-engine.
+# --------------------------------------------------------------------
+@query(
+    "star_modern_aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_high,
+           CAST(bool_and(o_totalprice > 0) AS INTEGER) AS all_pos,
+           CAST(bool_or(o_totalprice > 400000) AS INTEGER) AS any_giant,
+           ROUND(quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                               0.5) / 100.0, 3) AS median_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def star_modern_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("o_totalprice") > 200000)
+            .cast("long")
+            .alias("n_high"),
+            F.bool_and(F.col("o_totalprice") > 0)
+            .cast("int")
+            .alias("all_pos"),
+            F.bool_or(F.col("o_totalprice") > 400000)
+            .cast("int")
+            .alias("any_giant"),
+            F.round(
+                F.percentile(_cents("o_totalprice"), F.lit(0.5)) / 100.0, 3
+            ).alias("median_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Null-safe equality join [beyond-reference]: Spark's <=> operator
+# (ANSI IS NOT DISTINCT FROM) treats NULL = NULL as a match — the
+# semantics MERGE pipelines need when the join key itself is nullable.
+# The fixtures carry no null keys, so both sides NULLIF a known value
+# to manufacture them deterministically. Catalyst plans <=> as a
+# regular hash join (EqualNullSafe key), so the null bucket lands in
+# ONE partition — at 100 TB a heavily-null key needs the salted-join
+# treatment (operators/skew.py); here the dimension side is broadcast
+# so no shuffle occurs at all.
+# --------------------------------------------------------------------
+@query(
+    "star_null_safe_join",
+    oracle="""
+    WITH o AS (SELECT NULLIF(o_orderpriority, '1-URGENT') AS prio_key,
+                      o_totalprice
+               FROM orders),
+    d AS (SELECT NULLIF(p, '1-URGENT') AS prio_key,
+                 substring(p, 1, 1) AS prio_rank
+          FROM (SELECT DISTINCT o_orderpriority AS p FROM orders))
+    SELECT COALESCE(d.prio_rank, '?') AS prio_rank,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM o JOIN d ON o.prio_key IS NOT DISTINCT FROM d.prio_key
+    GROUP BY prio_rank
+    """,
+)
+def star_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    o = orders.select(
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias(
+            "prio_key"
+        ),
+        "o_totalprice",
+    )
+    d = (
+        orders.select(F.col("o_orderpriority").alias("p"))
+        .distinct()
+        .select(
+            F.nullif(F.col("p"), F.lit("1-URGENT")).alias("prio_key"),
+            F.substring("p", 1, 1).alias("prio_rank"),
+        )
+    )
+    return (
+        o.join(F.broadcast(d), o["prio_key"].eqNullSafe(d["prio_key"]))
+        .groupBy(F.coalesce(d["prio_rank"], F.lit("?")).alias("prio_rank"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents("o_totalprice")).alias("sum_cents"),
+        )
+    )

@@ -672,3 +672,78 @@ def test_scd2_pit_join_matches_at_most_one_version(spark, sf_smoke):
     n = pit.count()
     assert n > 0
     assert pit.select("event_id").distinct().count() == n
+
+
+def test_bloom_dedup_has_no_false_negatives(spark, sf_smoke):
+    """Structural Bloom guarantee: a true duplicate's fingerprint set
+    exactly the positions the probe checks, so every true_dup row MUST
+    be bloom-flagged. (False positives are allowed — that's the 'dup
+    candidate needs verification' contract — but at 2^20 bits over a
+    tiny corpus they should be rare.)"""
+    from big_data_backblaze_hard_drive_failure_spark.plans.datapipe import (
+        datapipe_bloom_dedup,
+    )
+
+    rows = datapipe_bloom_dedup(spark, sf_smoke).collect()
+    assert rows
+    assert all(r["doc_id"] % 10 == 0 for r in rows)
+    dups = [r for r in rows if r["true_dup"] == 1]
+    assert all(r["bloom_hit"] == 1 for r in dups), "Bloom false negative"
+    # the filter must discriminate: non-dup batch docs mostly miss
+    clean = [r for r in rows if r["true_dup"] == 0]
+    if clean:
+        fp_rate = sum(r["bloom_hit"] for r in clean) / len(clean)
+        assert fp_rate <= 0.5, f"Bloom false-positive rate {fp_rate}"
+
+
+def test_dsir_score_separates_target_language(spark, sf_smoke):
+    """The DSIR importance score ranks target-distribution (en) docs
+    above every other language ON AVERAGE — the property the
+    resampling step relies on. (Per-doc scores are noisy on the
+    shared-vocab synthetic corpus, so the assertion is on group
+    means over the full scored frame, not on a top-k cut.)"""
+    from pyspark.sql import functions as F
+
+    from big_data_backblaze_hard_drive_failure_spark.plans.datapipe import (
+        _dsir_scored,
+    )
+
+    means = {
+        r["lang"]: r["m"]
+        for r in _dsir_scored(spark, sf_smoke)
+        .groupBy("lang")
+        .agg(F.avg("dsir_score").alias("m"))
+        .collect()
+    }
+    assert means["en"] == max(means.values()), means
+
+
+def test_ewma_matches_recursive_definition(spark, sf_smoke):
+    """Closed-form EWMA == the recursive definition replayed in plain
+    Python per user (exactness up to float tolerance)."""
+    from big_data_backblaze_hard_drive_failure_spark.plans.reference import (
+        ref_ewma_smoothing,
+    )
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import (
+        load,
+    )
+
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in ref_ewma_smoothing(spark, sf_smoke).collect()
+    }
+    events = (
+        load(spark, sf_smoke, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    series: dict = {}
+    for r in sorted(events, key=lambda r: (r["ts"], r["event_id"])):
+        series.setdefault(r["user_id"], []).append(r["value"])
+    for uid, xs in series.items():
+        s = xs[0]
+        for x in xs[1:]:
+            s = 0.3 * x + 0.7 * s
+        n, ewma = got[uid]
+        assert n == len(xs)
+        assert abs(ewma - s) < 1e-4, (uid, ewma, s)
