@@ -553,3 +553,150 @@ def fake_decode_meta(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_decode, DECODED_META_SCHEMA)
+
+
+# --------------------------------------------------------------------
+# PNG: the one compressed image container we CAN do end-to-end with
+# the standard library — its DEFLATE stream is stdlib zlib, and the
+# container is length-prefixed CRC-checked chunks. Encoder writes
+# 8-bit RGB non-interlaced (filter 0 rows); the decoder is
+# spec-complete for that class: all five scanline filters (None, Sub,
+# Up, Average, Paeth) and CRC verification, so it reads minimal RGB
+# PNGs from other writers too, not only its own output.
+# --------------------------------------------------------------------
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal PNG writer: 8-bit/channel RGB (color type 2), one IDAT,
+    filter byte 0 per scanline, zlib level 6. ``rgb`` is top-down
+    row-major R,G,B triples."""
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"rgb len {len(rgb)} != {width}x{height}x3")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    stride = width * 3
+    raw = b"".join(
+        b"\x00" + rgb[y * stride: (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Pure-stdlib PNG decode for 8-bit RGB (color type 2),
+    non-interlaced: chunk walk with CRC verification, zlib-inflate the
+    IDAT stream, reverse any of the five scanline filters. Returns
+    ``(width, height, rgb)`` top-down row-major. Palette/alpha/16-bit/
+    interlaced PNGs raise NotImplementedError."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    i, width = 8, None
+    idat = bytearray()
+    while i + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, i)
+        ctype = payload[i + 4: i + 8]
+        data = payload[i + 8: i + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, i + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_id, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if (depth, ctype_id, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit RGB non-interlaced PNG supported "
+                    f"(depth={depth}, color={ctype_id}, interlace={interlace})"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * 3
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray(height * stride)
+    prev = bytearray(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1: (y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for x in range(3, stride):
+                line[x] = (line[x] + line[x - 3]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - 3] if x >= 3 else 0
+                line[x] = (line[x] + (left + prev[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - 3] if x >= 3 else 0
+                ul = prev[x - 3] if x >= 3 else 0
+                line[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y * stride: (y + 1) * stride] = line
+        prev = line
+    return width, height, bytes(out)
+
+
+def transcode_png_meta(df: DataFrame) -> DataFrame:
+    """Transcode pass: decode the BMP/PPM payload, re-encode as PNG,
+    decode the PNG back, emit stats of the ROUND-TRIPPED pixels. A
+    layout or filter bug in either PNG direction (or the original
+    decode) shifts the stats; losslessness is what makes the output
+    closed-form recomputable by the oracle. One Arrow map stage —
+    the shape of a 100 TB format-normalization pass."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "n_pixels",
+                "pixel_byte_sum", "top_left_r", "bottom_right_b",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rgb = decode_image(bytes(payload))
+                w2, h2, rgb2 = decode_png(encode_png(w, h, rgb))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w2)
+                out["height"].append(h2)
+                out["n_pixels"].append(w2 * h2)
+                out["pixel_byte_sum"].append(sum(rgb2))
+                out["top_left_r"].append(rgb2[0] if rgb2 else -1)
+                out["bottom_right_b"].append(rgb2[-1] if rgb2 else -1)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_go, DECODED_IMAGE_SCHEMA)

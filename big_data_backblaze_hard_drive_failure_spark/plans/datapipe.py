@@ -41,6 +41,7 @@ from ..functions.multimodal import (
     synth_audio_payloads,
     synth_image_payloads,
     synth_video_payloads,
+    transcode_png_meta,
 )
 from ..functions.text import (
     BPE_ISH_PATTERN,
@@ -3652,3 +3653,162 @@ def datapipe_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dup_ratio"), "doc_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------
+# Tokenizer induction, step 1 of BPE training: adjacent-symbol pair
+# frequencies. [beyond-reference] — the reference has no text pipeline
+# at all; this is the aggregation a BPE/WordPiece trainer repeats each
+# merge round (Sennrich et al. 2016).
+#
+# Scale design: the pair count is computed over the WORD VOCABULARY
+# weighted by corpus frequency — the standard trainer trick — so the
+# expensive explode runs over |vocab| rows, not |corpus| rows. The
+# corpus-side work is a single map-side-combinable word count; at
+# 100 TB the vocabulary frame that feeds the character-pair explode is
+# millions of rows, not trillions. Everything is built-in JVM
+# expressions (split/explode/transform/substring) — no Python worker.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_bpe_pair_counts",
+    oracle="""
+    WITH vocab AS (
+        SELECT word, COUNT(*) AS wc
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE length(word) >= 2
+        GROUP BY word
+    ),
+    positions AS (
+        SELECT word, wc,
+               unnest(generate_series(1, length(word) - 1)) AS i
+        FROM vocab
+    )
+    SELECT substring(word, CAST(i AS INT), 2) AS pair,
+           CAST(SUM(wc) AS BIGINT) AS pair_count
+    FROM positions
+    GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 50
+    """,
+)
+def datapipe_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent character pairs by corpus-weighted frequency."""
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------
+# Tokenizer vocabulary coverage / OOV rate. [beyond-reference] Given
+# a candidate vocabulary (the top-k corpus tokens), what fraction of
+# token OCCURRENCES falls outside it? The go/no-go metric for sizing
+# a tokenizer before a pretrain run.
+#
+# Scale design: one map-side-combinable token count over the corpus;
+# the vocabulary is a TakeOrderedAndProject top-k (never a global
+# sort) and rejoins as a broadcast left-semi; totals are 1-row
+# aggregates combined with a broadcast cross join. Integer counts
+# until the single final division.
+# --------------------------------------------------------------------
+_VOCAB_K = 16
+
+
+@query(
+    "datapipe_vocab_coverage",
+    oracle=f"""
+    WITH counts AS (
+        SELECT tok, COUNT(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY tok
+    ),
+    vocab AS (SELECT tok FROM counts ORDER BY c DESC, tok LIMIT {_VOCAB_K}),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM counts),
+    cov AS (
+        SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_covered
+        FROM counts WHERE tok IN (SELECT tok FROM vocab)
+    )
+    SELECT n_tokens, n_covered,
+           ROUND((n_tokens - n_covered) * 1.0 / n_tokens, 6) AS oov_rate
+    FROM tot, cov
+    """,
+)
+def datapipe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV rate of the top-16-token vocabulary over the corpus."""
+    counts = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = counts.orderBy(F.desc("c"), "tok").limit(_VOCAB_K).select("tok")
+    tot = counts.agg(F.sum("c").alias("n_tokens"))
+    cov = counts.join(F.broadcast(vocab), "tok", "left_semi").agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_covered")
+    )
+    return tot.crossJoin(F.broadcast(cov)).select(
+        "n_tokens",
+        "n_covered",
+        F.round(
+            (F.col("n_tokens") - F.col("n_covered"))
+            * 1.0
+            / F.col("n_tokens"),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+# --------------------------------------------------------------------
+# PNG transcode: the format-normalization pass of a multimodal ingest
+# pipeline (everything → one canonical container). [beyond-reference]
+# PNG is the one compressed container the stdlib covers end-to-end
+# (DEFLATE = zlib, CRC-checked chunks) — see
+# functions/multimodal.py:encode_png/decode_png. The query decodes
+# the BMP/PPM payload, re-encodes as PNG, decodes THAT back and emits
+# the round-tripped pixel stats; the oracle recomputes them
+# closed-form from the generator's byte rule, so a bug anywhere in
+# the three codec passes breaks the hash. Same scale shape as
+# datapipe_multimodal_decode: chained Arrow map stages, no shuffle,
+# no driver-side blobs.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_png_transcode",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 + doc_id % 8 AS INTEGER) AS width,
+           CAST(3 + doc_id % 5 AS INTEGER) AS height,
+           CAST((4 + doc_id % 8) * (3 + doc_id % 5) AS BIGINT) AS n_pixels,
+           CAST(list_sum(list_transform(
+                    range(0, (4 + doc_id % 8) * (3 + doc_id % 5) * 3),
+                    i -> (doc_id * 31 + i) % 256)) AS BIGINT)
+               AS pixel_byte_sum,
+           CAST(doc_id * 31 % 256 AS INTEGER) AS top_left_r,
+           CAST((doc_id * 31
+                 + (4 + doc_id % 8) * (3 + doc_id % 5) * 3 - 1) % 256
+                AS INTEGER) AS bottom_right_b
+    FROM documents
+    """,
+)
+def datapipe_png_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "documents").select("doc_id")
+    return transcode_png_meta(synth_image_payloads(df))

@@ -929,3 +929,88 @@ def mlops_lift_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     ).orderBy(F.col("bin").desc())
+
+
+# --------------------------------------------------------------------
+# ROC-AUC, exact, via the Mann-Whitney rank statistic —
+# [beyond-reference] the reference evaluates with PR-AUC only
+# (05_01_model_training_xgboost_oom_fix.py:188-196); ROC-AUC is the
+# other evaluator a deployment would report.
+#
+#   AUC = ( #{(p,n): s_p > s_n} + 0.5 * #{(p,n): s_p = s_n} ) / (P*N)
+#
+# computed WITHOUT materializing the P*N pair space and WITHOUT an
+# unpartitioned window over the scored rows (mlops_pr_curve's
+# documented weakness): scores are first reduced to the distinct-score
+# frame (map-side-combinable groupBy), then the cumulative
+# negatives-below count comes from operators.prefix.global_prefix_sum
+# — a range-shuffled two-level scan whose only unpartitioned window
+# runs over K per-partition totals, not data. Everything stays in
+# exact integer arithmetic (doubled win counts) until the one final
+# division, so partial-agg order cannot move a bit.
+# --------------------------------------------------------------------
+@query(
+    "mlops_roc_auc_rank",
+    oracle=f"""
+    WITH by_score AS (
+        SELECT failure_probability AS score,
+               CAST(SUM(is_error) AS BIGINT) AS n_pos,
+               CAST(SUM(1.0 - is_error) AS BIGINT) AS n_neg
+        FROM ({_SCORED_SQL})
+        GROUP BY score
+    ),
+    cum AS (
+        SELECT n_pos, n_neg,
+               CAST(SUM(n_neg) OVER (ORDER BY score) - n_neg AS BIGINT)
+                   AS neg_below
+        FROM by_score
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+               CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+               CAST(SUM(2 * n_pos * neg_below + n_pos * n_neg) AS BIGINT)
+                   AS wins2
+        FROM cum
+    )
+    SELECT n_pos, n_neg,
+           ROUND(wins2 / (2.0 * n_pos * n_neg), 6) AS roc_auc
+    FROM tot
+    """,
+)
+def mlops_roc_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import global_prefix_sum
+
+    scored = scored_frame(spark, sf_dir, via="column")
+    by_score = (
+        scored.select(
+            F.col("failure_probability").alias("score"),
+            F.col("is_error").cast("long").alias("pos"),
+        )
+        .groupBy("score")
+        .agg(
+            F.sum("pos").alias("n_pos"),
+            F.sum(F.lit(1) - F.col("pos")).alias("n_neg"),
+        )
+    )
+    cum = global_prefix_sum(
+        by_score,
+        order_by=["score"],
+        value_col="n_neg",
+        out_col="neg_below",
+        exclusive=True,
+    )
+    tot = cum.agg(
+        F.sum("n_pos").alias("n_pos"),
+        F.sum("n_neg").alias("n_neg"),
+        F.sum(
+            2 * F.col("n_pos") * F.col("neg_below")
+            + F.col("n_pos") * F.col("n_neg")
+        ).alias("wins2"),
+    )
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.col("wins2") / (2.0 * F.col("n_pos") * F.col("n_neg")), 6
+        ).alias("roc_auc"),
+    )

@@ -211,3 +211,82 @@ def test_synth_payload_mixes_containers_and_obeys_byte_rule():
         w, h, rgb = decode_image(payload)
         assert (w, h) == (4 + doc_id % 8, 3 + doc_id % 5)
         assert list(rgb) == [(doc_id * 31 + i) % 256 for i in range(w * h * 3)]
+
+
+# ------------------------------------------------------------------
+# PNG codec (functions/multimodal.py:encode_png/decode_png)
+# ------------------------------------------------------------------
+def test_png_roundtrip_lossless():
+    from big_data_backblaze_hard_drive_failure_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    for w, h, seed in ((1, 1, 0), (5, 4, 3), (16, 2, 9)):
+        rgb = bytes((seed * 31 + i) % 256 for i in range(w * h * 3))
+        assert decode_png(encode_png(w, h, rgb)) == (w, h, rgb)
+
+
+def test_png_decode_inverts_all_five_filters():
+    """Hand-build a PNG whose rows use filters 0..4 (forward-filtered
+    here, independently of the encoder, which only writes 0) and check
+    the decoder reconstructs the original pixels — proves decode_png
+    reads spec PNGs from other writers, not just its own output."""
+    import struct as _struct
+    import zlib
+
+    from big_data_backblaze_hard_drive_failure_spark.functions.multimodal import (
+        _paeth,
+        _png_chunk,
+        _PNG_SIG,
+        decode_png,
+    )
+
+    w, h = 4, 5
+    stride = w * 3
+    rgb = bytes((7 * i + 13) % 256 for i in range(w * h * 3))
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = rgb[y * stride: (y + 1) * stride]
+        f = y % 5
+        raw.append(f)
+        for x in range(stride):
+            left = line[x - 3] if x >= 3 else 0
+            ul = prev[x - 3] if x >= 3 else 0
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = line[x] - left
+            elif f == 2:
+                v = line[x] - prev[x]
+            elif f == 3:
+                v = line[x] - (left + prev[x]) // 2
+            else:
+                v = line[x] - _paeth(left, prev[x], ul)
+            raw.append(v & 0xFF)
+        prev = line
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png(png) == (w, h, rgb)
+
+
+def test_png_decode_rejects_corruption():
+    import pytest as _pytest
+
+    from big_data_backblaze_hard_drive_failure_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    png = bytearray(encode_png(3, 3, bytes(27)))
+    png[30] ^= 0xFF  # flip a byte inside IHDR -> CRC mismatch
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(png))
+    with _pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")

@@ -747,3 +747,48 @@ def test_ewma_matches_recursive_definition(spark, sf_smoke):
         n, ewma = got[uid]
         assert n == len(xs)
         assert abs(ewma - s) < 1e-4, (uid, ewma, s)
+
+
+# ------------------------------------------------------------------
+# operators.prefix.global_prefix_sum — the scalable running total
+# must equal the single-task unpartitioned-window spelling exactly.
+# ------------------------------------------------------------------
+def test_global_prefix_sum_matches_unpartitioned_window(spark, sf_smoke):
+    from pyspark.sql import Window
+
+    from big_data_backblaze_hard_drive_failure_spark.operators.prefix import (
+        global_prefix_sum,
+    )
+
+    ev = load(spark, sf_smoke, "events").select("event_id", "value")
+    got = {
+        r["event_id"]: r["running_total"]
+        for r in global_prefix_sum(
+            ev, ["event_id"], "value", n_partitions=7
+        ).collect()
+    }
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["event_id"]: r["rt"]
+        for r in ev.withColumn("rt", F.sum("value").over(w)).collect()
+    }
+    assert got.keys() == want.keys()
+    # same per-partition left-to-right accumulation order is NOT
+    # guaranteed between the two plans -> float tolerance
+    assert all(abs(got[k] - want[k]) < 1e-6 for k in want)
+
+
+def test_global_prefix_sum_exclusive_starts_at_zero(spark):
+    from big_data_backblaze_hard_drive_failure_spark.operators.prefix import (
+        global_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(1, 101)], "k int, v int"
+    )
+    out = global_prefix_sum(
+        df, ["k"], "v", out_col="below", n_partitions=5, exclusive=True
+    )
+    rows = {r["k"]: r["below"] for r in out.collect()}
+    assert rows[1] == 0
+    assert all(rows[k] == (k - 1) * 10 for k in rows)
