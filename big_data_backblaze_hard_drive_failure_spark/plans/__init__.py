@@ -100,16 +100,54 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
 })
 
 
+def _driver_verified_names() -> frozenset[str]:
+    """The static seed set plus every query with a GREEN row in any
+    committed ``CORRECTNESS_r*.json`` at the repo root — so the
+    rotation updates itself the moment a round's driver results land,
+    instead of waiting for a human to extend the frozenset (the
+    round-3/4 staleness failure mode). Rows that errored or
+    mismatched are NOT counted: they float back to the front for a
+    re-check."""
+    import glob
+    import json
+    import os
+
+    names = set(_DRIVER_VERIFIED)
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            checks = [
+                row.get(k)
+                for k in ("rows_match", "schema_match", "hash_match")
+                if row.get(k) is not None
+            ]
+            if checks and all(checks):
+                names.add(name)
+    return frozenset(names)
+
+
 def _reorder_unverified_first() -> None:
     # Within the unseen group, oracle-paired queries go first: if the
     # driver's budget truncates, what falls off is a rows-only entry
     # (whose driver row is the weaker signal and which always has a
     # dedicated pytest) rather than a hash-checked one.
+    verified = _driver_verified_names()
     front = sorted(
-        (k for k in QUERIES if k not in _DRIVER_VERIFIED),
+        (k for k in QUERIES if k not in verified),
         key=lambda k: (k not in ORACLE, list(QUERIES).index(k)),
     )
-    back = [k for k in QUERIES if k in _DRIVER_VERIFIED]
+    back = [k for k in QUERIES if k in verified]
     for mapping in (QUERIES, ORACLE):
         ordered = {k: mapping[k] for k in front + back if k in mapping}
         mapping.clear()

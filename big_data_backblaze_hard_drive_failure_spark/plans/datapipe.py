@@ -3812,3 +3812,137 @@ def datapipe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def datapipe_png_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load(spark, sf_dir, "documents").select("doc_id")
     return transcode_png_meta(synth_image_payloads(df))
+
+
+# --------------------------------------------------------------------
+# Exact set-similarity join via PPJoin-style prefix filtering
+# (Chaudhuri et al. 2006 SSJoin; Xiao et al. 2008 PPJoin).
+# [beyond-reference] The EXACT complement to the MinHash/LSH family
+# above: every pair with 3-gram-shingle Jaccard >= 0.9, no
+# approximation, and still no all-pairs join.
+#
+# The filter: order each doc's shingle set by GLOBAL rarity
+# (rarest first; any shared total order is correct, frequency order
+# is what makes prefixes selective), keep only the first
+# p = |S| - ceil(tau*|S|) + 1 shingles as the doc's "prefix". If
+# J(A,B) >= tau, the globally-smallest common shingle provably sits
+# in BOTH prefixes (at most |S| - ceil(tau*|S|) non-common shingles
+# can precede it on either side), so joining prefix-to-prefix loses
+# nothing; exact Jaccard then verifies the survivors.
+#
+# Scale design: shingle frequencies are an equi-shuffle groupBy (no
+# broadcast of corpus-sized state); the candidate join keys on single
+# rare shingles, so its fan-out is sum-of-squares of PREFIX-shingle
+# document frequencies — the rarity ordering is exactly what keeps
+# those tiny. Verification joins are hash equi-joins on doc_id.
+# Threshold compare is cross-multiplied integers (10*inter >= 9*uni):
+# no float epsilon on the decision boundary. The oracle brute-forces
+# all pairs — feasible only at fixture scale, which is the point:
+# same answer, quadratic vs near-linear candidate space.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_jaccard_prefix_join",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, list_distinct([
+            toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            for i in range(1, greatest(len(toks) - 1, 1))
+        ]) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents)
+    ),
+    d AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) >= 1),
+    p AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(len(list_intersect(a.shingles, b.shingles))
+                    AS BIGINT) AS inter,
+               CAST(len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))
+                    AS BIGINT) AS uni
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+    )
+    SELECT da, db, inter, uni,
+           ROUND(inter * 1.0 / uni, 6) AS jaccard
+    FROM p WHERE 10 * inter >= 9 * uni
+    """,
+)
+def datapipe_jaccard_prefix_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sh = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.array_distinct(ngram_shingles("text", 3)).alias("shingles"),
+        )
+        .filter(F.size("shingles") >= 1)
+    )
+    freq = (
+        sh.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ordered = (
+        sh.select("doc_id", F.explode("shingles").alias("shingle"))
+        .join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(freq, shingle))),"
+                " x -> x.shingle)"
+            ).alias("toks")
+        )
+        .select("doc_id", "toks", F.size("toks").alias("s"))
+    )
+    # prefix length for tau = 9/10, in exact integer arithmetic:
+    # p = s - ceil(9s/10) + 1
+    prefixes = ordered.select(
+        "doc_id",
+        "toks",
+        "s",
+        F.explode(
+            # ceil(9s/10) = (9s + 9) div 10, pure integer arithmetic
+            F.slice("toks", F.lit(1), F.expr("s - (9*s + 9) div 10 + 1"))
+        ).alias("tok"),
+    )
+    a = prefixes.select(
+        F.col("doc_id").alias("da"), F.col("tok").alias("tok")
+    )
+    b = prefixes.select(
+        F.col("doc_id").alias("db"), F.col("tok").alias("tok")
+    )
+    cands = (
+        a.join(b, "tok")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    da = ordered.select(
+        F.col("doc_id").alias("da"),
+        F.col("toks").alias("toks_a"),
+        F.col("s").alias("sa"),
+    )
+    db_ = ordered.select(
+        F.col("doc_id").alias("db"),
+        F.col("toks").alias("toks_b"),
+        F.col("s").alias("sb"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("long")
+    verified = (
+        cands.join(da, "da")
+        .join(db_, "db")
+        .select(
+            "da",
+            "db",
+            inter.alias("inter"),
+            (F.col("sa") + F.col("sb") - inter).cast("long").alias("uni"),
+        )
+        .filter(10 * F.col("inter") >= 9 * F.col("uni"))
+    )
+    return verified.select(
+        "da",
+        "db",
+        "inter",
+        "uni",
+        F.round(F.col("inter") * 1.0 / F.col("uni"), 6).alias("jaccard"),
+    )

@@ -1209,3 +1209,123 @@ def ref_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("n_events"),
         F.round(F.sum(weight * F.col("value")), 6).alias("ewma"),
     )
+
+
+# --------------------------------------------------------------------
+# Gap-fill by linear interpolation over the densified daily series.
+# The reference's telemetry has exactly this problem — drives miss
+# snapshot days and its rolling features silently shrink their window
+# (03_feature_engineering.py:90-143 never densifies); here the gap is
+# repaired explicitly: per-entity day spine (sequence + explode), the
+# observed daily value joined on, and missing days filled as
+#   prev + (next - prev) * elapsed/gap_len
+# with edge days carried from the nearest observation.
+#
+# Determinism discipline: the daily series is MAX(value) (order-
+# insensitive — a SUM would depend on accumulation order across
+# engines), and the interpolation arithmetic mirrors the oracle's
+# operation order exactly. Scale shape: one exchange on user_id for
+# the spine windows; the spine explode is bounded by the date range,
+# not the event count.
+# --------------------------------------------------------------------
+@query(
+    "ref_linear_interpolate",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, MAX(value) AS v
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    bounds AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        FROM daily GROUP BY user_id
+    ),
+    spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                    AS DATE) AS day
+        FROM bounds
+    ),
+    j AS (
+        SELECT s.user_id, s.day, d.v
+        FROM spine s LEFT JOIN daily d USING (user_id, day)
+    ),
+    w AS (
+        SELECT user_id, day, v,
+               last_value(v IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN day END
+                          IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS pd,
+               first_value(v IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN day END
+                           IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS nd
+        FROM j
+    )
+    SELECT user_id, day, v IS NOT NULL AS is_observed,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv)
+                           * (CAST(day - pd AS DOUBLE)
+                              / CAST(nd - pd AS DOUBLE))
+                 END, 6) AS v_filled
+    FROM w
+    """,
+)
+def ref_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.max("value").alias("v"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    wb = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wf = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    pv = F.last("v", ignorenulls=True).over(wb)
+    pd_ = F.last(obs_day, ignorenulls=True).over(wb)
+    nv = F.first("v", ignorenulls=True).over(wf)
+    nd = F.first(obs_day, ignorenulls=True).over(wf)
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(
+            pv
+            + (nv - pv)
+            * (
+                F.datediff(F.col("day"), pd_).cast("double")
+                / F.datediff(nd, pd_).cast("double")
+            )
+        )
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.col("v").isNotNull().alias("is_observed"),
+        F.round(filled, 6).alias("v_filled"),
+    )

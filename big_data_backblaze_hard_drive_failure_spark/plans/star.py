@@ -2862,3 +2862,62 @@ def star_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_cents("o_totalprice")).alias("sum_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Regex pattern matching over ordered event sequences — the
+# MATCH_RECOGNIZE idea (SQL:2016 row-pattern recognition) expressed
+# Spark-native. [beyond-reference] Each (user, day) session becomes a
+# one-char-per-event string in event-time order (the five fixture
+# event types have distinct initials); a session "matches" when a
+# click is immediately followed by an error with a purchase anywhere
+# later — exactly the kind of behavioral pattern CEP engines chase.
+#
+# Scale shape: one hash exchange on (user_id, day); the sequence
+# string is built by sorting the COLLECTED (ts, event_id, type)
+# structs — never trusting collect_list arrival order, which is
+# partition-dependent — and session strings are bounded by session
+# length, not corpus size. The regex runs once per session, JVM-side.
+# --------------------------------------------------------------------
+@query(
+    "star_event_pattern_match",
+    oracle="""
+    WITH seqs AS (
+        SELECT CAST(ts AS DATE) AS day,
+               string_agg(substring(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN regexp_matches(seq, 'ce.*p')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+    FROM seqs GROUP BY day
+    """,
+)
+def star_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.struct("ts", "event_id", "event_type").alias("step"),
+    )
+    seqs = (
+        ev.groupBy("user_id", "day")
+        .agg(F.sort_array(F.collect_list("step")).alias("steps"))
+        .select(
+            "day",
+            F.array_join(
+                F.transform(
+                    F.col("steps.event_type"),
+                    lambda t: F.substring(t, 1, 1),
+                ),
+                "",
+            ).alias("seq"),
+        )
+    )
+    return seqs.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(
+            F.when(F.col("seq").rlike("ce.*p"), 1).otherwise(0)
+        ).alias("n_matched"),
+    )

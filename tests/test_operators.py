@@ -792,3 +792,28 @@ def test_global_prefix_sum_exclusive_starts_at_zero(spark):
     rows = {r["k"]: r["below"] for r in out.collect()}
     assert rows[1] == 0
     assert all(rows[k] == (k - 1) * 10 for k in rows)
+
+
+def test_jaccard_prefix_join_complete_on_small_sets(spark, tmp_path):
+    """Prefix-filter completeness at the edge the integer ceil gets
+    wrong first: single-shingle docs (s=1 -> prefix must be 1, not 0)
+    and 3-shingle docs. Identical docs MUST be found."""
+    from big_data_backblaze_hard_drive_failure_spark.plans import QUERIES
+
+    rows = [
+        (1, "a b c"),
+        (2, "a b c"),
+        (3, "a b c d e"),
+        (4, "a b c d e"),
+        (5, "x y z w v"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = sorted(
+        (r["da"], r["db"])
+        for r in QUERIES["datapipe_jaccard_prefix_join"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    assert got == [(1, 2), (3, 4)], got
