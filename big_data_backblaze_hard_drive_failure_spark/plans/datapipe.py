@@ -3839,6 +3839,14 @@ def datapipe_png_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no float epsilon on the decision boundary. The oracle brute-forces
 # all pairs — feasible only at fixture scale, which is the point:
 # same answer, quadratic vs near-linear candidate space.
+#
+# The rarity-ordered shingle frame feeds three consumers (prefix
+# explode + both verification sides); Spark recomputes it per use
+# (bounded 3x, each O(corpus)). In a long-running 100 TB job, wrap
+# it in operators.staging.stage_boundary (persist MEMORY_AND_DISK)
+# or write it once as a bucketed table keyed on doc_id so the
+# verification joins are exchange-free; kept pure here so the
+# registry stays side-effect-free.
 # --------------------------------------------------------------------
 @query(
     "datapipe_jaccard_prefix_join",

@@ -1014,3 +1014,68 @@ def mlops_roc_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wins2") / (2.0 * F.col("n_pos") * F.col("n_neg")), 6
         ).alias("roc_auc"),
     )
+
+
+# --------------------------------------------------------------------
+# CUSUM change-point scan per entity — the monitoring-family
+# complement to PSI/KS drift (those compare two windows; CUSUM finds
+# WHERE a stream's level shifted). Peak statistic: max over t of
+# |S_t| with S_t = sum_{i<=t}(x_i - mean). [beyond-reference]
+#
+# Exactness discipline: everything stays integer. Values become
+# exact cents; instead of S_t = cum_t - t*mean (float, accumulation-
+# order-sensitive), we scale by n: n*S_t = cum_t*n - t*total, an
+# exact BIGINT, and divide by n*100 only once at the end. The window
+# is per-entity (hash exchange on user_id, bounded partitions) — no
+# global sort anywhere.
+# --------------------------------------------------------------------
+@query(
+    "mlops_cusum_changepoint",
+    oracle="""
+    WITH e AS (
+        SELECT user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    c AS (
+        SELECT user_id, rn,
+               SUM(cents) OVER (PARTITION BY user_id ORDER BY rn) AS cum,
+               SUM(cents) OVER (PARTITION BY user_id) AS total,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM e
+    )
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           ROUND(MAX(ABS(cum * n - rn * total))
+                 / (MAX(n) * 100.0), 6) AS peak_cusum
+    FROM c GROUP BY user_id
+    """,
+)
+def mlops_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("user_id")
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.row_number().over(w_ord).alias("rn"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .over(w_all)
+        .alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    ).withColumn(
+        "cum",
+        F.sum("cents").over(
+            Window.partitionBy("user_id")
+            .orderBy("rn")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    dev = F.abs(F.col("cum") * F.col("n") - F.col("rn") * F.col("total"))
+    return e.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.round(
+            F.max(dev) / (F.max("n") * 100.0), 6
+        ).alias("peak_cusum"),
+    )

@@ -2921,3 +2921,79 @@ def star_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("seq").rlike("ce.*p"), 1).otherwise(0)
         ).alias("n_matched"),
     )
+
+
+# --------------------------------------------------------------------
+# Benford first-significant-digit audit — the classic fraud/anomaly
+# screen for monetary columns [beyond-reference; complements
+# star_dq_audit]. Digit extraction goes through INTEGER-to-string
+# (engine-stable), never float log10; the Benford expectations
+# log10(1 + 1/d) are shared 17-digit literals on both sides because
+# libm log10 is not guaranteed bit-identical across JVM and DuckDB.
+# Scale shape: one map-side-combinable 9-group aggregate + a
+# broadcast 1-row total; chi-square contribution per digit in fixed
+# float op order.
+# --------------------------------------------------------------------
+import math as _math
+
+_BENFORD_P = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+_BENFORD_SQL_CASE = "CASE digit " + " ".join(
+    f"WHEN '{d}' THEN CAST({p!r} AS DOUBLE)" for d, p in _BENFORD_P.items()
+) + " END"
+
+
+@query(
+    "star_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+        SELECT substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+        FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+    SELECT digit, n,
+           ROUND(n * 1.0 / total, 6) AS p_obs,
+           ROUND({_BENFORD_SQL_CASE}, 6) AS p_benford,
+           ROUND((n - total * ({_BENFORD_SQL_CASE}))
+                 * (n - total * ({_BENFORD_SQL_CASE}))
+                 / (total * ({_BENFORD_SQL_CASE})), 6) AS chi2_term
+    FROM counts, tot
+    """,
+)
+def star_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("total"))  # 1-row, broadcast
+    p_ben = F.element_at(
+        F.create_map(
+            *[
+                x
+                for d, p in _BENFORD_P.items()
+                for x in (F.lit(str(d)), F.lit(p))
+            ]
+        ),
+        F.col("digit"),
+    )
+    dev = F.col("n") - F.col("total") * p_ben
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("p_obs"),
+        F.round(p_ben, 6).alias("p_benford"),
+        F.round(dev * dev / (F.col("total") * p_ben), 6).alias(
+            "chi2_term"
+        ),
+    )
