@@ -700,3 +700,54 @@ def transcode_png_meta(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_go, DECODED_IMAGE_SCHEMA)
+
+
+# -- Perceptual average-hash (aHash) ---------------------------------
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def average_hash(width: int, height: int, rgb: bytes, grid: int = 4) -> int:
+    """Classic perceptual average-hash over decoded RGB bytes:
+    nearest-neighbor sample a ``grid x grid`` luminance lattice
+    (floor mapping, same convention as resize_nearest), then set bit
+    ``j*grid+i`` when the cell's channel sum strictly exceeds the
+    lattice mean. All-integer (the mean compare is cross-multiplied:
+    ``cell*grid^2 > total``), so the hash is bit-exact reproducible in
+    any engine — the DuckDB oracle recomputes it closed-form."""
+    cells = []
+    for j in range(grid):
+        y = (j * height) // grid
+        for i in range(grid):
+            x = (i * width) // grid
+            base = (y * width + x) * 3
+            cells.append(rgb[base] + rgb[base + 1] + rgb[base + 2])
+    total = sum(cells)
+    n = grid * grid
+    out = 0
+    for k, gs in enumerate(cells):
+        if gs * n > total:
+            out |= 1 << k
+    return out
+
+
+def image_ahash_meta(df: DataFrame, grid: int = 4) -> DataFrame:
+    """(doc_id, payload) -> (doc_id, phash): real container decode
+    then average_hash, one Arrow-batched map stage (decode and hash
+    fused — pixels never leave the Python worker)."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rgb = decode_image(bytes(payload))
+                ids.append(int(doc_id))
+                hashes.append(average_hash(w, h, rgb, grid))
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    return df.mapInPandas(_go, AHASH_SCHEMA)

@@ -3954,3 +3954,323 @@ def datapipe_jaccard_prefix_join(
         "uni",
         F.round(F.col("inter") * 1.0 / F.col("uni"), 6).alias("jaccard"),
     )
+
+
+# --------------------------------------------------------------------
+# Web-corpus domain curation: every large-scale crawl pipeline
+# (C4/RefinedWeb/FineWeb style) starts by parsing URLs, aggregating
+# per-domain quality signals, and dropping blocklisted hosts. The URL
+# column is synthesized deterministically from doc fields (the fixture
+# has no real crawl URLs), then PARSED back with Spark's parse_url —
+# host, path segment, and a query-string parameter all come from the
+# parser, and the DuckDB oracle re-derives the same pieces with
+# regexes over the identically-constructed string, so a parse_url
+# semantics mistake breaks the hash. The blocklist is a broadcast
+# anti-join (|blocklist| rows — the realistic shape: blocklists are
+# tiny vs the corpus). Scale: URL build + parse are pure map work
+# fused into the scan stage; the only shuffle is the per-host
+# aggregation, map-side-combinable, O(distinct hosts) output.
+# [beyond-reference] web curation; reference has no URL surface.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_url_domain_curation",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id, lang, n_chars,
+               'https://' || source || '-' || CAST(doc_id % 3 AS VARCHAR)
+                 || '.example.com/' || lang || '/doc-'
+                 || CAST(doc_id AS VARCHAR) || '.html?q='
+                 || CAST(n_chars AS VARCHAR) || '&p='
+                 || CAST(doc_id % 7 AS VARCHAR) AS url
+        FROM documents
+    ), p AS (
+        SELECT doc_id,
+               regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+               regexp_extract(url, 'https://[^/]+/([a-z]+)/', 1)
+                   AS path_lang,
+               CAST(regexp_extract(url, '[?&]q=([0-9]+)', 1) AS BIGINT)
+                   AS q_chars
+        FROM u
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(q_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT path_lang) AS BIGINT) AS n_langs
+    FROM p
+    WHERE host NOT IN ('src0-0.example.com', 'src2-1.example.com')
+    GROUP BY host
+    """,
+)
+def datapipe_url_domain_curation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit("-"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit(".html?q="),
+        F.col("n_chars").cast("string"),
+        F.lit("&p="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    parsed = docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.element_at(
+            F.split(F.parse_url(url, F.lit("PATH")), "/"), 2
+        ).alias("path_lang"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("q"))
+        .cast("long")
+        .alias("q_chars"),
+    )
+    blocklist = spark.createDataFrame(
+        [("src0-0.example.com",), ("src2-1.example.com",)], ["host"]
+    )
+    return (
+        parsed.join(F.broadcast(blocklist), "host", "left_anti")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("q_chars").alias("total_chars"),
+            F.countDistinct("path_lang").alias("n_langs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Perceptual-hash image dedup (aHash): the image-side twin of MinHash
+# text dedup, and the standard first pass of LAION-style multimodal
+# curation — decode, 4x4 average-hash, then group identical hashes
+# into duplicate clusters. The hash is computed in the same Arrow map
+# stage as the decode (pixels never cross a shuffle; only the 8-byte
+# hash does), and the cluster stats are one window over the hash key —
+# O(docs) shuffled bytes regardless of image size. The DuckDB oracle
+# recomputes the full decode -> sample-grid -> threshold -> bit-pack
+# pipeline closed-form from the synthesizer's byte rule, so a
+# floor-mapping or bit-order mistake in either engine breaks the
+# hash match. Near-dup (Hamming<=t) banding over these hashes is
+# datapipe_hamming_neardup's shape; this query is the exact-bucket
+# stage. [beyond-reference] multimodal curation.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_image_phash_dedup",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               list_transform(range(0, 16), k ->
+                   list_sum(list_transform(range(0, 3), c ->
+                       (doc_id * 31
+                        + ((((k // 4) * (3 + doc_id % 5)) // 4)
+                             * (4 + doc_id % 8)
+                           + (((k % 4) * (4 + doc_id % 8)) // 4)) * 3
+                        + c) % 256))) AS gs
+        FROM documents
+    ), ph AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 16), k ->
+                   CASE WHEN gs[k + 1] * 16 > list_sum(gs)
+                        THEN 1 << k ELSE 0 END)) AS BIGINT) AS phash
+        FROM h
+    )
+    SELECT doc_id, phash,
+           CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT)
+               AS n_same_hash,
+           CAST(MIN(doc_id) OVER (PARTITION BY phash) AS BIGINT)
+               AS rep_doc_id
+    FROM ph
+    """,
+)
+def datapipe_image_phash_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.multimodal import image_ahash_meta
+
+    df = load(spark, sf_dir, "documents").select("doc_id")
+    hashed = image_ahash_meta(synth_image_payloads(df))
+    w = Window.partitionBy("phash")
+    return hashed.select(
+        "doc_id",
+        "phash",
+        F.count(F.lit(1)).over(w).alias("n_same_hash"),
+        F.min("doc_id").over(w).alias("rep_doc_id"),
+    )
+
+
+# --------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (Achlioptas ±1 signs): the
+# dimensionality-reduction pass that runs before ANN indexing or
+# semantic dedup when 100 TB of embeddings won't fit the index —
+# distances are preserved within (1±eps) while the vector shrinks
+# 64 -> 8 dims. The sign matrix is derived from md5 at PLAN time
+# (hashlib here == md5() in the oracle by construction) and unrolled
+# into a pure JVM arithmetic expression — whole-stage-codegen'd,
+# strictly left-to-right, each element cast to double first, so both
+# engines produce bit-identical sums with NO rounding slack needed.
+# Scale: zero shuffle — a map over the embedding column; the 512
+# ±terms are compile-time constants, not a joined matrix.
+# [beyond-reference] embedding infrastructure.
+# --------------------------------------------------------------------
+_RP_IN, _RP_OUT = 64, 8
+
+
+def _rp_sign(i: int, j: int) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"rp|{i}|{j}".encode()).hexdigest()
+    return 1 if h[0] < "8" else -1
+
+
+def _rp_expr(j: int, elem: "str") -> str:
+    """±chain for projected dim j; ``elem`` formats a 0-based index
+    into the engine's element accessor."""
+    parts = []
+    for i in range(_RP_IN):
+        op = "+" if _rp_sign(i, j) > 0 else "-"
+        parts.append(f"{op} CAST({elem.format(i=i)} AS DOUBLE)")
+    return "(0.0 " + " ".join(parts) + ")"
+
+
+@query(
+    "datapipe_random_projection",
+    oracle="""
+    SELECT vec_id, {projs}
+    FROM embeddings
+    """.format(
+        projs=", ".join(
+            f"ROUND({_rp_expr(j, 'embedding[{i} + 1]')}, 6) AS p{j}"
+            for j in range(_RP_OUT)
+        )
+    ),
+)
+def datapipe_random_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        *[
+            F.round(
+                F.expr(_rp_expr(j, "embedding[{i}]")), 6
+            ).alias(f"p{j}")
+            for j in range(_RP_OUT)
+        ],
+    )
+
+
+# --------------------------------------------------------------------
+# PMI token co-occurrence — the classic corpus-statistics operator
+# (word2vec-era association mining, collocation detection for
+# tokenizer/vocab design). Pairs are generated MAP-SIDE with a nested
+# array transform (window <= 3, unordered-canonicalized via
+# least/greatest) — no per-doc window sort and no self-join on
+# doc_id; the only shuffles are the two token/pair group-bys, both
+# map-side-combinable. PMI arithmetic: integer counts to one double
+# expression, multiplication order written identically in both
+# engines. Top-20 by support is TakeOrderedAndProject.
+# [beyond-reference] corpus statistics.
+# --------------------------------------------------------------------
+_PMI_WIN = 3
+_PMI_MIN_C = 5
+
+
+@query(
+    "datapipe_pmi_cooccurrence",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    tok AS (
+        SELECT unnest(toks) AS tok FROM t
+    ),
+    marg AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+    n_tok AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+    p0 AS (
+        SELECT unnest(flatten([
+            [{{'a': least(toks[CAST(i AS INT)], toks[CAST(i + k AS INT)]),
+               'b': greatest(toks[CAST(i AS INT)], toks[CAST(i + k AS INT)])}}
+             for k in range(1, least({_PMI_WIN}, len(toks) - i) + 1)]
+            for i in range(1, len(toks))
+        ])) AS s
+        FROM t
+    ),
+    p AS (SELECT s['a'] AS tok_a, s['b'] AS tok_b FROM p0),
+    pc AS (
+        SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS c_xy
+        FROM p GROUP BY tok_a, tok_b
+    ),
+    n_pairs AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM p)
+    SELECT pc.tok_a, pc.tok_b, pc.c_xy,
+           ROUND(ln((CAST(pc.c_xy AS DOUBLE) * n_tok.n * n_tok.n)
+                    / (CAST(n_pairs.np AS DOUBLE) * ma.c * mb.c)), 6)
+               AS pmi
+    FROM pc
+    JOIN marg ma ON ma.tok = pc.tok_a
+    JOIN marg mb ON mb.tok = pc.tok_b
+    CROSS JOIN n_tok CROSS JOIN n_pairs
+    WHERE pc.c_xy >= {_PMI_MIN_C}
+    ORDER BY pc.c_xy DESC, pc.tok_a, pc.tok_b
+    LIMIT 20
+    """,
+)
+def datapipe_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pair_expr = f"""
+    CASE WHEN size(split(text, ' ')) < 2 THEN
+        CAST(array() AS array<struct<a string, b string>>)
+    ELSE flatten(transform(sequence(1, size(split(text, ' ')) - 1), i ->
+        transform(
+            sequence(1, least({_PMI_WIN}, size(split(text, ' ')) - i)),
+            k -> struct(
+                least(element_at(split(text, ' '), i),
+                      element_at(split(text, ' '), i + k)) AS a,
+                greatest(element_at(split(text, ' '), i),
+                         element_at(split(text, ' '), i + k)) AS b))))
+    END
+    """
+    pairs = docs.select(
+        F.explode(F.expr(pair_expr)).alias("p")
+    ).select(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    marg = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_tok = toks.agg(F.count(F.lit(1)).alias("n"))
+    pc = pairs.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).alias("c_xy")
+    )
+    n_pairs = pairs.agg(F.count(F.lit(1)).alias("np"))
+    ma = marg.select(
+        F.col("tok").alias("tok_a"), F.col("c").alias("c_a")
+    )
+    mb = marg.select(
+        F.col("tok").alias("tok_b"), F.col("c").alias("c_b")
+    )
+    return (
+        pc.filter(F.col("c_xy") >= _PMI_MIN_C)
+        .join(ma, "tok_a")
+        .join(mb, "tok_b")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_pairs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy").cast("double") * F.col("n") * F.col("n"))
+                    / (
+                        F.col("np").cast("double")
+                        * F.col("c_a")
+                        * F.col("c_b")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("c_xy"), "tok_a", "tok_b")
+        .limit(20)
+    )

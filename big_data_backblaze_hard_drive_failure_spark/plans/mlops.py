@@ -1079,3 +1079,168 @@ def mlops_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(dev) / (F.max("n") * 100.0), 6
         ).alias("peak_cusum"),
     )
+
+
+# --------------------------------------------------------------------
+# Poisson-bootstrap confidence interval for a deployment metric — the
+# standard way to put error bars on an eval statistic at cluster
+# scale (resampling-with-replacement is a shuffle of the whole eval
+# set; Poisson(1) weights approximate it with a PURE MAP: each row
+# draws an independent per-replicate weight, so no resample
+# materializes). The draw is a deterministic md5-uniform pushed
+# through the exact Poisson(1) inverse CDF at 1/65536 granularity —
+# integer thresholds shared verbatim with the oracle, so both engines
+# draw identical weights. Per-replicate means use exact cents; the
+# final 2.5/97.5 percentiles interpolate over R=32 bit-identical
+# doubles. Scale: O(N*R) map work, partial aggregation reduces each
+# task to <= R rows, final state is R rows on one reducer —
+# error bars on a 100 TB eval cost one scan.
+# [beyond-reference] eval statistics; reference reports point
+# metrics only (06_deployment_code.py:137-209).
+# --------------------------------------------------------------------
+_BOOT_R = 32
+# floor(CDF_Poisson1(k) * 65536): P(0)=e^-1, P(k)=e^-1/k!
+_POIS_T = (24112, 48225, 60281, 64299, 65304, 65505)
+
+
+def _boot_w_sql(u16: str) -> str:
+    cases = " ".join(
+        f"WHEN {u16} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"(CASE {cases} ELSE {len(_POIS_T)} END)"
+
+
+def _boot_u16_sql(cast_t: str) -> str:
+    expr = (
+        f"'bs|' || CAST(event_id AS {cast_t}) || '|' || "
+        f"CAST(r AS {cast_t})"
+    )
+    terms = [
+        f"(instr('0123456789abcdef', substring(md5({expr}), {j + 1}, 1)) - 1)"
+        f" * {16 ** (3 - j)}"
+        for j in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "mlops_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+        SELECT e.event_id, CAST(t.r AS BIGINT) AS r,
+               CAST(ROUND(e.value * 100) AS BIGINT) AS cents
+        FROM events e, range(0, {_BOOT_R}) t(r)
+        WHERE e.event_type = 'error'
+    ), means AS (
+        SELECT r,
+               SUM({_boot_w_sql(_boot_u16_sql("VARCHAR"))} * cents)
+                 / (CAST(100 AS DOUBLE)
+                    * SUM({_boot_w_sql(_boot_u16_sql("VARCHAR"))}))
+                 AS mean_r
+        FROM reps GROUP BY r
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+           ROUND(AVG(mean_r), 6) AS boot_mean,
+           ROUND(quantile_cont(mean_r, 0.025), 6) AS ci_lo,
+           ROUND(quantile_cont(mean_r, 0.975), 6) AS ci_hi
+    FROM means
+    """,
+)
+def mlops_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .withColumn(
+            "r", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1)))
+        )
+        .withColumn("r", F.col("r").cast("long"))
+    )
+    w = F.expr(_boot_w_sql(_boot_u16_sql("STRING")))
+    means = ev.groupBy("r").agg(
+        (
+            F.sum(w * F.col("cents"))
+            / (F.lit(100).cast("double") * F.sum(w))
+        ).alias("mean_r")
+    )
+    return means.agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.round(F.avg("mean_r"), 6).alias("boot_mean"),
+        F.round(F.expr("percentile(mean_r, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(mean_r, 0.975)"), 6).alias("ci_hi"),
+    )
+
+
+# --------------------------------------------------------------------
+# Two-proportion z-test (A/B guardrail): is the error rate of cohort
+# A (even user_id — the canary) different from cohort B? The whole
+# test is ONE conditional-aggregation pass over the events table —
+# four integer counts — followed by closed-form scalar arithmetic
+# (pooled rate, standard error, z), written identically in both
+# engines so the doubles match bit-for-bit before the final ROUND.
+# Scale: map-side-combinable counts, 1-row result; the canonical
+# "guardrail metric over 100 TB of logs" shape. p-values are a
+# monotone transform of |z| (erf differs across engines — the
+# decision threshold belongs on z). [beyond-reference] experiment
+# analysis; reference reports unpaired point metrics only.
+# --------------------------------------------------------------------
+@query(
+    "mlops_ab_proportion_ztest",
+    oracle="""
+    WITH c AS (
+        SELECT
+            CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN user_id % 2 = 0
+                           AND event_type = 'error' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS x_a,
+            CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_b,
+            CAST(SUM(CASE WHEN user_id % 2 = 1
+                           AND event_type = 'error' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS x_b
+        FROM events
+    )
+    SELECT n_a, x_a, n_b, x_b,
+           ROUND(CAST(x_a AS DOUBLE) / n_a
+                 - CAST(x_b AS DOUBLE) / n_b, 6) AS rate_diff,
+           ROUND((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat
+    FROM c
+    """,
+)
+def mlops_ab_proportion_ztest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    is_a = F.col("user_id") % 2 == 0
+    is_err = F.col("event_type") == "error"
+    c = ev.agg(
+        F.sum(is_a.cast("long")).alias("n_a"),
+        F.sum((is_a & is_err).cast("long")).alias("x_a"),
+        F.sum((~is_a).cast("long")).alias("n_b"),
+        F.sum((~is_a & is_err).cast("long")).alias("x_b"),
+    )
+    p_a = F.col("x_a").cast("double") / F.col("n_a")
+    p_b = F.col("x_b").cast("double") / F.col("n_b")
+    pool = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return c.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(p_a - p_b, 6).alias("rate_diff"),
+        F.round((p_a - p_b) / se, 6).alias("z_stat"),
+    )

@@ -2997,3 +2997,300 @@ def star_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_term"
         ),
     )
+
+
+# --------------------------------------------------------------------
+# Winsorization (percentile clipping) — the robust-stats preprocessing
+# step for outlier-heavy monetary columns: clip each group's values to
+# its own [p05, p95] band, then report the winsorized mean alongside
+# exact clip counts. Two aggregations: the bounds table is one tiny
+# row-per-group aggregate (broadcast back), the final mean re-uses the
+# exact-cents trick — the interior sum stays integer and the two
+# interpolated bounds enter the float expression exactly once each, so
+# the result is reproducible regardless of partition order. At 100 TB:
+# groupBy bounds is a map-side-combinable agg over the fact table, the
+# join back is a broadcast (|groups| rows), and the second agg is
+# again partial — no window sort over the fact table anywhere.
+# [beyond-reference] robust statistics; reference has no percentile
+# surface at all (scripts/03 uses plain mean/std).
+# --------------------------------------------------------------------
+@query(
+    "star_winsorize",
+    oracle="""
+    WITH b AS (
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.05) AS lo,
+               quantile_cont(o_totalprice, 0.95) AS hi
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o.o_totalprice < b.lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN o.o_totalprice > b.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_high,
+           ROUND(MIN(b.lo), 6) AS lo,
+           ROUND(MIN(b.hi), 6) AS hi,
+           ROUND((SUM(CASE WHEN o.o_totalprice >= b.lo
+                            AND o.o_totalprice <= b.hi
+                           THEN CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END) / 100.0
+                  + SUM(CASE WHEN o.o_totalprice < b.lo THEN 1 ELSE 0 END)
+                    * MIN(b.lo)
+                  + SUM(CASE WHEN o.o_totalprice > b.hi THEN 1 ELSE 0 END)
+                    * MIN(b.hi)) / COUNT(*), 6) AS winsor_mean
+    FROM orders o JOIN b USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def star_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    bounds = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("hi"),
+    )
+    j = orders.join(F.broadcast(bounds), "o_orderpriority")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    low = (F.col("o_totalprice") < F.col("lo")).cast("long")
+    high = (F.col("o_totalprice") > F.col("hi")).cast("long")
+    interior = F.when(
+        (F.col("o_totalprice") >= F.col("lo"))
+        & (F.col("o_totalprice") <= F.col("hi")),
+        cents,
+    ).otherwise(F.lit(0))
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(low).alias("n_low"),
+            F.sum(high).alias("n_high"),
+            F.min("lo").alias("_lo"),
+            F.min("hi").alias("_hi"),
+            F.sum(interior).alias("_interior"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            "n_low",
+            "n_high",
+            F.round(F.col("_lo"), 6).alias("lo"),
+            F.round(F.col("_hi"), 6).alias("hi"),
+            F.round(
+                (
+                    F.col("_interior") / 100.0
+                    + F.col("n_low") * F.col("_lo")
+                    + F.col("n_high") * F.col("_hi")
+                )
+                / F.col("n"),
+                6,
+            ).alias("winsor_mean"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# PageRank over the nation trade graph — the engine's iterative
+# graph-analytics shape (power iteration), distinct from the
+# fixpoint connected-components in datapipe: a FIXED number of
+# dataframe-loop rounds, each one join + one aggregation. Graph:
+# supplier-nation -> customer-nation edges weighted by lineitem
+# count (one fact-table group-by builds the whole graph; everything
+# after runs on |nations|^2 <= 625 rows). Simplified formulation
+# (no dangling-mass redistribution), implemented IDENTICALLY in the
+# oracle as 10 chained CTE iterations, so the hash pins every round's
+# arithmetic. Scale: the per-iteration state is O(|nodes|), edges are
+# broadcast, and lineage is cut every 4 rounds (same discipline as
+# datapipe_neardup_components) so the plan doesn't grow with the
+# iteration count; the fact-table edge build is the only big shuffle.
+# [beyond-reference] graph analytics.
+# --------------------------------------------------------------------
+_PR_ITERS = 10
+_PR_DAMP = "0.85"
+_PR_EDGE_SQL = """
+    edges_raw AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY s.s_nationkey, c.c_nationkey
+    ),
+    edges AS (
+        SELECT src, dst,
+               CAST(w AS DOUBLE)
+                 / SUM(w) OVER (PARTITION BY src) AS frac
+        FROM edges_raw
+        UNION ALL
+        SELECT n_nationkey, n_nationkey, CAST(0 AS DOUBLE)
+        FROM nation
+    ),
+    r0 AS (
+        SELECT n_nationkey AS node, CAST(1.0 / 25 AS DOUBLE) AS rank
+        FROM nation
+    )
+"""
+
+
+def _pr_oracle() -> str:
+    steps = ",\n".join(
+        f"""    r{t + 1} AS (
+        SELECT e.dst AS node,
+               0.15 / 25 + {_PR_DAMP} * SUM(r.rank * e.frac) AS rank
+        FROM r{t} r JOIN edges e ON e.src = r.node
+        GROUP BY e.dst
+    )"""
+        for t in range(_PR_ITERS)
+    )
+    return f"""
+    WITH {_PR_EDGE_SQL},
+{steps}
+    SELECT n.n_name, r.node, ROUND(r.rank, 6) AS pagerank
+    FROM r{_PR_ITERS} r JOIN nation n ON n.n_nationkey = r.node
+    """
+
+
+@query("star_pagerank_nations", oracle=_pr_oracle())
+def star_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.staging import lineage_cut
+
+    nation = load(spark, sf_dir, "nation")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges_raw = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    frac = F.col("w").cast("double") / F.sum("w").over(
+        Window.partitionBy("src")
+    )
+    edges = (
+        edges_raw.select("src", "dst", frac.alias("frac"))
+        .unionByName(
+            nation.select(
+                F.col("n_nationkey").alias("src"),
+                F.col("n_nationkey").alias("dst"),
+                F.lit(0.0).alias("frac"),
+            )
+        )
+    )
+    # materialize the graph once (<= 650 rows) so the 10 iterations —
+    # and the final join — reuse it instead of re-running the
+    # fact-table edge build per reference
+    edges = lineage_cut(edges)
+    ranks = nation.select(
+        F.col("n_nationkey").alias("node"),
+        (F.lit(1.0) / F.lit(25)).alias("rank"),
+    )
+    damp = float(_PR_DAMP)
+    for t in range(_PR_ITERS):
+        ranks = (
+            ranks.join(F.broadcast(edges), F.col("src") == F.col("node"))
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(
+                (
+                    F.lit(0.15) / F.lit(25)
+                    + F.lit(damp) * F.sum(F.col("rank") * F.col("frac"))
+                ).alias("rank")
+            )
+            .select(F.col("node2").alias("node"), "rank")
+        )
+        if t % 4 == 3:  # keep the plan O(1) deep across iterations
+            ranks = lineage_cut(ranks)
+    out = ranks.join(
+        F.broadcast(nation),
+        F.col("node") == F.col("n_nationkey"),
+    ).select("n_name", "node", F.round("rank", 6).alias("pagerank"))
+    return out
+
+
+# --------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quintile
+# scores) — the classic marketing-analytics rollup. One fact-table
+# group-by builds the per-customer RFM triple (exact cents), three
+# ntile(5) windows assign quintiles with c_custkey tie-breaks, then
+# the segment rollup is a tiny group-by. Scale note: ntile is a
+# GLOBAL sort — fine for a dimension-sized customer table; at 1e9+
+# customers swap the ntile windows for percentile-cut bucket joins
+# (star_winsorize's bounds-broadcast shape) and keep everything else.
+# [beyond-reference] segmentation analytics.
+# --------------------------------------------------------------------
+@query(
+    "star_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                         (SELECT MAX(CAST(o_orderdate AS DATE))
+                          FROM orders)) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT *,
+               NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey)
+                   AS r_score,
+               NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+               NTILE(5) OVER (ORDER BY monetary_cents, o_custkey)
+                   AS m_score
+        FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS seg_monetary_cents
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+)
+def star_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    max_day = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("corpus_max")
+    )
+    rfm = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(max_day))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("corpus_max"), F.col("last_day")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    scored = rfm.select(
+        "*",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("recency_days"), "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary_cents", "o_custkey"))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary_cents").alias("seg_monetary_cents"),
+    )

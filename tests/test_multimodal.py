@@ -290,3 +290,28 @@ def test_png_decode_rejects_corruption():
         decode_png(bytes(png))
     with _pytest.raises(ValueError, match="signature"):
         decode_png(b"not a png at all")
+
+
+def test_average_hash_invariants():
+    from big_data_backblaze_hard_drive_failure_spark.functions.multimodal import (
+        average_hash,
+        decode_image,
+        synth_image_payload,
+    )
+
+    # flat image -> no cell strictly exceeds the mean -> hash 0
+    flat = bytes([7] * (8 * 8 * 3))
+    assert average_hash(8, 8, flat) == 0
+
+    # half-bright image: bright half above mean, dark half below
+    rgb = bytes([255] * (4 * 8 * 3) + [0] * (4 * 8 * 3))
+    h = average_hash(8, 8, rgb)
+    assert h == 0x00FF  # top two sample rows set (row-major bits 0..7)
+
+    # hash is a pure function of decoded pixels: decode path == direct
+    for doc_id in (0, 1, 5, 12, 40):
+        payload = synth_image_payload(doc_id)
+        w, ht, rgb = decode_image(payload)
+        direct = average_hash(w, ht, rgb)
+        assert 0 <= direct < 1 << 16
+        assert direct == average_hash(*decode_image(payload))
