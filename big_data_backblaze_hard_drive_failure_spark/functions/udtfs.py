@@ -29,3 +29,42 @@ class ChunkDocuments:
         for idx, start in enumerate(range(0, len(toks), CHUNK_TOKENS)):
             chunk = toks[start : start + CHUNK_TOKENS]
             yield doc_id, idx, " ".join(chunk), len(chunk)
+
+
+@udtf
+class NGramWindows:
+    """POLYMORPHIC UDTF (Spark 4 ``analyze`` API): emits sliding
+    n-gram windows where the OUTPUT SCHEMA depends on the constant
+    argument ``n`` — one ``tok_i`` column per gram position plus the
+    joined gram, a shape a fixed returnType cannot express. The
+    static ``analyze`` runs on the DRIVER at plan time (n must be a
+    foldable literal); ``eval`` then yields matching-width rows in
+    the Python worker."""
+
+    @staticmethod
+    def analyze(doc_id, text, n):
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import (
+            IntegerType,
+            LongType,
+            StringType,
+            StructType,
+        )
+
+        if n.value is None or not isinstance(n.value, int) or n.value < 1:
+            raise ValueError("NGramWindows: n must be a positive int literal")
+        schema = (
+            StructType()
+            .add("doc_id", LongType())
+            .add("pos", IntegerType())
+        )
+        for i in range(n.value):
+            schema = schema.add(f"tok{i}", StringType())
+        schema = schema.add("gram", StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, doc_id: int, text: str, n: int):
+        toks = text.split(" ")
+        for pos in range(len(toks) - n + 1):
+            win = toks[pos : pos + n]
+            yield (doc_id, pos, *win, " ".join(win))

@@ -4220,29 +4220,37 @@ _PMI_MIN_C = 5
 )
 def datapipe_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # materialize the token array ONCE per row before the nested
+    # transform — lambda bodies don't get common-subexpression
+    # elimination, so an inline split(text) would re-tokenize per
+    # (i, k) pair (measured 17s -> ~1s at sf0.1 for this query)
     pair_expr = f"""
-    CASE WHEN size(split(text, ' ')) < 2 THEN
+    CASE WHEN size(toks) < 2 THEN
         CAST(array() AS array<struct<a string, b string>>)
-    ELSE flatten(transform(sequence(1, size(split(text, ' ')) - 1), i ->
+    ELSE flatten(transform(sequence(1, size(toks) - 1), i ->
         transform(
-            sequence(1, least({_PMI_WIN}, size(split(text, ' ')) - i)),
+            sequence(1, least({_PMI_WIN}, size(toks) - i)),
             k -> struct(
-                least(element_at(split(text, ' '), i),
-                      element_at(split(text, ' '), i + k)) AS a,
-                greatest(element_at(split(text, ' '), i),
-                         element_at(split(text, ' '), i + k)) AS b))))
+                least(element_at(toks, i),
+                      element_at(toks, i + k)) AS a,
+                greatest(element_at(toks, i),
+                         element_at(toks, i + k)) AS b))))
     END
     """
-    pairs = docs.select(
-        F.explode(F.expr(pair_expr)).alias("p")
-    ).select(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+    pairs = (
+        docs.select(tokens("text").alias("toks"))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+    )
     toks = docs.select(F.explode(tokens("text")).alias("tok"))
     marg = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    n_tok = toks.agg(F.count(F.lit(1)).alias("n"))
     pc = pairs.groupBy("tok_a", "tok_b").agg(
         F.count(F.lit(1)).alias("c_xy")
     )
-    n_pairs = pairs.agg(F.count(F.lit(1)).alias("np"))
+    # totals come from the ALREADY-aggregated frames (O(vocab) /
+    # O(pairs) rows), not a second scan of the corpus-sized inputs
+    n_tok = marg.agg(F.sum("c").alias("n"))
+    n_pairs = pc.agg(F.sum("c_xy").alias("np"))
     ma = marg.select(
         F.col("tok").alias("tok_a"), F.col("c").alias("c_a")
     )
@@ -4273,4 +4281,284 @@ def datapipe_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("c_xy"), "tok_a", "tok_b")
         .limit(20)
+    )
+
+
+# --------------------------------------------------------------------
+# Nearest-centroid classification over embeddings — the E-step of
+# distributed k-means and the cheapest serviceable label-propagation /
+# cluster-assignment pass (semantic clustering, SemDeDup's assignment
+# stage, few-shot centroid classifiers). Per-label centroids come
+# from ONE map-side-combinable group-by over exploded (label, dim)
+# cells — O(|labels|·dim) state; assignment joins each vector's dims
+# against the BROADCAST centroid table (|labels|·dim rows), reduces
+# to per-(vec, candidate) squared distances, and picks the argmin
+# under the engine's rounded-rank-key contract (ROUND(d2, 9) with a
+# label tie-break — the same cross-engine float-ordering discipline
+# as the cosine top-k family). Output is the confusion matrix of
+# true vs assigned label. Scale: explode is map-side (×dim), both
+# group-bys are combinable, the window partitions by vec_id — no
+# global sort, no all-pairs anything. [beyond-reference] embedding
+# analytics.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_nearest_centroid",
+    oracle="""
+    WITH d AS (
+        SELECT vec_id, label AS true_label, CAST(i AS INT) AS i,
+               CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+        FROM embeddings CROSS JOIN range(1, 65) r(i)
+    ),
+    c AS (SELECT true_label AS label, i, AVG(v) AS c
+          FROM d GROUP BY true_label, i),
+    dist AS (
+        SELECT d.vec_id, d.true_label, c.label AS cand,
+               SUM((d.v - c.c) * (d.v - c.c)) AS d2
+        FROM d JOIN c ON c.i = d.i
+        GROUP BY d.vec_id, d.true_label, c.label
+    ),
+    asg AS (
+        SELECT vec_id, true_label, cand AS assigned_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ROUND(d2, 9), cand) AS rn
+        FROM dist
+    )
+    SELECT true_label, assigned_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM asg WHERE rn = 1
+    GROUP BY true_label, assigned_label
+    """,
+)
+def datapipe_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.posexplode(as_double_array("embedding")).alias("i", "v"),
+    )
+    cents = dims.groupBy(
+        F.col("true_label").alias("cand"), "i"
+    ).agg(F.avg("v").alias("c"))
+    dist = (
+        dims.join(F.broadcast(cents), "i")
+        .groupBy("vec_id", "true_label", "cand")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.round("d2", 9), "cand")
+    return (
+        dist.select(
+            "true_label",
+            F.col("cand").alias("assigned_label"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .groupBy("true_label", "assigned_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------
+# Corpus divergence diagnostics: Shannon entropy of each source's
+# token distribution + Jensen-Shannon divergence between two sources
+# — the standard "how different is this data mix" meter used when
+# weighting pretraining mixtures (and the symmetric, always-finite
+# alternative to raw KL). One token group-by per source (combinable),
+# a full-outer vocab alignment, then a scalar reduce over vocab rows;
+# probabilities are exact integer ratios and every log term is
+# written identically in both engines. Scale: O(corpus) scan,
+# O(vocab) shuffle, 1-row result. [beyond-reference] mixture
+# diagnostics (complements datapipe_dsir_importance).
+# --------------------------------------------------------------------
+@query(
+    "datapipe_source_divergence",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    c AS (
+        SELECT tok,
+               CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cb
+        FROM tok GROUP BY tok
+    ),
+    tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM c),
+    terms AS (
+        SELECT
+            CASE WHEN ca > 0 THEN -(CAST(ca AS DOUBLE) / na)
+                 * ln(CAST(ca AS DOUBLE) / na) ELSE 0.0 END AS h_a,
+            CASE WHEN cb > 0 THEN -(CAST(cb AS DOUBLE) / nb)
+                 * ln(CAST(cb AS DOUBLE) / nb) ELSE 0.0 END AS h_b,
+            CASE WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE) / na)
+                 * ln((CAST(ca AS DOUBLE) / na)
+                      / (0.5 * (CAST(ca AS DOUBLE) / na
+                                + CAST(cb AS DOUBLE) / nb)))
+                 ELSE 0.0 END
+            + CASE WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE) / nb)
+                 * ln((CAST(cb AS DOUBLE) / nb)
+                      / (0.5 * (CAST(ca AS DOUBLE) / na
+                                + CAST(cb AS DOUBLE) / nb)))
+                 ELSE 0.0 END AS js_term
+        FROM c CROSS JOIN tot
+    )
+    SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_vocab,
+           ROUND(SUM(h_a), 6) AS entropy_a,
+           ROUND(SUM(h_b), 6) AS entropy_b,
+           ROUND(SUM(js_term), 6) AS js_divergence
+    FROM terms
+    """,
+)
+def datapipe_source_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    toks = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src0", "src1"))
+        .select("source", F.explode(tokens("text")).alias("tok"))
+    )
+    c = toks.groupBy("tok").agg(
+        F.sum((F.col("source") == "src0").cast("long")).alias("ca"),
+        F.sum((F.col("source") == "src1").cast("long")).alias("cb"),
+    )
+    tot = c.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    j = c.crossJoin(F.broadcast(tot))
+    pa = F.col("ca").cast("double") / F.col("na")
+    pb = F.col("cb").cast("double") / F.col("nb")
+    m = F.lit(0.5) * (pa + pb)
+    h_a = F.when(F.col("ca") > 0, -pa * F.log(pa)).otherwise(0.0)
+    h_b = F.when(F.col("cb") > 0, -pb * F.log(pb)).otherwise(0.0)
+    js = F.when(F.col("ca") > 0, F.lit(0.5) * pa * F.log(pa / m)).otherwise(
+        0.0
+    ) + F.when(F.col("cb") > 0, F.lit(0.5) * pb * F.log(pb / m)).otherwise(
+        0.0
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.round(F.sum(h_a), 6).alias("entropy_a"),
+        F.round(F.sum(h_b), 6).alias("entropy_b"),
+        F.round(F.sum(js), 6).alias("js_divergence"),
+    )
+
+
+# --------------------------------------------------------------------
+# Zipf rank-frequency slope: fit ln(freq) ~ a + b·ln(rank) over the
+# top-K vocabulary by OLS closed form — natural corpora land near
+# b = -1, so the slope is a one-number corpus-health probe (synthetic
+# or templated text shows up as a flat or cliffed curve). Rank is a
+# deterministic TakeOrderedAndProject top-K (count desc, token
+# tie-break); the OLS sums run over K<=100 rows. Scale: the token
+# count is the only corpus-sized stage; everything after is O(K).
+# [beyond-reference] corpus statistics.
+# --------------------------------------------------------------------
+_ZIPF_K = 100
+
+
+@query(
+    "datapipe_zipf_slope",
+    oracle=f"""
+    WITH c AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY tok
+        ORDER BY n DESC, tok
+        LIMIT {_ZIPF_K}
+    ),
+    r AS (
+        SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok)
+                       AS DOUBLE)) AS x,
+               ln(CAST(n AS DOUBLE)) AS y
+        FROM c
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM r
+    )
+    SELECT CAST(k AS BIGINT) AS k_terms,
+           ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+               AS zipf_slope,
+           ROUND((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx)
+                 / k, 6) AS intercept
+    FROM s
+    """,
+)
+def datapipe_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(tokens("text")).alias("tok")
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(_ZIPF_K)
+    )
+    r = top.select(
+        F.log(
+            F.row_number()
+            .over(Window.orderBy(F.desc("n"), "tok"))
+            .cast("double")
+        ).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("k").cast("long").alias("k_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+# --------------------------------------------------------------------
+# Polymorphic UDTF (Spark 4 static ``analyze``): sliding n-gram
+# windows whose OUTPUT SCHEMA is computed on the driver from the
+# constant argument n — tok0..tok{n-1} columns plus the joined gram.
+# This is the dynamic-schema half of the UDTF API that the fixed
+# returnType chunker (datapipe_chunk_udtf) can't exercise; the
+# oracle rebuilds the n=3 instance with a range-unnest + slices.
+# Same scale shape as chunking: map-side row expansion, no shuffle.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_ngram_udtf",
+    oracle="""
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+           toks[CAST(i AS INT)] AS tok0,
+           toks[CAST(i + 1 AS INT)] AS tok1,
+           toks[CAST(i + 2 AS INT)] AS tok2,
+           array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')
+               AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id < 100),
+         unnest(range(1, len(toks) - 1)) AS u(i)
+    """,
+)
+def datapipe_ngram_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udtfs import NGramWindows
+    from ..sources.catalog import register_all
+
+    spark.udtf.register("ngram_windows", NGramWindows)
+    register_all(spark, sf_dir, tables=["documents"])
+    return spark.sql(
+        "SELECT g.* FROM documents, "
+        "LATERAL ngram_windows(documents.doc_id, text, 3) AS g "
+        "WHERE documents.doc_id < 100"
     )

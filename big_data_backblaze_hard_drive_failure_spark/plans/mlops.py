@@ -1244,3 +1244,419 @@ def mlops_ab_proportion_ztest(
         F.round(p_a - p_b, 6).alias("rate_diff"),
         F.round((p_a - p_b) / se, 6).alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum) between the A/B cohorts — the
+# NONPARAMETRIC twin of mlops_ab_proportion_ztest for a continuous
+# metric: no normality assumption on `value`, just ranks. The rank
+# statistics are computed the scale-correct way: reduce to DISTINCT
+# value groups first (one combinable group-by), then a prefix sum
+# over the reduced frame gives every group's exclusive rank offset —
+# average ranks and the tie-correction term stay EXACT INTEGERS
+# (doubled-rank trick: 2·R_A = Σ n_a·(2·cum_before + t + 1)) until
+# the closed-form z at the end. Same discipline as
+# mlops_roc_auc_rank. Oracle mirrors with a plain window.
+# [beyond-reference] experiment analysis.
+# --------------------------------------------------------------------
+@query(
+    "mlops_mann_whitney_u",
+    oracle="""
+    WITH g AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nb
+        FROM events GROUP BY 1
+    ),
+    p AS (
+        SELECT na, nb, na + nb AS t,
+               COALESCE(SUM(na + nb) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS cum_before
+        FROM g
+    ),
+    s AS (
+        SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+               CAST(SUM(nb) AS BIGINT) AS n_b,
+               CAST(SUM(na * (2 * cum_before + t + 1)) AS BIGINT)
+                   AS r2_a,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+        FROM p
+    )
+    SELECT n_a, n_b,
+           CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+           ROUND(((CAST(r2_a AS DOUBLE) - n_a * (n_a + 1)) / 2.0
+                  - CAST(n_a AS DOUBLE) * n_b / 2.0)
+                 / sqrt((CAST(n_a AS DOUBLE) * n_b / 12.0)
+                        * ((n_a + n_b + 1)
+                           - CAST(tie3 AS DOUBLE)
+                             / ((n_a + n_b)
+                                * CAST(n_a + n_b - 1 AS DOUBLE)))),
+                 6) AS z_stat
+    FROM s
+    """,
+)
+def mlops_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import global_prefix_sum
+
+    g = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.round(F.col("value") * 100).cast("long").alias("v")
+        )
+        .agg(
+            F.sum((F.col("user_id") % 2 == 0).cast("long")).alias("na"),
+            F.sum((F.col("user_id") % 2 == 1).cast("long")).alias("nb"),
+        )
+        .withColumn("t", F.col("na") + F.col("nb"))
+    )
+    p = global_prefix_sum(
+        g, ["v"], "t", "cum_before", exclusive=True
+    )
+    s = p.agg(
+        F.sum("na").alias("n_a"),
+        F.sum("nb").alias("n_b"),
+        F.sum(
+            F.col("na") * (2 * F.col("cum_before") + F.col("t") + 1)
+        ).alias("r2_a"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie3"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    u_a = (F.col("r2_a").cast("double") - n_a * (n_a + 1)) / F.lit(2.0)
+    var = (n_a.cast("double") * n_b / F.lit(12.0)) * (
+        (n_a + n_b + 1)
+        - F.col("tie3").cast("double")
+        / ((n_a + n_b) * (n_a + n_b - 1).cast("double"))
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        (F.col("r2_a") - n_a * (n_a + 1)).alias("u2_a"),
+        F.round(
+            (u_a - n_a.cast("double") * n_b / F.lit(2.0)) / F.sqrt(var), 6
+        ).alias("z_stat"),
+    )
+
+
+# --------------------------------------------------------------------
+# Split-conformal prediction interval + empirical coverage — the
+# distribution-free way to put guarantees on a deployed regressor.
+# Calibration half (even event_id) fits the per-type mean predictor
+# and takes the q95 of absolute residuals; eval half (odd event_id)
+# measures how often truth lands inside ±q. Every residual is an
+# identically-written double expression over exact cents, so the
+# quantile interpolates over bit-identical inputs and COVERAGE IS AN
+# EXACT INTEGER COUNT. Scale: two combinable aggs + one broadcast
+# join of per-type constants; no global sort (percentile agg).
+# [beyond-reference] uncertainty quantification.
+# --------------------------------------------------------------------
+@query(
+    "mlops_conformal_interval",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    pred AS (
+        SELECT event_type,
+               (CAST(SUM(cents) AS DOUBLE) / 100.0) / COUNT(*) AS mu,
+               CAST(COUNT(*) AS BIGINT) AS n_cal
+        FROM base WHERE event_id % 2 = 0 GROUP BY event_type
+    ),
+    q AS (
+        SELECT b.event_type,
+               quantile_cont(abs(b.cents / 100.0 - p.mu), 0.95) AS q_hat
+        FROM base b JOIN pred p USING (event_type)
+        WHERE b.event_id % 2 = 0
+        GROUP BY b.event_type
+    )
+    SELECT b.event_type, MIN(p.n_cal) AS n_cal,
+           ROUND(MIN(q.q_hat), 6) AS q_hat,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN abs(b.cents / 100.0 - p.mu) <= q.q_hat
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           ROUND(SUM(CASE WHEN abs(b.cents / 100.0 - p.mu) <= q.q_hat
+                          THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+    FROM base b JOIN pred p USING (event_type) JOIN q USING (event_type)
+    WHERE b.event_id % 2 = 1
+    GROUP BY b.event_type
+    """,
+)
+def mlops_conformal_interval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cal = base.filter(F.col("event_id") % 2 == 0)
+    pred = cal.groupBy("event_type").agg(
+        (
+            (F.sum("cents").cast("double") / F.lit(100.0))
+            / F.count(F.lit(1))
+        ).alias("mu"),
+        F.count(F.lit(1)).alias("n_cal"),
+    )
+    resid = F.abs(F.col("cents") / F.lit(100.0) - F.col("mu"))
+    q = (
+        cal.join(F.broadcast(pred), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile(abs(cents / 100.0D - mu), 0.95)"
+            ).alias("q_hat")
+        )
+    )
+    ev = (
+        base.filter(F.col("event_id") % 2 == 1)
+        .join(F.broadcast(pred), "event_type")
+        .join(F.broadcast(q), "event_type")
+    )
+    covered = (resid <= F.col("q_hat")).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.min("n_cal").alias("n_cal"),
+        F.round(F.min("q_hat"), 6).alias("q_hat"),
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(covered).alias("n_covered"),
+        F.round(
+            F.sum(covered) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("coverage"),
+    )
+
+
+# --------------------------------------------------------------------
+# Kaplan-Meier survival estimator — THE time-to-event statistic for
+# the reference's own domain (drive-days until failure,
+# 02_label_generation's lead label is the 1-day special case).
+# Subjects are users; "failure" is the first error event; users with
+# no error are right-censored at the corpus end. The life table is
+# built scale-correctly: one per-user reduce, one group-by on the
+# integer duration, then the at-risk counts and the cumulative
+# log-survival both come from the distributed prefix-sum operator —
+# S(t) = exp(Σ ln((n_j - d_j)/n_j)) so the product never needs an
+# ordered multiply. Oracle mirrors with plain windows; both engines
+# sum the identical ln terms (round-6 slack absorbs association
+# order). [beyond-reference capability twin: survival analysis.]
+# --------------------------------------------------------------------
+@query(
+    "mlops_kaplan_meier",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(ts) AS first_ts,
+               MIN(CASE WHEN event_type = 'error' THEN ts END) AS err_ts
+        FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT MAX(ts) AS end_ts FROM events),
+    dur AS (
+        SELECT CASE WHEN err_ts IS NOT NULL
+                    THEN date_diff('day', CAST(first_ts AS DATE),
+                                   CAST(err_ts AS DATE))
+                    ELSE date_diff('day', CAST(first_ts AS DATE),
+                                   CAST(end_ts AS DATE)) END AS t,
+               CASE WHEN err_ts IS NOT NULL THEN 1 ELSE 0 END AS failed
+        FROM per_user CROSS JOIN horizon
+    ),
+    grp AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS n_all,
+               CAST(SUM(failed) AS BIGINT) AS n_fail
+        FROM dur GROUP BY t
+    ),
+    lt AS (
+        SELECT t, n_fail,
+               (SELECT COUNT(*) FROM dur)
+                 - COALESCE(SUM(n_all) OVER (
+                       ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS n_risk
+        FROM grp
+    ),
+    km AS (
+        SELECT t, n_risk, n_fail,
+               SUM(CASE WHEN n_fail < n_risk
+                        THEN ln((CAST(n_risk AS DOUBLE) - n_fail)
+                                / n_risk)
+                        ELSE 0.0 END)
+                   OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS ln_s
+        FROM lt WHERE n_fail > 0
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk, n_fail,
+           CASE WHEN n_fail = n_risk THEN 0.0
+                ELSE ROUND(exp(ln_s), 6) END AS survival
+    FROM km
+    """,
+)
+def mlops_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import global_prefix_sum
+
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("ts"))
+        ).alias("err_ts"),
+    )
+    horizon = ev.agg(F.max("ts").alias("end_ts"))
+    dur = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("err_ts").isNotNull(),
+            F.datediff(F.to_date("err_ts"), F.to_date("first_ts")),
+        )
+        .otherwise(
+            F.datediff(F.to_date("end_ts"), F.to_date("first_ts"))
+        )
+        .cast("long")
+        .alias("t"),
+        F.col("err_ts").isNotNull().cast("long").alias("failed"),
+    )
+    grp = dur.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("failed").alias("n_fail"),
+    )
+    total = dur.agg(F.count(F.lit(1)).alias("n_total"))
+    lt = (
+        global_prefix_sum(grp, ["t"], "n_all", "cum_before", exclusive=True)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "t",
+            "n_fail",
+            (F.col("n_total") - F.col("cum_before")).alias("n_risk"),
+        )
+        .filter(F.col("n_fail") > 0)
+        .withColumn(
+            "ln_term",
+            # the final step can absorb everyone at risk (n_fail ==
+            # n_risk): survival is exactly 0 there, and ln(0) must
+            # never enter the accumulation (DuckDB raises on it)
+            F.when(
+                F.col("n_fail") < F.col("n_risk"),
+                F.log(
+                    (F.col("n_risk").cast("double") - F.col("n_fail"))
+                    / F.col("n_risk")
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    km = global_prefix_sum(lt, ["t"], "ln_term", "ln_s")
+    return km.select(
+        F.col("t").alias("t_days"),
+        "n_risk",
+        "n_fail",
+        F.when(F.col("n_fail") == F.col("n_risk"), F.lit(0.0))
+        .otherwise(F.round(F.exp("ln_s"), 6))
+        .alias("survival"),
+    )
+
+
+# --------------------------------------------------------------------
+# Expanding-window backtest folds — temporal cross-validation over
+# the event stream (the multi-fold generalization of the reference's
+# single chronological split, 04:29-70). Days are bucketed into 5
+# contiguous folds by ntile over the DISTINCT-day frame (O(days)
+# rows — the only ordered pass); each fold k tests on its own days
+# and trains on every earlier day, so train counts are an exclusive
+# prefix sum over per-fold totals. All integers.
+# --------------------------------------------------------------------
+@query(
+    "mlops_backtest_folds",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY day
+    ),
+    folds AS (
+        SELECT day, n, NTILE(5) OVER (ORDER BY day) AS fold
+        FROM daily
+    ),
+    per_fold AS (
+        SELECT fold, CAST(COUNT(*) AS BIGINT) AS test_days,
+               CAST(SUM(n) AS BIGINT) AS test_rows,
+               MIN(day) AS fold_start, MAX(day) AS fold_end
+        FROM folds GROUP BY fold
+    )
+    SELECT fold, fold_start, fold_end, test_days, test_rows,
+           CAST(COALESCE(SUM(test_days) OVER (
+                    ORDER BY fold ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS train_days,
+           CAST(COALESCE(SUM(test_rows) OVER (
+                    ORDER BY fold ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS train_rows
+    FROM per_fold
+    """,
+)
+def mlops_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    folds = daily.select(
+        "day", "n", F.ntile(5).over(Window.orderBy("day")).alias("fold")
+    )
+    per_fold = folds.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("test_days"),
+        F.sum("n").alias("test_rows"),
+        F.min("day").alias("fold_start"),
+        F.max("day").alias("fold_end"),
+    )
+    w = (
+        Window.orderBy("fold")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return per_fold.select(
+        "fold",
+        "fold_start",
+        "fold_end",
+        "test_days",
+        "test_rows",
+        F.coalesce(F.sum("test_days").over(w), F.lit(0)).alias(
+            "train_days"
+        ),
+        F.coalesce(F.sum("test_rows").over(w), F.lit(0)).alias(
+            "train_rows"
+        ),
+    )
+
+
+# --------------------------------------------------------------------
+# Isotonic score calibration (distributed pool-adjacent-violators):
+# the monotone-nonparametric upgrade of mlops_calibration_bins — fit
+# the best monotone map score -> P(error) with MLlib's
+# IsotonicRegression (per-partition PAV + merge, the scalable
+# formulation). Deterministic input (JVM column-expression scores),
+# deterministic greedy fit -> stable boundary/prediction table, but
+# the fit itself is not one SQL statement: rows-only by design, with
+# pytest pinning monotonicity + a hand-rolled PAV parity check.
+# --------------------------------------------------------------------
+@query("mlops_isotonic_calibration")
+def mlops_isotonic_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import IsotonicRegression
+
+    scored = _features(spark, sf_dir).select(
+        score_column(MODEL).alias("score"),
+        F.col("is_error").alias("label"),
+    )
+    vec = VectorAssembler(inputCols=["score"], outputCol="features")
+    iso = IsotonicRegression(
+        featuresCol="features", labelCol="label", isotonic=True
+    )
+    model = iso.fit(vec.transform(scored))
+    b = [float(x) for x in model.boundaries]
+    p = [float(x) for x in model.predictions]
+    rows = [
+        (i, round(b[i], 6), round(p[i], 6)) for i in range(len(b))
+    ]
+    return spark.createDataFrame(
+        rows, "knot_idx int, boundary double, calibrated double"
+    )

@@ -1329,3 +1329,89 @@ def ref_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNotNull().alias("is_observed"),
         F.round(filled, 6).alias("v_filled"),
     )
+
+
+# --------------------------------------------------------------------
+# W+ [beyond-reference]: seasonal-naive forecast evaluation (MASE,
+# Hyndman & Koehler 2006) over the daily per-type series — the
+# standard scale-free answer to "is this telemetry forecastable, and
+# does weekly seasonality help". Numerator: MAE of the 7-day
+# seasonal-naive forecast; denominator: MAE of the 1-day naive.
+# The daily means are identical double expressions over exact cents,
+# lags are per-type windows (partitioned — one hash exchange shared
+# by both lags), and each MAE sums O(days) values. At 100 TB the
+# daily reduce is the only corpus-sized stage.
+# --------------------------------------------------------------------
+@query(
+    "ref_mase_seasonal_eval",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               (CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+                / 100.0) / COUNT(*) AS m
+        FROM events GROUP BY event_type, day
+    ),
+    lagged AS (
+        SELECT event_type,
+               m,
+               LAG(m, 7) OVER (PARTITION BY event_type ORDER BY day)
+                   AS m7,
+               LAG(m, 1) OVER (PARTITION BY event_type ORDER BY day)
+                   AS m1
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN m7 IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_seasonal,
+           ROUND(SUM(CASE WHEN m7 IS NOT NULL THEN abs(m - m7) END)
+                 / SUM(CASE WHEN m7 IS NOT NULL THEN 1 END), 6)
+               AS mae_seasonal,
+           ROUND(SUM(CASE WHEN m1 IS NOT NULL THEN abs(m - m1) END)
+                 / SUM(CASE WHEN m1 IS NOT NULL THEN 1 END), 6)
+               AS mae_naive,
+           ROUND((SUM(CASE WHEN m7 IS NOT NULL THEN abs(m - m7) END)
+                  / SUM(CASE WHEN m7 IS NOT NULL THEN 1 END))
+                 / (SUM(CASE WHEN m1 IS NOT NULL THEN abs(m - m1) END)
+                    / SUM(CASE WHEN m1 IS NOT NULL THEN 1 END)), 6)
+               AS mase
+    FROM lagged
+    GROUP BY event_type
+    """,
+)
+def ref_mase_seasonal_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            (
+                (
+                    F.sum(
+                        F.round(F.col("value") * 100).cast("long")
+                    ).cast("double")
+                    / F.lit(100.0)
+                )
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "m",
+        F.lag("m", 7).over(w).alias("m7"),
+        F.lag("m", 1).over(w).alias("m1"),
+    )
+    d7 = F.when(F.col("m7").isNotNull(), F.abs(F.col("m") - F.col("m7")))
+    d1 = F.when(F.col("m1").isNotNull(), F.abs(F.col("m") - F.col("m1")))
+    c7 = F.when(F.col("m7").isNotNull(), F.lit(1))
+    c1 = F.when(F.col("m1").isNotNull(), F.lit(1))
+    mae7 = F.sum(d7) / F.sum(c7)
+    mae1 = F.sum(d1) / F.sum(c1)
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(c7).cast("long").alias("n_seasonal"),
+        F.round(mae7, 6).alias("mae_seasonal"),
+        F.round(mae1, 6).alias("mae_naive"),
+        F.round(mae7 / mae1, 6).alias("mase"),
+    )

@@ -3294,3 +3294,68 @@ def star_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("monetary_cents").alias("seg_monetary_cents"),
     )
+
+
+# --------------------------------------------------------------------
+# Gini coefficient of customer spend (revenue-concentration /
+# inequality meter — the same statistic used for feature-importance
+# and purity audits). Rank-weighted formulation
+# G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) stays EXACT-INTEGER to
+# the final division: spend is cents, and both the rank i and the
+# rank-weighted sum come from the engine's distributed prefix-sum
+# operator (operators/prefix.py — range partition + per-partition
+# scan + K-row offset table), NOT an unpartitioned window, so the
+# sort scales out. Oracle uses the plain ROW_NUMBER twin.
+# [beyond-reference] inequality statistics.
+# --------------------------------------------------------------------
+@query(
+    "star_gini_spend",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i
+        FROM cust
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(x) AS BIGINT) AS total_cents,
+           ROUND((2.0 * SUM(i * x) - (COUNT(*) + 1) * SUM(x))
+                 / (CAST(COUNT(*) AS DOUBLE) * SUM(x)), 6) AS gini
+    FROM r
+    """,
+)
+def star_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import global_prefix_sum
+
+    cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("x")
+        )
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    ranked = global_prefix_sum(
+        global_prefix_sum(cust, ["x", "o_custkey"], "x", "cum_x"),
+        ["x", "o_custkey"],
+        "one",
+        "i",
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("x").alias("total_cents"),
+        F.round(
+            (
+                F.lit(2.0) * F.sum(F.col("i") * F.col("x"))
+                - (F.count(F.lit(1)) + 1) * F.sum("x")
+            )
+            / (F.count(F.lit(1)).cast("double") * F.sum("x")),
+            6,
+        ).alias("gini"),
+    )

@@ -337,3 +337,50 @@ def test_exact_int_corr_agrees_with_builtin(spark, sf_oracle):
         "corr_value_error"
     ]
     assert abs(builtin - mine) < 1e-12
+
+
+def test_isotonic_calibration_monotone_and_pav_exact(spark, sf_oracle):
+    """The fitted isotonic map must be nondecreasing, and MLlib's
+    distributed PAV must agree with a hand-rolled sequential PAV on
+    the same (score, label) pairs — pool means compared exactly as
+    weighted rationals."""
+    from big_data_backblaze_hard_drive_failure_spark.plans import QUERIES
+
+    rows = QUERIES["mlops_isotonic_calibration"](
+        spark, sf_oracle
+    ).collect()
+    preds = [r.calibrated for r in rows]
+    bounds = [r.boundary for r in rows]
+    assert preds == sorted(preds)
+    assert bounds == sorted(bounds)
+
+    # tiny deterministic PAV parity: fit MLlib on 8 points and
+    # compare with the classic sequential pool-adjacent-violators
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import IsotonicRegression
+
+    pts = [(0.1, 1.0), (0.2, 0.0), (0.3, 0.0), (0.4, 1.0),
+           (0.5, 0.0), (0.6, 1.0), (0.7, 1.0), (0.8, 0.0)]
+    df = spark.createDataFrame(pts, "score double, label double")
+    model = IsotonicRegression(
+        featuresCol="features", labelCol="label"
+    ).fit(VectorAssembler(inputCols=["score"], outputCol="features")
+          .transform(df))
+
+    # sequential PAV over the same points
+    pools = [[y, 1.0] for _, y in pts]  # [sum, weight]
+    merged = []
+    for p in pools:
+        merged.append(p)
+        while (
+            len(merged) > 1
+            and merged[-2][0] / merged[-2][1] >= merged[-1][0] / merged[-1][1]
+        ):
+            b = merged.pop()
+            merged[-1][0] += b[0]
+            merged[-1][1] += b[1]
+    flat = []
+    for s_, w_ in merged:
+        flat.extend([s_ / w_] * int(w_))
+    got = [float(model.predict(x)) for x, _ in pts]
+    assert all(abs(a - b) < 1e-9 for a, b in zip(got, flat)), (got, flat)

@@ -254,3 +254,32 @@ def test_join_strategy_hints_control_physical_operator(spark):
             .toString()
         )
         assert node in plan, f"hint {hint}: expected {node}\n{plan[:800]}"
+
+
+@pytest.mark.parametrize(
+    "name", ["star_gini_spend", "mlops_mann_whitney_u", "mlops_kaplan_meier"]
+)
+def test_rank_statistics_use_range_partitioned_prefix(spark, sf_smoke, name):
+    """Gini / Mann-Whitney / Kaplan-Meier must compute rank statistics
+    through the distributed prefix-sum (repartitionByRange + local
+    scans + K-row offset table), never a data-sized unpartitioned
+    window: the plan must contain a rangepartitioning Exchange."""
+    plan = _formatted(spark, name, sf_smoke)
+    assert "rangepartitioning" in plan.lower(), name
+
+
+def test_pmi_pairs_are_generated_map_side(spark, sf_smoke):
+    """PMI pair generation is a nested array transform in the scan
+    stage: no join may appear before the pair aggregation — the only
+    joins in the plan attach the tiny marginal/total frames."""
+    plan = _formatted(spark, "datapipe_pmi_cooccurrence", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # explode of the transform output
+
+
+def test_random_projection_is_shuffle_free(spark, sf_smoke):
+    """The JL projection is compile-time-unrolled arithmetic over the
+    embedding column: a pure map plan — no Exchange, no Python."""
+    plan = _formatted(spark, "datapipe_random_projection", sf_smoke)
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
