@@ -4562,3 +4562,80 @@ def datapipe_ngram_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "LATERAL ngram_windows(documents.doc_id, text, 3) AS g "
         "WHERE documents.doc_id < 100"
     )
+
+
+# --------------------------------------------------------------------
+# Chi-square independence test + Cramér's V between two categorical
+# columns (lang × source) — the feature-association audit you run
+# before trusting a sampling stratification or suspecting corpus
+# leakage between sources. One conditional-agg pass builds the
+# contingency table (combinable, O(|lang|·|source|) rows); expected
+# counts come from broadcast marginals; the chi-square sum and
+# Cramér's V normalization are closed-form over the tiny table.
+# Exact integer counts feed one identically-written double
+# expression. [beyond-reference] categorical association.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_chi_square_assoc",
+    oracle="""
+    WITH ct AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang, source
+    ),
+    rm AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nr FROM ct GROUP BY lang),
+    cm AS (SELECT source, CAST(SUM(n) AS BIGINT) AS nc FROM ct GROUP BY source),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS r,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS c
+            FROM ct),
+    terms AS (
+        SELECT (CAST(ct.n AS DOUBLE)
+                - CAST(rm.nr AS DOUBLE) * cm.nc / tot.nt)
+               * (CAST(ct.n AS DOUBLE)
+                  - CAST(rm.nr AS DOUBLE) * cm.nc / tot.nt)
+               / (CAST(rm.nr AS DOUBLE) * cm.nc / tot.nt) AS t,
+               tot.nt AS nt, tot.r AS r, tot.c AS c
+        FROM ct JOIN rm USING (lang) JOIN cm USING (source)
+        CROSS JOIN tot
+    )
+    SELECT CAST(MIN(nt) AS BIGINT) AS n_docs,
+           ROUND(SUM(t), 6) AS chi2,
+           ROUND(sqrt(SUM(t) / (MIN(nt)
+                 * (CASE WHEN MIN(r) < MIN(c) THEN MIN(r)
+                         ELSE MIN(c) END - 1))), 6) AS cramers_v
+    FROM terms
+    """,
+)
+def datapipe_chi_square_assoc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ct = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rm = ct.groupBy("lang").agg(F.sum("n").alias("nr"))
+    cm = ct.groupBy("source").agg(F.sum("n").alias("nc"))
+    tot = ct.agg(
+        F.sum("n").alias("nt"),
+        F.countDistinct("lang").alias("r"),
+        F.countDistinct("source").alias("c"),
+    )
+    j = (
+        ct.join(F.broadcast(rm), "lang")
+        .join(F.broadcast(cm), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = F.col("nr").cast("double") * F.col("nc") / F.col("nt")
+    t = (F.col("n").cast("double") - exp) * (
+        F.col("n").cast("double") - exp
+    ) / exp
+    mindim = F.when(F.min("r") < F.min("c"), F.min("r")).otherwise(
+        F.min("c")
+    )
+    return j.select(t.alias("t"), "nt", "r", "c").agg(
+        F.min("nt").alias("n_docs"),
+        F.round(F.sum("t"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(F.sum("t") / (F.min("nt") * (mindim - 1))), 6
+        ).alias("cramers_v"),
+    )

@@ -171,3 +171,113 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return len(_glob.glob(os.path.join(path, "*.parquet")))
+
+
+# -- Versioned snapshot table (time-travel-lite) ---------------------
+#
+# The capability Delta/Iceberg give a lakehouse, reduced to its
+# load-bearing core on plain parquet: every write lands in an
+# immutable version directory (v=N/), and a tiny JSON manifest is
+# COMMITTED LAST by an atomic rename — readers either see the old
+# manifest (old version) or the new one, never a half-written table.
+# Reads pin a version ("time travel") or follow the manifest's
+# current pointer. At 100 TB: writers never mutate live data files,
+# rollback is a manifest edit, and concurrent readers are isolated
+# for free — the same crash-safety discipline as compact_parquet's
+# temp-then-swap, promoted to a table format.
+
+_MANIFEST = "_manifest.json"
+
+
+def _read_manifest(table_dir: str) -> dict:
+    import json
+    import os
+
+    path = os.path.join(table_dir, _MANIFEST)
+    if not os.path.exists(path):
+        return {"current": 0, "latest": 0}
+    with open(path) as f:
+        return json.load(f)
+
+
+def _commit_manifest(table_dir: str, manifest: dict) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(table_dir, f".{_MANIFEST}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(table_dir, _MANIFEST))
+
+
+def write_snapshot(df: DataFrame, table_dir: str) -> int:
+    """Append a new immutable version of ``df`` under ``table_dir``;
+    returns the new version number. The manifest flip is the commit
+    point (os.replace — atomic on POSIX). ``latest`` is monotonic so
+    a rollback never orphans committed versions or reuses a number."""
+    import os
+
+    os.makedirs(table_dir, exist_ok=True)
+    m = _read_manifest(table_dir)
+    version = m["latest"] + 1
+    df.write.mode("errorifexists").parquet(
+        os.path.join(table_dir, f"v={version}")
+    )
+    _commit_manifest(table_dir, {"current": version, "latest": version})
+    return version
+
+
+def read_snapshot_version(table_dir: str) -> int:
+    """Current committed version (0 = empty table)."""
+    return int(_read_manifest(table_dir)["current"])
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the table at ``version`` (default: current). Uncommitted
+    version directories (crashed writers) are invisible because only
+    the manifest names readable versions."""
+    import os
+
+    m = _read_manifest(table_dir)
+    v = version if version is not None else m["current"]
+    if v < 1 or v > m["latest"]:
+        raise ValueError(
+            f"version {v} not committed in {table_dir}"
+        )
+    return spark.read.parquet(os.path.join(table_dir, f"v={v}"))
+
+
+def rollback_snapshot(table_dir: str, version: int) -> None:
+    """Point the table back at an earlier committed version (the
+    manifest flip is the whole operation — no data rewrite; every
+    committed version stays pinnable)."""
+    m = _read_manifest(table_dir)
+    if version < 1 or version > m["latest"]:
+        raise ValueError(f"cannot roll back to version {version}")
+    _commit_manifest(
+        table_dir, {"current": version, "latest": m["latest"]}
+    )
+
+
+def vacuum_snapshots(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Delete data for all committed versions older than the newest
+    ``keep_last``, EXCEPT the current pointer (a rolled-back current
+    is never vacuumed away). Returns the removed version numbers.
+    Metadata (`latest`) is untouched, so version numbers are never
+    reused after a vacuum."""
+    import os
+    import shutil
+
+    m = _read_manifest(table_dir)
+    keep_floor = m["latest"] - keep_last + 1
+    removed = []
+    for v in range(1, max(keep_floor, 1)):
+        if v == m["current"]:
+            continue
+        d = os.path.join(table_dir, f"v={v}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            removed.append(v)
+    return removed

@@ -296,3 +296,74 @@ def test_rebalance_hint_plans_aqe_rebalance(spark, sf_smoke):
     assert "RebalancePartitions" in optimized.replace(
         "rebalancepartitions", "RebalancePartitions"
     ), optimized
+
+
+def test_snapshot_table_versions_rollback_and_isolation(
+    spark, sf_smoke, tmp_path
+):
+    """Versioned snapshot table: every write is an immutable version
+    committed by an atomic manifest flip — reads pin any committed
+    version, rollback is a manifest edit, and an uncommitted writer
+    directory is invisible to readers."""
+    import os
+
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import load
+    from big_data_backblaze_hard_drive_failure_spark.sources.sinks import (
+        read_snapshot,
+        read_snapshot_version,
+        rollback_snapshot,
+        write_snapshot,
+    )
+
+    tdir = str(tmp_path / "snap")
+    nation = load(spark, sf_smoke, "nation")
+    v1 = write_snapshot(nation.filter("n_nationkey < 10"), tdir)
+    v2 = write_snapshot(nation, tdir)
+    assert (v1, v2) == (1, 2)
+    assert read_snapshot_version(tdir) == 2
+
+    assert read_snapshot(spark, tdir).count() == nation.count()
+    assert read_snapshot(spark, tdir, version=1).count() == 10
+
+    # a crashed writer: data directory exists, manifest never flipped
+    nation.limit(1).write.parquet(os.path.join(tdir, "v=3"))
+    assert read_snapshot_version(tdir) == 2
+    assert read_snapshot(spark, tdir).count() == nation.count()
+    try:
+        read_snapshot(spark, tdir, version=3)
+        raise AssertionError("uncommitted version must not be readable")
+    except ValueError:
+        pass
+
+    rollback_snapshot(tdir, 1)
+    assert read_snapshot(spark, tdir).count() == 10
+    # rollback is metadata-only: v2 data still present and pinnable
+    assert read_snapshot(spark, tdir, version=2).count() == nation.count()
+
+
+def test_snapshot_vacuum_keeps_current_and_recent(spark, sf_smoke, tmp_path):
+    """Vacuum removes old version data but never the current pointer
+    (even if rolled back) nor the newest keep_last versions."""
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import load
+    from big_data_backblaze_hard_drive_failure_spark.sources.sinks import (
+        read_snapshot,
+        rollback_snapshot,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    tdir = str(tmp_path / "snapgc")
+    nation = load(spark, sf_smoke, "nation")
+    for k in (5, 10, 15, 20):
+        write_snapshot(nation.filter(f"n_nationkey < {k}"), tdir)
+    rollback_snapshot(tdir, 2)
+
+    removed = vacuum_snapshots(tdir, keep_last=2)
+    assert removed == [1]  # v2 is current (protected), v3/v4 recent
+    assert read_snapshot(spark, tdir).count() == 10  # current intact
+    assert read_snapshot(spark, tdir, version=3).count() == 15
+    try:
+        read_snapshot(spark, tdir, version=1).count()
+        raise AssertionError("vacuumed version should not read")
+    except Exception:
+        pass

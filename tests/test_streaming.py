@@ -993,3 +993,44 @@ def test_streaming_drift_histogram_matches_batch(spark, sf_smoke, tmp_path):
         if r["n_ref"] + r["n_cur"] > 0
     }
     assert got == want and sum(a + b for a, b in got.values()) > 0
+
+
+def test_streaming_foreachbatch_snapshot_sink(spark, sf_smoke, tmp_path):
+    """foreachBatch + the versioned snapshot table: every micro-batch
+    commits an immutable version with an atomic manifest flip, so a
+    crash mid-batch can never expose partial data, and the current
+    version's row count equals the drained stream's total."""
+    from big_data_backblaze_hard_drive_failure_spark.sources.sinks import (
+        read_snapshot,
+        read_snapshot_version,
+        write_snapshot,
+    )
+
+    tdir = str(tmp_path / "snap_stream")
+    stream = read_events_stream(spark, sf_smoke)
+
+    totals = []
+
+    def _commit(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        write_snapshot(batch_df, tdir)
+        totals.append(batch_df.count())
+
+    q = (
+        stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", str(tmp_path / "ckpt_snap"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    n_versions = read_snapshot_version(tdir)
+    assert n_versions == len(totals) and n_versions >= 1
+    # union of all committed versions == everything the stream drained
+    got = sum(
+        read_snapshot(spark, tdir, version=v).count()
+        for v in range(1, n_versions + 1)
+    )
+    batch_n = load(spark, sf_smoke, "events").count()
+    assert got == sum(totals) == batch_n
