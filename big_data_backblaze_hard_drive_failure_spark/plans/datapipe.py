@@ -4639,3 +4639,178 @@ def datapipe_chi_square_assoc(
             F.sqrt(F.sum("t") / (F.min("nt") * (mindim - 1))), 6
         ).alias("cramers_v"),
     )
+
+
+# --------------------------------------------------------------------
+# Weighted median document length, weights = DSIR-style importance
+# (here: integer per-doc weight 1 + doc_id % 5 — the deterministic
+# stand-in for a learned importance weight). The weighted quantile is
+# THE selection primitive once a corpus carries sampling weights:
+# value v* = smallest length whose cumulative weight reaches half the
+# total. Exact integers end-to-end — cumulative weights come from the
+# distributed prefix sum over the (length, weight) groups, never a
+# data-sized window, and the pick is one filter + TakeOrdered(1).
+# Oracle mirrors with a plain window. [beyond-reference] weighted
+# statistics for importance-sampled corpora.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_weighted_median_len",
+    oracle="""
+    WITH w AS (
+        SELECT n_chars AS len_chars,
+               CAST(SUM(1 + doc_id % 5) AS BIGINT) AS wt
+        FROM documents GROUP BY n_chars
+    ),
+    c AS (
+        SELECT len_chars, wt,
+               SUM(wt) OVER (ORDER BY len_chars
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum,
+               SUM(wt) OVER () AS total
+        FROM w
+    )
+    SELECT len_chars AS weighted_median,
+           CAST(cum AS BIGINT) AS cum_weight,
+           CAST(total AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cum >= total
+    ORDER BY len_chars LIMIT 1
+    """,
+)
+def datapipe_weighted_median_len(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.prefix import global_prefix_sum
+
+    w = (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.col("n_chars").alias("len_chars"))
+        .agg(F.sum(1 + F.col("doc_id") % 5).alias("wt"))
+    )
+    total = w.agg(F.sum("wt").alias("total"))
+    c = global_prefix_sum(w, ["len_chars"], "wt", "cum").crossJoin(
+        F.broadcast(total)
+    )
+    return (
+        c.filter(2 * F.col("cum") >= F.col("total"))
+        .orderBy("len_chars")
+        .limit(1)
+        .select(
+            F.col("len_chars").alias("weighted_median"),
+            F.col("cum").alias("cum_weight"),
+            F.col("total").alias("total_weight"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Exact-count stratified take: EXACTLY k docs per source (not a
+# rate), picked by md5 rank so the selection is deterministic,
+# uniform within stratum, and identical in any engine — the budget
+# allocator for "500 docs from each source for the eval set". The
+# rank is a per-stratum window (partitioned by source — parallel
+# across strata; WindowGroupLimit pushes the k cutoff into each
+# partition before the full sort materializes). Output is per-source
+# audit counts plus the exact md5 cut key, so the oracle pins the
+# actual selection boundary, not just the counts.
+# --------------------------------------------------------------------
+_STRAT_K = 200
+
+
+@query(
+    "datapipe_exact_stratified_take",
+    oracle=f"""
+    WITH r AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('take|' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS rk,
+               md5('take|' || CAST(doc_id AS VARCHAR)) AS key
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_taken,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MAX(key) AS cut_key
+    FROM r WHERE rk <= {_STRAT_K}
+    GROUP BY source
+    """,
+)
+def datapipe_exact_stratified_take(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    key = F.md5(
+        F.concat(F.lit("take|"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy("key", "doc_id")
+    r = (
+        load(spark, sf_dir, "documents")
+        .select("source", "n_chars", "doc_id", key.alias("key"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _STRAT_K)
+    )
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_taken"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.max("key").alias("cut_key"),
+    )
+
+
+# --------------------------------------------------------------------
+# Normalization-aware exact dedup (CCNet-style): case-fold, collapse
+# whitespace runs, strip punctuation, THEN fingerprint — catches the
+# near-trivial duplicates (recapitalized, re-wrapped, re-punctuated
+# copies) that raw-byte sha256 dedup misses and MinHash overkills.
+# The normalizer is four codegen'd string ops shared verbatim with
+# the oracle; the group-by is the same O(docs) fingerprint shuffle as
+# datapipe_exact_dedup, so the upgrade is free at any scale. Output
+# compares raw-exact vs normalized-exact duplicate counts.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_normalized_dedup",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id,
+               md5(text) AS raw_fp,
+               md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+                   ' +', ' ', 'g'))) AS norm_fp
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT raw_fp) AS BIGINT) AS n_raw_unique,
+           CAST(COUNT(DISTINCT norm_fp) AS BIGINT) AS n_norm_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT raw_fp) AS BIGINT)
+               AS raw_dups,
+           CAST(COUNT(*) - COUNT(DISTINCT norm_fp) AS BIGINT)
+               AS norm_dups
+    FROM n
+    """,
+)
+def datapipe_normalized_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.col("text")), r"[.,!?;:]", ""
+            ),
+            " +",
+            " ",
+        )
+    )
+    n = load(spark, sf_dir, "documents").select(
+        F.md5(F.col("text")).alias("raw_fp"),
+        F.md5(norm).alias("norm_fp"),
+    )
+    return n.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("raw_fp").alias("n_raw_unique"),
+        F.countDistinct("norm_fp").alias("n_norm_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("raw_fp")).alias(
+            "raw_dups"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("norm_fp")).alias(
+            "norm_dups"
+        ),
+    )
