@@ -184,6 +184,9 @@ def main() -> int:
         "datapipe_hamming_neardup",
         "mlops_train_eval", "mlops_score_pandas_udf",
         "mlops_pr_at_thresholds", "io_parquet_roundtrip",
+        "star_pagerank_nations", "mlops_kaplan_meier",
+        "datapipe_pmi_cooccurrence", "datapipe_image_phash_dedup",
+        "star_gini_spend",
     ]
     head = {k: timings[k] for k in headline if k in timings}
     out = dict(full)

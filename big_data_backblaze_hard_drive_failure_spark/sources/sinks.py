@@ -281,3 +281,21 @@ def vacuum_snapshots(table_dir: str, keep_last: int = 2) -> list[int]:
             shutil.rmtree(d)
             removed.append(v)
     return removed
+
+
+def write_parquet_observed(
+    df: DataFrame, path: str, observations: dict[str, "object"]
+) -> dict:
+    """Write parquet while collecting named metrics IN THE SAME
+    ACTION via Spark's Observation API — row counts, null rates,
+    sums arrive with the write, no second scan. This is how a 100 TB
+    pipeline gets its data-quality ledger for free: the metrics ride
+    the existing pass instead of re-reading the output. Returns
+    {name: value}. ``observations`` maps metric name -> aggregate
+    Column."""
+    from pyspark.sql import Observation
+
+    obs = Observation("write_metrics")
+    cols = [c.alias(name) for name, c in observations.items()]
+    df.observe(obs, *cols).write.mode("overwrite").parquet(path)
+    return dict(obs.get)

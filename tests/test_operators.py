@@ -817,3 +817,30 @@ def test_jaccard_prefix_join_complete_on_small_sets(spark, tmp_path):
         ).collect()
     )
     assert got == [(1, 2), (3, 4)], got
+
+
+def test_pagerank_mass_conservation_and_km_monotone(spark, sf_smoke):
+    """PageRank: every rank positive; total mass = 1 exactly when no
+    nation is dangling (all have out-edges), otherwise < 1 (the
+    documented simplified formulation leaks dangling mass).
+    Kaplan-Meier: survival strictly in (0,1] and nonincreasing in t;
+    at-risk counts nonincreasing."""
+    from big_data_backblaze_hard_drive_failure_spark.plans import QUERIES
+
+    pr = QUERIES["star_pagerank_nations"](spark, sf_smoke).collect()
+    assert len(pr) == 25
+    ranks = [r.pagerank for r in pr]
+    assert all(v > 0 for v in ranks)
+    assert sum(ranks) <= 1.0 + 1e-6
+
+    km = sorted(
+        QUERIES["mlops_kaplan_meier"](spark, sf_smoke).collect(),
+        key=lambda r: r.t_days,
+    )
+    assert km, "life table must have failure rows"
+    surv = [r.survival for r in km]
+    risk = [r.n_risk for r in km]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    assert all(a > b for a, b in zip(risk, risk[1:]))
+    assert all(r.n_fail <= r.n_risk for r in km)

@@ -221,3 +221,35 @@ def test_countmin_merge_and_bound(spark):
         for r in cm_sketch(part).collect():
             merged[(r["r"], r["bucket"])] += r["cnt"]
     assert dict(merged) == grid
+
+
+@given(
+    st.integers(min_value=4, max_value=12),
+    st.integers(min_value=4, max_value=10),
+    st.integers(min_value=0, max_value=2**31),
+    st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=40, deadline=None)
+def test_average_hash_properties(w, h, seed, shift):
+    """Two structural invariants of the perceptual hash: (1) a
+    uniform additive brightness shift never changes any bit (the
+    mean shifts identically), and (2) hashing equals hashing the
+    4x4 nearest-neighbor thumbnail — the hash IS the thumbnail
+    signature (floor-lattice composition)."""
+    import random
+
+    from big_data_backblaze_hard_drive_failure_spark.functions.multimodal import (
+        average_hash,
+        resize_nearest,
+    )
+
+    rng = random.Random(seed)
+    # headroom so the +shift can't overflow a byte
+    rgb = bytes(rng.randrange(0, 200) for _ in range(w * h * 3))
+    base = average_hash(w, h, rgb)
+
+    shifted = bytes(b + shift for b in rgb)
+    assert average_hash(w, h, shifted) == base
+
+    thumb = resize_nearest(w, h, rgb, 4, 4)
+    assert average_hash(4, 4, thumb) == base

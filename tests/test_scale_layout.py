@@ -367,3 +367,41 @@ def test_snapshot_vacuum_keeps_current_and_recent(spark, sf_smoke, tmp_path):
         raise AssertionError("vacuumed version should not read")
     except Exception:
         pass
+
+
+def test_observed_write_collects_metrics_in_one_action(
+    spark, sf_smoke, tmp_path
+):
+    """write_parquet_observed must deliver exact quality metrics from
+    the SAME action as the write (no second scan), matching a
+    recomputation over the written output."""
+    from pyspark.sql import functions as F
+
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import load
+    from big_data_backblaze_hard_drive_failure_spark.sources.sinks import (
+        write_parquet_observed,
+    )
+
+    out = str(tmp_path / "observed")
+    ev = load(spark, sf_smoke, "events")
+    metrics = write_parquet_observed(
+        ev,
+        out,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_errors": F.sum(
+                (F.col("event_type") == "error").cast("long")
+            ),
+            "value_cents": F.sum(
+                F.round(F.col("value") * 100).cast("long")
+            ),
+        },
+    )
+    back = spark.read.parquet(out)
+    assert metrics["n_rows"] == back.count()
+    re = back.agg(
+        F.sum((F.col("event_type") == "error").cast("long")).alias("e"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"),
+    ).first()
+    assert metrics["n_errors"] == re["e"]
+    assert metrics["value_cents"] == re["c"]
