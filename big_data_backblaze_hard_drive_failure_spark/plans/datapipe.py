@@ -4814,3 +4814,216 @@ def datapipe_normalized_dedup(
             "norm_dups"
         ),
     )
+
+
+# --------------------------------------------------------------------
+# Entity resolution (block -> verify -> best-match) over the part
+# catalog: deterministic corruption drops the 3rd character of the
+# last word for every 5th part (the OCR/typo stand-in), then dirty
+# names are matched back to the clean catalog by first-word BLOCKING
+# + Levenshtein<=2 verification + (distance, name) best-match rank.
+# The scale discipline: both sides are reduced to DISTINCT NAMES
+# before the block join (name vocabulary is bounded; the quadratic
+# verify runs on vocab x vocab within tiny blocks, never row x row),
+# and per-name part counts are joined back afterwards. This is the
+# record-linkage pattern (Fellegi-Sunter blocking) every catalog /
+# customer-360 pipeline runs. [beyond-reference] entity resolution.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_entity_resolution",
+    oracle="""
+    WITH dirty AS (
+        SELECT p_partkey,
+               split_part(p_name, ' ', 1) || ' ' ||
+               CASE WHEN length(split_part(p_name, ' ', 2)) > 3
+                    THEN substring(split_part(p_name, ' ', 2), 1, 2)
+                         || substring(split_part(p_name, ' ', 2), 4)
+                    ELSE split_part(p_name, ' ', 2) END AS name
+        FROM part WHERE p_partkey % 5 = 0
+    ),
+    dn AS (
+        SELECT name, split_part(name, ' ', 1) AS blk,
+               CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM dirty GROUP BY name
+    ),
+    cn AS (
+        SELECT DISTINCT p_name AS clean_name,
+               split_part(p_name, ' ', 1) AS blk
+        FROM part
+    ),
+    cand AS (
+        SELECT dn.name, dn.n_parts, cn.clean_name,
+               CAST(levenshtein(dn.name, cn.clean_name) AS BIGINT)
+                   AS lev
+        FROM dn JOIN cn USING (blk)
+        WHERE levenshtein(dn.name, cn.clean_name) <= 2
+    ),
+    best AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY name ORDER BY lev, clean_name
+               ) AS rn
+        FROM cand
+    )
+    SELECT name AS dirty_name, clean_name AS matched_name, lev,
+           n_parts
+    FROM best WHERE rn = 1
+    """,
+)
+def datapipe_entity_resolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    w2 = F.split(F.col("p_name"), " ").getItem(1)
+    corrupted = F.concat(
+        F.split(F.col("p_name"), " ").getItem(0),
+        F.lit(" "),
+        F.when(
+            F.length(w2) > 3,
+            F.concat(
+                F.substring(w2, 1, 2), F.expr("substring(split(p_name, ' ')[1], 4)")
+            ),
+        ).otherwise(w2),
+    )
+    dirty = part.filter(F.col("p_partkey") % 5 == 0).select(
+        corrupted.alias("name")
+    )
+    dn = (
+        dirty.groupBy("name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("blk", F.split(F.col("name"), " ").getItem(0))
+    )
+    cn = (
+        part.select(F.col("p_name").alias("clean_name"))
+        .distinct()
+        .withColumn("blk", F.split(F.col("clean_name"), " ").getItem(0))
+    )
+    cand = (
+        dn.join(cn, "blk")
+        .withColumn(
+            "lev", F.levenshtein(F.col("name"), F.col("clean_name"))
+        )
+        .filter(F.col("lev") <= 2)
+    )
+    wb = Window.partitionBy("name").orderBy("lev", "clean_name")
+    return (
+        cand.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("name").alias("dirty_name"),
+            F.col("clean_name").alias("matched_name"),
+            F.col("lev").cast("long").alias("lev"),
+            "n_parts",
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# MMR diverse top-k selection (Maximal Marginal Relevance, Carbonell
+# & Goldstein 1998) — the retrieval-diversity operator every RAG /
+# eval-set-construction pipeline needs: greedily pick k=5 vectors
+# maximizing lambda*sim(query,d) - (1-lambda)*max_{s in S} sim(d,s),
+# so results are relevant AND mutually dissimilar. Greedy selection
+# is inherently sequential in k: each round broadcasts the single
+# chosen embedding (a bounded 1-row collect, same discipline as the
+# IVF centroid fit) and updates the running penalty map-side; the
+# candidate scan stays distributed. The oracle replays all 5
+# selections as chained CTEs, so every round's argmax — under the
+# ROUND(score,6)+vec_id rank contract — is hash-pinned.
+# [beyond-reference] retrieval diversity.
+# --------------------------------------------------------------------
+_MMR_K, _MMR_LAMBDA, _MMR_CAND = 5, "0.7", 200
+
+
+def _mmr_oracle() -> str:
+    lam = _MMR_LAMBDA
+    one_m = "0.3"
+    cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+    )
+    parts = [f"""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+    ),
+    c0 AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ce,
+               {cos.format(a="embedding::DOUBLE[]", b="qe")} AS simq,
+               CAST(-1.0 AS DOUBLE) AS pen
+        FROM embeddings, q
+        WHERE vec_id <> 0 AND vec_id < {_MMR_CAND}
+    )"""]
+    for k in range(1, _MMR_K + 1):
+        parts.append(f""",
+    p{k} AS (
+        SELECT vec_id AS pick, ce AS pce,
+               ROUND({lam} * simq - {one_m} * GREATEST(pen, 0.0), 6)
+                   AS score
+        FROM c{k - 1}
+        ORDER BY score DESC, vec_id LIMIT 1
+    )""")
+        if k < _MMR_K:
+            parts.append(f""",
+    c{k} AS (
+        SELECT c.vec_id, c.ce, c.simq,
+               GREATEST(c.pen, {cos.format(a="c.ce", b="p.pce")}) AS pen
+        FROM c{k - 1} c, p{k} p WHERE c.vec_id <> p.pick
+    )""")
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {k} AS sel_rank, pick AS vec_id, score FROM p{k}"
+        for k in range(1, _MMR_K + 1)
+    )
+    parts.append(f"\n    {sel}")
+    return "".join(parts)
+
+
+@query("datapipe_mmr_diverse_topk", oracle=_mmr_oracle())
+def datapipe_mmr_diverse_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    lam, one_m = float(_MMR_LAMBDA), 0.3
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        as_double_array("embedding").alias("qe")
+    )
+    state = (
+        emb.filter(
+            (F.col("vec_id") != 0) & (F.col("vec_id") < _MMR_CAND)
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            as_double_array("embedding").alias("ce"),
+            cosine_similarity(
+                as_double_array("embedding"), F.col("qe")
+            ).alias("simq"),
+            F.lit(-1.0).alias("pen"),
+        )
+    )
+    score = F.round(
+        F.lit(lam) * F.col("simq")
+        - F.lit(one_m) * F.greatest(F.col("pen"), F.lit(0.0)),
+        6,
+    )
+    out_rows = []
+    for k in range(1, _MMR_K + 1):
+        pick = (
+            state.withColumn("score", score)
+            .orderBy(F.desc("score"), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )  # bounded: ONE row per round, k rounds total
+        out_rows.append((k, int(pick["vec_id"]), float(pick["score"])))
+        if k < _MMR_K:
+            chosen = F.array(*[F.lit(x) for x in pick["ce"]])
+            state = state.filter(
+                F.col("vec_id") != int(pick["vec_id"])
+            ).withColumn(
+                "pen",
+                F.greatest(
+                    F.col("pen"),
+                    cosine_similarity(F.col("ce"), chosen),
+                ),
+            )
+    return spark.createDataFrame(
+        out_rows, "sel_rank int, vec_id bigint, score double"
+    )

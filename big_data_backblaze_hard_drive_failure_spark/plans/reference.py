@@ -1415,3 +1415,74 @@ def ref_mase_seasonal_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mae1, 6).alias("mae_naive"),
         F.round(mae7 / mae1, 6).alias("mase"),
     )
+
+
+# --------------------------------------------------------------------
+# W+ [beyond-reference]: gaps-and-islands — longest consecutive
+# error-day streak per user, the classic "consecutive days" SQL
+# pattern (row_number-minus-date constant-group trick) and the
+# operational question the reference's alerting actually raises
+# ("how long has this drive been flagging?"). Two windows share one
+# user_id exchange; the island key is exact integer day arithmetic.
+# --------------------------------------------------------------------
+@query(
+    "ref_longest_error_streak",
+    oracle="""
+    WITH ed AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events WHERE event_type = 'error'
+    ),
+    isl AS (
+        SELECT user_id, day,
+               CAST(day - ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day
+               ) * INTERVAL 1 DAY AS DATE) AS island
+        FROM ed
+    ),
+    runs AS (
+        SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS streak,
+               MIN(day) AS streak_start
+        FROM isl GROUP BY user_id, island
+    ),
+    best AS (
+        SELECT user_id, streak, streak_start,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY streak DESC, streak_start
+               ) AS rn
+        FROM runs
+    )
+    SELECT user_id, streak AS longest_streak, streak_start
+    FROM best WHERE rn = 1
+    """,
+)
+def ref_longest_error_streak(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ed = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = ed.withColumn(
+        "island",
+        F.date_sub(F.col("day"), F.row_number().over(w)),
+    )
+    runs = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak"),
+        F.min("day").alias("streak_start"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.desc("streak"), "streak_start"
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("streak").alias("longest_streak"),
+            "streak_start",
+        )
+    )

@@ -3359,3 +3359,68 @@ def star_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------
+# Equi-DEPTH histogram (equal-population buckets) of order totals —
+# the complement of the fixed-edge equi-width histogram: bucket
+# edges are the exact k-quantiles, so every bucket holds ~n/k rows
+# and the histogram adapts to skew (what you want for partition-size
+# planning and drift baselines). Edges come from ONE percentile
+# aggregate (no global sort), broadcast back as a 1-row frame; the
+# bucket assignment is a codegen'd CASE over k-1 edges. Exact-cents
+# sums inside each bucket.
+# --------------------------------------------------------------------
+_EQD_K = 8
+
+
+@query(
+    "star_equidepth_histogram",
+    oracle=f"""
+    WITH e AS (
+        SELECT quantile_cont(o_totalprice,
+                             [0.125, 0.25, 0.375, 0.5,
+                              0.625, 0.75, 0.875]) AS edges
+        FROM orders
+    ),
+    b AS (
+        SELECT len(list_filter(e.edges, x -> x < o.o_totalprice))
+                   AS bucket,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o CROSS JOIN e
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM b GROUP BY bucket
+    """,
+)
+def star_equidepth_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    qs = [i / _EQD_K for i in range(1, _EQD_K)]
+    edges = orders.agg(
+        F.expr(
+            f"percentile(o_totalprice, array({','.join(str(q) for q in qs)}))"
+        ).alias("edges")
+    )
+    j = orders.crossJoin(F.broadcast(edges))
+    bucket = F.size(
+        F.filter(
+            F.col("edges"), lambda x: x < F.col("o_totalprice")
+        )
+    )
+    return (
+        j.select(
+            bucket.alias("bucket"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
