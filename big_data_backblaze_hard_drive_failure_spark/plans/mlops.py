@@ -1660,3 +1660,73 @@ def mlops_isotonic_calibration(
     return spark.createDataFrame(
         rows, "knot_idx int, boundary double, calibrated double"
     )
+
+
+# --------------------------------------------------------------------
+# Deployment-ops daily mart (capstone): the one table an on-call
+# engineer reads — per day: volume, error count, alert count at the
+# deployed threshold, exact-cents value total, 7-day trailing alert
+# mean, and day-over-day alert delta. ONE pass over events builds
+# the daily grain (conditional aggs, combinable); the rolling mean
+# and lag share a single ordered window over the O(days) frame.
+# Mirrors reference 06_deployment_code.py:137-209's daily rollup,
+# fused with the scoring path. Scores are the bit-exact softsign
+# scorer, so the alert count is integral and hash-stable.
+# --------------------------------------------------------------------
+@query(
+    "mlops_daily_ops_mart",
+    oracle=f"""
+    WITH scored AS ({_SCORED_SQL}),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN is_error = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_errors,
+               CAST(SUM(CASE WHEN failure_probability >= 0.5
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_alerts,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM scored GROUP BY day
+    )
+    SELECT day, n_events, n_errors, n_alerts, value_cents,
+           ROUND(AVG(CAST(n_alerts AS DOUBLE)) OVER (
+               ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 6) AS alerts_7d_mean,
+           n_alerts - LAG(n_alerts, 1, CAST(0 AS BIGINT))
+               OVER (ORDER BY day) AS alerts_dod_delta
+    FROM daily
+    """,
+)
+def mlops_daily_ops_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = scored_frame(spark, sf_dir, via="column")
+    daily = (
+        scored.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("is_error") == 1.0).cast("long")).alias(
+                "n_errors"
+            ),
+            F.sum(
+                (F.col("failure_probability") >= 0.5).cast("long")
+            ).alias("n_alerts"),
+            F.sum(
+                F.round(F.col("value") * 100).cast("long")
+            ).alias("value_cents"),
+        )
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    wl = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "n_events",
+        "n_errors",
+        "n_alerts",
+        "value_cents",
+        F.round(
+            F.avg(F.col("n_alerts").cast("double")).over(w7), 6
+        ).alias("alerts_7d_mean"),
+        (
+            F.col("n_alerts")
+            - F.lag("n_alerts", 1, 0).over(wl)
+        ).alias("alerts_dod_delta"),
+    )

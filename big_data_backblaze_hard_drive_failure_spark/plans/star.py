@@ -3221,8 +3221,8 @@ def star_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ntile(5) windows assign quintiles with c_custkey tie-breaks, then
 # the segment rollup is a tiny group-by. Scale note: ntile is a
 # GLOBAL sort — fine for a dimension-sized customer table; at 1e9+
-# customers swap the ntile windows for percentile-cut bucket joins
-# (star_winsorize's bounds-broadcast shape) and keep everything else.
+# customers use star_rfm_segments_scalable below (percentile-cut
+# bucket joins, star_winsorize's bounds-broadcast shape).
 # [beyond-reference] segmentation analytics.
 # --------------------------------------------------------------------
 @query(
@@ -3422,5 +3422,116 @@ def star_equidepth_histogram(
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# RFM segmentation, SCALE TWIN: the percentile-cut variant promised
+# by star_rfm_segments' docstring. Instead of three global ntile
+# sorts, quintile EDGES come from one exact-percentile aggregate
+# (combinable, no sort), broadcast back, and each score is "1 +
+# number of edges strictly below the value" — a codegen'd CASE.
+# Semantics differ from ntile exactly where ntile is arbitrary: ties
+# at a boundary land in ONE bucket here (value-determined) instead
+# of being split by the tie-break, which is what you want at 1e9
+# customers anyway. Output shape matches the ntile variant.
+# --------------------------------------------------------------------
+@query(
+    "star_rfm_segments_scalable",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                         (SELECT MAX(CAST(o_orderdate AS DATE))
+                          FROM orders)) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    e AS (
+        SELECT quantile_cont(-recency_days, [0.2, 0.4, 0.6, 0.8])
+                   AS re,
+               quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fe,
+               quantile_cont(monetary_cents, [0.2, 0.4, 0.6, 0.8])
+                   AS me
+        FROM rfm
+    ),
+    scored AS (
+        SELECT 1 + len(list_filter(e.re, x -> x < -r.recency_days))
+                   AS r_score,
+               1 + len(list_filter(e.fe, x -> x < r.frequency))
+                   AS f_score,
+               1 + len(list_filter(e.me, x -> x < r.monetary_cents))
+                   AS m_score,
+               r.monetary_cents
+        FROM rfm r CROSS JOIN e
+    )
+    SELECT CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS seg_monetary_cents
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+)
+def star_rfm_segments_scalable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    max_day = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("corpus_max")
+    )
+    rfm = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(max_day))
+        .select(
+            (-F.datediff(F.col("corpus_max"), F.col("last_day"))).alias(
+                "neg_recency"
+            ),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    qs = "array(0.2, 0.4, 0.6, 0.8)"
+    edges = rfm.agg(
+        F.expr(f"percentile(neg_recency, {qs})").alias("re"),
+        F.expr(f"percentile(frequency, {qs})").alias("fe"),
+        F.expr(f"percentile(monetary_cents, {qs})").alias("me"),
+    )
+    j = rfm.crossJoin(F.broadcast(edges))
+
+    def _score(edge_col: str, value):
+        return (
+            F.lit(1)
+            + F.size(F.filter(F.col(edge_col), lambda x: x < value))
+        ).cast("int")
+
+    return (
+        j.select(
+            _score("re", F.col("neg_recency").cast("double")).alias(
+                "r_score"
+            ),
+            _score("fe", F.col("frequency").cast("double")).alias(
+                "f_score"
+            ),
+            _score(
+                "me", F.col("monetary_cents").cast("double")
+            ).alias("m_score"),
+            "monetary_cents",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_cents").alias("seg_monetary_cents"),
         )
     )
