@@ -128,3 +128,60 @@ def test_salted_join_rejects_small_side_outer(spark):
     plain = big.join(small, "k", "left").orderBy("id", "v").collect()
     salted = salted_join(big, small, "k", how="left").orderBy("id", "v").collect()
     assert plain == salted
+
+
+def _write_documents(tmp_path, rows):
+    df = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    table = pa.Table.from_pandas(df, preserve_index=False).cast(
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+                ("source", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        )
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ref_alerts_daily", "ref_ewma_smoothing", "ref_longest_error_streak",
+        "ref_mase_seasonal_eval", "mlops_kaplan_meier",
+        "mlops_daily_ops_mart", "mlops_backtest_folds",
+    ],
+)
+def test_events_queries_survive_empty_input(spark, tmp_path, name):
+    """Empty-corpus robustness: an events query over a zero-row (but
+    schema-complete) table must return an empty/degenerate frame, not
+    crash — the behavior a daily pipeline needs on a no-data day."""
+    d = _write_events(tmp_path, [])
+    out = QUERIES[name](spark, d)
+    assert out.count() == 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "datapipe_exact_dedup", "datapipe_text_stats",
+        "datapipe_pmi_cooccurrence", "datapipe_zipf_slope",
+        "datapipe_normalized_dedup", "datapipe_weighted_median_len",
+    ],
+)
+def test_document_queries_survive_empty_input(spark, tmp_path, name):
+    """Same guarantee for the documents pipeline ops: zero rows in,
+    zero (or single all-zero aggregate) rows out, no exception."""
+    d = _write_documents(tmp_path, [])
+    out = QUERIES[name](spark, d)
+    rows = out.collect()
+    if rows:  # grand aggregates legitimately return one row of zeros
+        assert len(rows) == 1
+        first = rows[0].asDict()
+        counts = [v for k, v in first.items() if k.startswith("n_")]
+        assert all((v or 0) == 0 for v in counts), first
