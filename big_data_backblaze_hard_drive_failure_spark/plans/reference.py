@@ -1486,3 +1486,77 @@ def ref_longest_error_streak(
             "streak_start",
         )
     )
+
+
+# --------------------------------------------------------------------
+# W+ [beyond-reference]: burstiness (Fano factor) of per-user
+# inter-arrival times — var/mean of the gaps QUANTIZED TO WHOLE
+# SECONDS (integer division, identical in both engines; keeps the
+# sum-of-squares inside BIGINT at any realistic gap), the
+# telemetry-health probe that separates steady heartbeats (Fano ~
+# small) from bursty error storms. Variance via the sum/sum-of-
+# squares identity on integers, one division at the end, so
+# cross-engine parity is exact. One user_id exchange shared by the
+# lag window and the group-by.
+# --------------------------------------------------------------------
+@query(
+    "ref_interarrival_burstiness",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               CAST(date_diff('microseconds', LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ), ts) AS BIGINT) // 1000000 AS gap_s
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap_s) AS BIGINT) AS s1,
+               CAST(SUM(gap_s * gap_s) AS BIGINT) AS s2
+        FROM gaps WHERE gap_s IS NOT NULL
+        GROUP BY user_id
+        HAVING COUNT(*) >= 2 AND SUM(gap_s) > 0
+    )
+    SELECT user_id, n_gaps,
+           ROUND((CAST(s2 AS DOUBLE) / n_gaps
+                  - (CAST(s1 AS DOUBLE) / n_gaps)
+                    * (CAST(s1 AS DOUBLE) / n_gaps))
+                 / (CAST(s1 AS DOUBLE) / n_gaps), 6)
+               AS fano_seconds
+    FROM s
+    """,
+)
+def ref_interarrival_burstiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        load(spark, sf_dir, "events")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .select(
+            "user_id",
+            F.expr(
+                "timestampdiff(MICROSECOND, prev_ts, ts) div 1000000"
+            ).alias("gap_s"),
+        )
+    )
+    s = (
+        gaps.filter(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_s").alias("s1"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).alias("s2"),
+        )
+        .filter((F.col("n_gaps") >= 2) & (F.col("s1") > 0))
+    )
+    mean = F.col("s1").cast("double") / F.col("n_gaps")
+    return s.select(
+        "user_id",
+        "n_gaps",
+        F.round(
+            (F.col("s2").cast("double") / F.col("n_gaps") - mean * mean)
+            / mean,
+            6,
+        ).alias("fano_seconds"),
+    )

@@ -3535,3 +3535,56 @@ def star_rfm_segments_scalable(
             F.sum("monetary_cents").alias("seg_monetary_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Markov transition matrix over event sequences: P(next event type |
+# current type) per user journey — the sequence-analytics primitive
+# behind Markov attribution (removal effect), predictive prefetch,
+# and anomaly detection on event grammars. Transitions come from ONE
+# lead() window per user (same (ts, event_id) ordering contract as
+# the session family); probabilities are exact integer ratios.
+# Scale: one user_id exchange, then an O(|types|^2) aggregate.
+# --------------------------------------------------------------------
+@query(
+    "star_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS dst
+        FROM events
+    ),
+    t AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    m AS (SELECT src, CAST(SUM(n) AS BIGINT) AS n_src FROM t GROUP BY src)
+    SELECT t.src, t.dst, t.n,
+           ROUND(CAST(t.n AS DOUBLE) / m.n_src, 6) AS p
+    FROM t JOIN m USING (src)
+    """,
+)
+def star_markov_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    t = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = t.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return t.join(F.broadcast(m), "src").select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_src"), 6).alias(
+            "p"
+        ),
+    )
