@@ -1730,3 +1730,283 @@ def mlops_daily_ops_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lag("n_alerts", 1, 0).over(wl)
         ).alias("alerts_dod_delta"),
     )
+
+
+# --------------------------------------------------------------------
+# A/B effect sizes — the "is it big enough to matter" companion to
+# the significance pair (z-test / Mann-Whitney): odds ratio with its
+# 95% log-normal CI, relative risk, and Cohen's d for the continuous
+# metric (pooled-SD standardized mean difference, exact integer
+# sums/sumsq in cents). Still ONE conditional-aggregation pass over
+# events — every statistic is closed-form scalar arithmetic on the
+# eight integers it produces, written identically in both engines.
+# [beyond-reference] experiment analysis.
+# --------------------------------------------------------------------
+@query(
+    "mlops_ab_effect_sizes",
+    oracle="""
+    WITH c AS (
+        SELECT
+            CAST(SUM(CASE WHEN user_id % 2 = 0
+                           AND event_type = 'error' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS a,
+            CAST(SUM(CASE WHEN user_id % 2 = 0
+                           AND event_type <> 'error' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS b,
+            CAST(SUM(CASE WHEN user_id % 2 = 1
+                           AND event_type = 'error' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS cc,
+            CAST(SUM(CASE WHEN user_id % 2 = 1
+                           AND event_type <> 'error' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS d,
+            CAST(SUM(CASE WHEN user_id % 2 = 0
+                          THEN CAST(ROUND(value * 100) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS sa,
+            CAST(SUM(CASE WHEN user_id % 2 = 0
+                          THEN CAST(ROUND(value * 100) AS BIGINT)
+                               * CAST(ROUND(value * 100) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS qa,
+            CAST(SUM(CASE WHEN user_id % 2 = 1
+                          THEN CAST(ROUND(value * 100) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS sb,
+            CAST(SUM(CASE WHEN user_id % 2 = 1
+                          THEN CAST(ROUND(value * 100) AS BIGINT)
+                               * CAST(ROUND(value * 100) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS qb
+        FROM events
+    )
+    SELECT a, b, cc AS c, d,
+           ROUND(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * cc), 6)
+               AS odds_ratio,
+           ROUND(exp(ln(CAST(a AS DOUBLE) * d
+                        / (CAST(b AS DOUBLE) * cc))
+                     - 1.96 * sqrt(1.0 / a + 1.0 / b
+                                   + 1.0 / cc + 1.0 / d)), 6)
+               AS or_ci_lo,
+           ROUND(exp(ln(CAST(a AS DOUBLE) * d
+                        / (CAST(b AS DOUBLE) * cc))
+                     + 1.96 * sqrt(1.0 / a + 1.0 / b
+                                   + 1.0 / cc + 1.0 / d)), 6)
+               AS or_ci_hi,
+           ROUND((CAST(a AS DOUBLE) / (a + b))
+                 / (CAST(cc AS DOUBLE) / (cc + d)), 6)
+               AS relative_risk,
+           ROUND(((CAST(sa AS DOUBLE) / (a + b)
+                   - CAST(sb AS DOUBLE) / (cc + d)) / 100.0)
+                 / sqrt((((CAST(qa AS DOUBLE)
+                           - CAST(sa AS DOUBLE) * sa / (a + b))
+                          + (CAST(qb AS DOUBLE)
+                             - CAST(sb AS DOUBLE) * sb / (cc + d)))
+                         / 10000.0)
+                        / (a + b + cc + d - 2)), 6)
+               AS cohens_d
+    FROM c
+    """,
+)
+def mlops_ab_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    is_a = F.col("user_id") % 2 == 0
+    is_err = F.col("event_type") == "error"
+    cents = F.round(F.col("value") * 100).cast("long")
+    c = load(spark, sf_dir, "events").agg(
+        F.sum((is_a & is_err).cast("long")).alias("a"),
+        F.sum((is_a & ~is_err).cast("long")).alias("b"),
+        F.sum((~is_a & is_err).cast("long")).alias("c"),
+        F.sum((~is_a & ~is_err).cast("long")).alias("d"),
+        F.sum(F.when(is_a, cents).otherwise(F.lit(0))).alias("sa"),
+        F.sum(F.when(is_a, cents * cents).otherwise(F.lit(0))).alias(
+            "qa"
+        ),
+        F.sum(F.when(~is_a, cents).otherwise(F.lit(0))).alias("sb"),
+        F.sum(F.when(~is_a, cents * cents).otherwise(F.lit(0))).alias(
+            "qb"
+        ),
+    )
+    A, B, C, D = (F.col(x).cast("double") for x in "abcd")
+    n_a, n_b = F.col("a") + F.col("b"), F.col("c") + F.col("d")
+    or_ = A * F.col("d") / (B * F.col("c"))
+    half = F.lit(1.96) * F.sqrt(
+        F.lit(1.0) / A + F.lit(1.0) / B + F.lit(1.0) / C + F.lit(1.0) / D
+    )
+    mean_diff = (
+        F.col("sa").cast("double") / n_a
+        - F.col("sb").cast("double") / n_b
+    ) / F.lit(100.0)
+    pooled = F.sqrt(
+        (
+            (
+                F.col("qa").cast("double")
+                - F.col("sa").cast("double") * F.col("sa") / n_a
+            )
+            + (
+                F.col("qb").cast("double")
+                - F.col("sb").cast("double") * F.col("sb") / n_b
+            )
+        )
+        / F.lit(10000.0)
+        / (n_a + n_b - 2)
+    )
+    return c.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(or_, 6).alias("odds_ratio"),
+        F.round(F.exp(F.log(or_) - half), 6).alias("or_ci_lo"),
+        F.round(F.exp(F.log(or_) + half), 6).alias("or_ci_hi"),
+        F.round((A / n_a) / (C / n_b), 6).alias("relative_risk"),
+        F.round(mean_diff / pooled, 6).alias("cohens_d"),
+    )
+
+
+# --------------------------------------------------------------------
+# Log-rank test — the inferential companion to mlops_kaplan_meier:
+# do the even- and odd-user cohorts have the SAME time-to-first-
+# failure distribution? At every failure time the observed cohort-A
+# failures are compared to the hypergeometric expectation given the
+# at-risk counts; z = Σ(O−E)/sqrt(ΣV). At-risk counts per cohort
+# come from the same distributed prefix-sum discipline as the KM
+# life table (two chained range-partitioned passes over the
+# O(distinct durations) frame); every O/E/V term is an identically-
+# written double over exact integers. [beyond-reference] survival
+# inference.
+# --------------------------------------------------------------------
+@query(
+    "mlops_logrank_test",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS grp,
+               MIN(ts) AS first_ts,
+               MIN(CASE WHEN event_type = 'error' THEN ts END) AS err_ts
+        FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT MAX(ts) AS end_ts FROM events),
+    dur AS (
+        SELECT grp,
+               CASE WHEN err_ts IS NOT NULL
+                    THEN date_diff('day', CAST(first_ts AS DATE),
+                                   CAST(err_ts AS DATE))
+                    ELSE date_diff('day', CAST(first_ts AS DATE),
+                                   CAST(end_ts AS DATE)) END AS t,
+               CASE WHEN err_ts IS NOT NULL THEN 1 ELSE 0 END AS failed
+        FROM per_user CROSS JOIN horizon
+    ),
+    g AS (
+        SELECT t,
+               CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS all_a,
+               CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS all_b,
+               CAST(SUM(CASE WHEN grp = 0 THEN failed ELSE 0 END)
+                    AS BIGINT) AS d_a,
+               CAST(SUM(CASE WHEN grp = 1 THEN failed ELSE 0 END)
+                    AS BIGINT) AS d_b
+        FROM dur GROUP BY t
+    ),
+    r AS (
+        SELECT t, d_a, d_b,
+               (SELECT SUM(all_a) FROM g)
+                 - COALESCE(SUM(all_a) OVER (
+                       ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS n_a,
+               (SELECT SUM(all_b) FROM g)
+                 - COALESCE(SUM(all_b) OVER (
+                       ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS n_b
+        FROM g
+    ),
+    terms AS (
+        SELECT CAST(d_a AS DOUBLE) AS o_a,
+               CAST(d_a + d_b AS DOUBLE) * n_a / (n_a + n_b) AS e_a,
+               CASE WHEN n_a + n_b > 1 THEN
+                   CAST(d_a + d_b AS DOUBLE)
+                   * (CAST(n_a AS DOUBLE) / (n_a + n_b))
+                   * (CAST(n_b AS DOUBLE) / (n_a + n_b))
+                   * (n_a + n_b - d_a - d_b)
+                   / (n_a + n_b - 1)
+               ELSE 0.0 END AS v
+        FROM r WHERE d_a + d_b > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_failure_times,
+           ROUND(SUM(o_a), 6) AS observed_a,
+           ROUND(SUM(e_a), 6) AS expected_a,
+           ROUND((SUM(o_a) - SUM(e_a)) / sqrt(SUM(v)), 6) AS z_logrank
+    FROM terms
+    """,
+)
+def mlops_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import global_prefix_sum
+
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("ts"))
+        ).alias("err_ts"),
+    )
+    horizon = ev.agg(F.max("ts").alias("end_ts"))
+    dur = per_user.crossJoin(F.broadcast(horizon)).select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.when(
+            F.col("err_ts").isNotNull(),
+            F.datediff(F.to_date("err_ts"), F.to_date("first_ts")),
+        )
+        .otherwise(
+            F.datediff(F.to_date("end_ts"), F.to_date("first_ts"))
+        )
+        .cast("long")
+        .alias("t"),
+        F.col("err_ts").isNotNull().cast("long").alias("failed"),
+    )
+    g = dur.groupBy("t").agg(
+        F.sum((F.col("grp") == 0).cast("long")).alias("all_a"),
+        F.sum((F.col("grp") == 1).cast("long")).alias("all_b"),
+        F.sum(F.when(F.col("grp") == 0, F.col("failed")).otherwise(0)).alias(
+            "d_a"
+        ),
+        F.sum(F.when(F.col("grp") == 1, F.col("failed")).otherwise(0)).alias(
+            "d_b"
+        ),
+    )
+    tot = g.agg(
+        F.sum("all_a").alias("tot_a"), F.sum("all_b").alias("tot_b")
+    )
+    r = (
+        global_prefix_sum(
+            global_prefix_sum(g, ["t"], "all_a", "cb_a", exclusive=True),
+            ["t"],
+            "all_b",
+            "cb_b",
+            exclusive=True,
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            "d_a",
+            "d_b",
+            (F.col("tot_a") - F.col("cb_a")).alias("n_a"),
+            (F.col("tot_b") - F.col("cb_b")).alias("n_b"),
+        )
+        .filter(F.col("d_a") + F.col("d_b") > 0)
+    )
+    n_t = F.col("n_a") + F.col("n_b")
+    d_t = (F.col("d_a") + F.col("d_b")).cast("double")
+    o_a = F.col("d_a").cast("double")
+    e_a = d_t * F.col("n_a") / n_t
+    v = F.when(
+        n_t > 1,
+        d_t
+        * (F.col("n_a").cast("double") / n_t)
+        * (F.col("n_b").cast("double") / n_t)
+        * (n_t - F.col("d_a") - F.col("d_b"))
+        / (n_t - 1),
+    ).otherwise(F.lit(0.0))
+    return r.select(
+        o_a.alias("o_a"), e_a.alias("e_a"), v.alias("v")
+    ).agg(
+        F.count(F.lit(1)).alias("n_failure_times"),
+        F.round(F.sum("o_a"), 6).alias("observed_a"),
+        F.round(F.sum("e_a"), 6).alias("expected_a"),
+        F.round(
+            (F.sum("o_a") - F.sum("e_a")) / F.sqrt(F.sum("v")), 6
+        ).alias("z_logrank"),
+    )
