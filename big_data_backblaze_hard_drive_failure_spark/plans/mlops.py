@@ -2010,3 +2010,126 @@ def mlops_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("o_a") - F.sum("e_a")) / F.sqrt(F.sum("v")), 6
         ).alias("z_logrank"),
     )
+
+
+# --------------------------------------------------------------------
+# Difference-in-differences — the rollout-analysis design: cohort A
+# (even users, "treated") vs cohort B, before vs after the midpoint
+# date, estimate = (A_post − A_pre) − (B_post − B_pre) on the value
+# metric, with the classical four-cell pooled SE. The cut date is
+# the corpus midpoint day (computed from min/max, broadcast); the
+# whole estimator is ONE conditional-aggregation pass producing
+# eight exact integers (cents sums + counts) and four sumsq terms,
+# then closed-form scalar arithmetic. [beyond-reference] causal
+# rollout analytics.
+# --------------------------------------------------------------------
+@query(
+    "mlops_diff_in_diff",
+    oracle="""
+    WITH span AS (
+        SELECT CAST(MIN(ts) AS DATE) AS d0,
+               date_diff('day', CAST(MIN(ts) AS DATE),
+                         CAST(MAX(ts) AS DATE)) // 2 AS half
+        FROM events
+    ),
+    cells AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,
+               CASE WHEN date_diff('day', span.d0, CAST(ts AS DATE))
+                         > span.half THEN 1 ELSE 0 END AS post,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events CROSS JOIN span
+    ),
+    s AS (
+        SELECT treated, post, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s1,
+               CAST(SUM(cents * cents) AS BIGINT) AS s2
+        FROM cells GROUP BY treated, post
+    ),
+    w AS (
+        SELECT
+          MAX(CASE WHEN treated = 1 AND post = 1 THEN CAST(s1 AS DOUBLE) / n END) AS m_tp,
+          MAX(CASE WHEN treated = 1 AND post = 0 THEN CAST(s1 AS DOUBLE) / n END) AS m_t0,
+          MAX(CASE WHEN treated = 0 AND post = 1 THEN CAST(s1 AS DOUBLE) / n END) AS m_cp,
+          MAX(CASE WHEN treated = 0 AND post = 0 THEN CAST(s1 AS DOUBLE) / n END) AS m_c0,
+          MAX(CASE WHEN treated = 1 AND post = 1 THEN
+              (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) / n END) AS v_tp,
+          MAX(CASE WHEN treated = 1 AND post = 0 THEN
+              (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) / n END) AS v_t0,
+          MAX(CASE WHEN treated = 0 AND post = 1 THEN
+              (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) / n END) AS v_cp,
+          MAX(CASE WHEN treated = 0 AND post = 0 THEN
+              (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) / n END) AS v_c0,
+          CAST(SUM(n) AS BIGINT) AS n_events
+        FROM s
+    )
+    SELECT n_events,
+           ROUND(((m_tp - m_t0) - (m_cp - m_c0)) / 100.0, 6) AS did_estimate,
+           ROUND(sqrt(v_tp + v_t0 + v_cp + v_c0) / 100.0, 6) AS did_se,
+           ROUND(((m_tp - m_t0) - (m_cp - m_c0))
+                 / sqrt(v_tp + v_t0 + v_cp + v_c0), 6) AS t_stat
+    FROM w
+    """,
+)
+def mlops_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        (
+            F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
+            / 2
+        )
+        .cast("long")
+        .alias("half"),
+    )
+    cells = ev.crossJoin(F.broadcast(span)).select(
+        (F.col("user_id") % 2 == 0).cast("int").alias("treated"),
+        (
+            F.datediff(F.to_date("ts"), F.col("d0")) > F.col("half")
+        )
+        .cast("int")
+        .alias("post"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    s = cells.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    sem2 = (
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+        )
+        / (F.col("n") - 1)
+        / F.col("n")
+    )
+
+    def cell(t, p, c):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), c)
+        )
+
+    w = s.agg(
+        cell(1, 1, mean).alias("m_tp"),
+        cell(1, 0, mean).alias("m_t0"),
+        cell(0, 1, mean).alias("m_cp"),
+        cell(0, 0, mean).alias("m_c0"),
+        cell(1, 1, sem2).alias("v_tp"),
+        cell(1, 0, sem2).alias("v_t0"),
+        cell(0, 1, sem2).alias("v_cp"),
+        cell(0, 0, sem2).alias("v_c0"),
+        F.sum("n").alias("n_events"),
+    )
+    did = (F.col("m_tp") - F.col("m_t0")) - (
+        F.col("m_cp") - F.col("m_c0")
+    )
+    se = F.sqrt(
+        F.col("v_tp") + F.col("v_t0") + F.col("v_cp") + F.col("v_c0")
+    )
+    return w.select(
+        "n_events",
+        F.round(did / F.lit(100.0), 6).alias("did_estimate"),
+        F.round(se / F.lit(100.0), 6).alias("did_se"),
+        F.round(did / se, 6).alias("t_stat"),
+    )
