@@ -602,12 +602,14 @@ def datapipe_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dims
     )
     SELECT e.vec_id,
-           list_transform(range(1, len(e.embedding) + 1),
-               i -> CAST(floor(CAST(127 AS DOUBLE)
-                               * CAST(e.embedding[i] AS DOUBLE)
-                               / sc.scales[i]
-                               + CAST(0.5 AS DOUBLE)) AS INTEGER))
-               AS codes
+           array_to_string(
+               list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(CAST(floor(CAST(127 AS DOUBLE)
+                                   * CAST(e.embedding[i] AS DOUBLE)
+                                   / sc.scales[i]
+                                   + CAST(0.5 AS DOUBLE)) AS INTEGER)
+                             AS VARCHAR)),
+               ',') AS codes_csv
     FROM embeddings e, sc
     """,
 )
@@ -634,10 +636,15 @@ def datapipe_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return emb.crossJoin(F.broadcast(scales)).select(
         "vec_id",
+        # CSV-encode the int8 codes: the correctness harness compares
+        # scalar columns only (top-level arrays are unorderable in its
+        # pandas canonicalizer), and the join keeps the full code
+        # vector checkable byte-for-byte.
         F.expr(
-            "zip_with(v, scales, (x, s) ->"
-            " CAST(floor(127D * x / s + 0.5D) AS INT))"
-        ).alias("codes"),
+            "array_join(transform(zip_with(v, scales, (x, s) ->"
+            " CAST(floor(127D * x / s + 0.5D) AS INT)),"
+            " c -> CAST(c AS STRING)), ',')"
+        ).alias("codes_csv"),
     )
 
 
@@ -1060,8 +1067,7 @@ def datapipe_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(2 + doc_id % 6 AS INTEGER) AS n_frames,
            CAST(3 + doc_id % 4 AS INTEGER) AS width,
            CAST(2 AS INTEGER) AS height,
-           [CAST(0 AS INTEGER), CAST(1 + doc_id % 6 AS INTEGER)]
-               AS sampled_frame_ids,
+           '0,' || CAST(1 + doc_id % 6 AS VARCHAR) AS sampled_frame_ids_csv,
            CAST(list_sum(list_transform(range(0, (3 + doc_id % 4) * 6),
                     i -> (doc_id * 13 + i) % 256))
                 + list_sum(list_transform(range(0, (3 + doc_id % 4) * 6),
@@ -1080,7 +1086,21 @@ def datapipe_video_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the generator rule; any frame-boundary or header-scan mistake in
     the stream parser breaks the hash."""
     df = load(spark, sf_dir, "documents").select("doc_id")
-    return decode_video_meta(synth_video_payloads(df), k_frames=2)
+    out = decode_video_meta(synth_video_payloads(df), k_frames=2)
+    # CSV-encode the sampled indices: the harness compares scalar
+    # columns only (top-level arrays are unorderable in its pandas
+    # canonicalizer); the join string pins the exact pick set.
+    return out.select(
+        "doc_id",
+        "n_frames",
+        "width",
+        "height",
+        F.array_join(
+            F.transform("sampled_frame_ids", lambda c: c.cast("string")),
+            ",",
+        ).alias("sampled_frame_ids_csv"),
+        "sampled_byte_sum",
+    )
 
 
 @query(
@@ -1570,7 +1590,8 @@ def datapipe_knn_ivf(
     "datapipe_array_funcs",
     oracle="""
     SELECT doc_id,
-           list_sort(list_distinct(toks))[1:3] AS first3_sorted,
+           array_to_string(list_sort(list_distinct(toks))[1:3], ' ')
+               AS first3_sorted,
            len(toks) AS n_tokens,
            list_position(toks, 'spark') AS spark_pos,
            list_contains(toks, 'table') AS has_table,
@@ -1583,9 +1604,11 @@ def datapipe_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens("text")
     return load(spark, sf_dir, "documents").select(
         "doc_id",
-        F.slice(F.array_sort(F.array_distinct(toks)), 1, 3).alias(
-            "first3_sorted"
-        ),
+        # space-joined, not an array: the driver's canonicalizer only
+        # hashes scalar cells (see test_oracle_paired_schemas_are_scalar)
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), " "
+        ).alias("first3_sorted"),
         F.size(toks).alias("n_tokens"),
         F.array_position(toks, "spark").cast("int").alias("spark_pos"),
         F.array_contains(toks, "table").alias("has_table"),
@@ -1880,11 +1903,14 @@ _EMB_DIMS = 8
     )
     SELECT doc_id, chunk_idx,
            CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tokens,
-           [(instr('0123456789abcdef',
-                   substring(md5(chunk_text), 2 * j - 1, 1)) - 1) * 16.0
-            + (instr('0123456789abcdef',
-                     substring(md5(chunk_text), 2 * j, 1)) - 1)
-            FOR j IN range(1, {_EMB_DIMS + 1})] AS hash_embedding
+           array_to_string(
+               [CAST((instr('0123456789abcdef',
+                       substring(md5(chunk_text), 2 * j - 1, 1)) - 1) * 16
+                + (instr('0123456789abcdef',
+                         substring(md5(chunk_text), 2 * j, 1)) - 1)
+                   AS VARCHAR)
+                FOR j IN range(1, {_EMB_DIMS + 1})],
+               ',') AS hash_embedding_csv
     FROM chunks
     """,
 )
@@ -1900,13 +1926,16 @@ def datapipe_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # byte j of md5(chunk) as a double — hex-pair arithmetic identical
     # to the oracle's instr() construction
+    # byte values are integral by construction, so the CSV encoding is
+    # lossless; scalar-only output keeps the driver's canonicalizer
+    # happy (see test_oracle_paired_schemas_are_scalar)
     emb = F.array(
         *[
             F.expr(
-                f"(instr('0123456789abcdef', "
-                f"substring(md5(chunk_text), {2 * j - 1}, 1)) - 1) * 16.0"
+                f"CAST((instr('0123456789abcdef', "
+                f"substring(md5(chunk_text), {2 * j - 1}, 1)) - 1) * 16"
                 f" + (instr('0123456789abcdef', "
-                f"substring(md5(chunk_text), {2 * j}, 1)) - 1)"
+                f"substring(md5(chunk_text), {2 * j}, 1)) - 1) AS STRING)"
             )
             for j in range(1, _EMB_DIMS + 1)
         ]
@@ -1915,7 +1944,7 @@ def datapipe_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "chunk_idx",
         F.size(F.split("chunk_text", " ")).cast("long").alias("n_tokens"),
-        emb.alias("hash_embedding"),
+        F.array_join(emb, ",").alias("hash_embedding_csv"),
     )
 
 

@@ -32,3 +32,29 @@ def test_no_cartesian_no_row_python(spark, sf_smoke, name):
     tree = _tree(spark, name, sf_smoke)
     assert "CartesianProduct" not in tree, f"{name} plans an all-pairs join"
     assert "BatchEvalPython" not in tree, f"{name} uses a row-pickling UDF"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_oracle_paired_schemas_are_scalar(spark, sf_smoke, name):
+    """Driver-gate compatibility: the correctness harness canonicalizes
+    results with a pandas sort/hash that cannot order top-level
+    ArrayType/MapType cells (``TypeError: unhashable type: 'list'`` —
+    the round-5 datapipe_embedding_quantize / datapipe_video_frame_decode
+    driver crash). Oracle-paired queries must therefore emit scalar
+    columns only; encode vectors as CSV strings (array_join) or explode
+    them. Rows-only queries are exempt (no value comparison runs)."""
+    from pyspark.sql import types as T
+
+    from big_data_backblaze_hard_drive_failure_spark.plans import ORACLE
+
+    if name not in ORACLE:
+        pytest.skip("rows-only query: driver never hashes its values")
+    bad = [
+        f.name
+        for f in QUERIES[name](spark, sf_smoke).schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, (
+        f"{name} emits non-scalar top-level column(s) {bad}: the driver's "
+        "pandas canonicalizer crashes on them — array_join/explode instead"
+    )
