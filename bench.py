@@ -105,10 +105,13 @@ def main() -> int:
     # looks inflated — above the committed baseline by >1.3x and
     # >0.3s, plus the slowest 15 overall (they dominate the total) —
     # and keep the per-query MIN, the standard noise-floor estimator.
+    # 0.15s absolute floor: ref_label_lead sat at 1.8x-but-0.24s-delta
+    # two rounds running and never earned a re-measure under the old
+    # 0.3s floor — sub-second queries deserve the min() treatment too
     suspects = {
         n
         for n, t in ok.items()
-        if n in prev and prev[n] > 0 and t > prev[n] * 1.3 and t - prev[n] > 0.3
+        if n in prev and prev[n] > 0 and t > prev[n] * 1.3 and t - prev[n] > 0.15
     }
     suspects |= {n for n, _ in sorted(ok.items(), key=lambda kv: -kv[1])[:15]}
     for attempt in (2, 3):

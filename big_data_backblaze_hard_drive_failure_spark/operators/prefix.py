@@ -63,6 +63,29 @@ def global_prefix_sum(
     ``exclusive=True`` yields the sum of strictly-preceding rows
     (starts at 0), the form rank statistics want.
     """
+    return global_prefix_sums(
+        df,
+        order_by,
+        {out_col: value_col},
+        n_partitions=n_partitions,
+        exclusive=exclusive,
+    )
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    order_by: Sequence[str],
+    sums: dict[str, str],
+    n_partitions: int | None = None,
+    exclusive: bool = False,
+) -> DataFrame:
+    """Multi-column form of :func:`global_prefix_sum`: every
+    ``out_col: value_col`` pair in ``sums`` gets its running total over
+    the SAME total order, sharing one range exchange, one
+    per-partition scan, and one K-row offset table (a second
+    independent prefix-sum pass would repeat the exchange — the exact
+    waste a rank statistic like a PR curve, which needs both a running
+    count and a running positive count, must avoid)."""
     ranged = (
         df.repartitionByRange(n_partitions, *order_by)
         if n_partitions
@@ -74,27 +97,42 @@ def global_prefix_sum(
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    with_local = ranged.withColumn(_LOCAL, F.sum(value_col).over(local_w))
+    # all locals share local_w -> Catalyst folds them into ONE Window
+    with_local = ranged.select(
+        "*",
+        *[
+            F.sum(val).over(local_w).alias(f"{_LOCAL}_{out}")
+            for out, val in sums.items()
+        ],
+    )
 
     # K rows (one per range partition) -> exclusive offsets. The
     # window below is unpartitioned BY DESIGN: its input is the K-row
     # per-partition total frame, not the data.
     totals = with_local.groupBy(_PID).agg(
-        F.sum(value_col).alias("__part_total")
+        *[F.sum(val).alias(f"__pt_{out}") for out, val in sums.items()]
     )
     offs_w = Window.orderBy(_PID).rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = totals.select(
         _PID,
-        F.coalesce(F.sum("__part_total").over(offs_w), F.lit(0)).alias(
-            _OFFSET
-        ),
+        *[
+            F.coalesce(F.sum(f"__pt_{out}").over(offs_w), F.lit(0)).alias(
+                f"{_OFFSET}_{out}"
+            )
+            for out in sums
+        ],
     )
 
-    shift = F.col(value_col) if exclusive else F.lit(0)
-    return (
-        with_local.join(F.broadcast(offsets), _PID)
-        .withColumn(out_col, F.col(_LOCAL) + F.col(_OFFSET) - shift)
-        .drop(_PID, _LOCAL, _OFFSET)
+    out_df = with_local.join(F.broadcast(offsets), _PID)
+    for out, val in sums.items():
+        shift = F.col(val) if exclusive else F.lit(0)
+        out_df = out_df.withColumn(
+            out, F.col(f"{_LOCAL}_{out}") + F.col(f"{_OFFSET}_{out}") - shift
+        )
+    return out_df.drop(
+        _PID,
+        *[f"{_LOCAL}_{out}" for out in sums],
+        *[f"{_OFFSET}_{out}" for out in sums],
     )

@@ -214,15 +214,18 @@ def mlops_alert_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------
 # M5: full precision-recall curve, Spark-native (reference computes it
-# in sklearn on a driver-side sample, Appendix:130-162). One window
-# sort by score desc; cumulative TP/alert counts give precision/recall
-# at every cut point. All-integer cumulative counts -> exact division
-# -> cross-engine reproducible.
+# in sklearn on a driver-side sample, Appendix:130-162). Cumulative
+# TP/alert counts in score-descending order give precision/recall at
+# every cut point. All-integer cumulative counts -> exact division ->
+# cross-engine reproducible.
 #
-# Scale note: the unpartitioned window is a single-task global sort —
-# fine for the exact curve at bench scale, wrong at 100 TB. The scale
-# path is the same arithmetic at K quantile cut points: approx_percentile
-# over scores -> K thresholds -> one conditional-aggregation pass.
+# Scale: BOTH running counts (alerts and true positives) come from one
+# shared pass of the distributed two-level prefix sum
+# (operators/prefix.py:global_prefix_sums) — one range exchange over
+# (-score, event_id), per-partition scans, a K-row offset table —
+# never an unpartitioned window, so the exact curve survives 100x.
+# The K-threshold twin (mlops_pr_at_thresholds) remains the cheaper
+# fixed-size-output summary when the full curve isn't needed.
 # --------------------------------------------------------------------
 @query(
     "mlops_pr_curve",
@@ -243,14 +246,23 @@ def mlops_alert_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mlops_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import global_prefix_sums
+
     scored = scored_frame(spark, sf_dir, via="column")
-    w = Window.orderBy(F.col("failure_probability").desc(), F.col("event_id"))
     total_pos = scored.agg(
         F.sum("is_error").cast("long").alias("total_pos")
     )
-    ranked = scored.select(
-        F.row_number().over(w).alias("n_alerts"),
-        F.sum("is_error").over(w).cast("long").alias("n_tp"),
+    # descending score == ascending negated score; event_id makes the
+    # order key unique (the prefix-sum determinism requirement)
+    ranked = global_prefix_sums(
+        scored.select(
+            (-F.col("failure_probability")).alias("neg_score"),
+            "event_id",
+            F.lit(1).cast("long").alias("one"),
+            F.col("is_error").cast("long").alias("pos"),
+        ),
+        ["neg_score", "event_id"],
+        {"n_alerts": "one", "n_tp": "pos"},
     )
     return (
         ranked.filter((F.col("n_alerts") % 100 == 0) | (F.col("n_alerts") == 1))
@@ -1100,7 +1112,8 @@ def mlops_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 _BOOT_R = 32
 # floor(CDF_Poisson1(k) * 65536): P(0)=e^-1, P(k)=e^-1/k!
-_POIS_T = (24112, 48225, 60281, 64299, 65304, 65505)
+# (generated by math.floor(sum(exp(-1)/i! for i<=k) * 65536))
+_POIS_T = (24109, 48218, 60273, 64291, 65296, 65497)
 
 
 def _boot_w_sql(u16: str) -> str:

@@ -3341,12 +3341,9 @@ def star_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("one", F.lit(1).cast("long"))
     )
-    ranked = global_prefix_sum(
-        global_prefix_sum(cust, ["x", "o_custkey"], "x", "cum_x"),
-        ["x", "o_custkey"],
-        "one",
-        "i",
-    )
+    # one prefix-sum pass: summing the constant 1 in (x, o_custkey)
+    # order IS the global rank i — no second range-partitioned scan
+    ranked = global_prefix_sum(cust, ["x", "o_custkey"], "one", "i")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("x").alias("total_cents"),

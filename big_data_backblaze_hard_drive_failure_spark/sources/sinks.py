@@ -210,20 +210,51 @@ def _commit_manifest(table_dir: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(table_dir, _MANIFEST))
 
 
-def write_snapshot(df: DataFrame, table_dir: str) -> int:
+def write_snapshot(
+    df: DataFrame,
+    table_dir: str,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+) -> int:
     """Append a new immutable version of ``df`` under ``table_dir``;
-    returns the new version number. The manifest flip is the commit
-    point (os.replace — atomic on POSIX). ``latest`` is monotonic so
-    a rollback never orphans committed versions or reuses a number."""
+    returns the new version number (0 = idempotent skip). The manifest
+    flip is the commit point (os.replace — atomic on POSIX);
+    ``latest`` is monotonic so a rollback never orphans committed
+    versions or reuses a number. Single-writer discipline, like a
+    lakehouse table without a lock service.
+
+    Crash safety: a writer that dies after materializing ``v=N/`` but
+    before the manifest flip leaves an orphaned uncommitted directory.
+    Since ``latest`` is monotonic, the next writer's target can only
+    collide with such an orphan — so it overwrites (reclaims) it
+    rather than failing forever, and readers never saw the orphan.
+
+    Exactly-once for streaming replays (the Delta txnAppId/txnVersion
+    pattern): pass ``txn_app_id`` + ``txn_version`` (e.g. the
+    foreachBatch ``batch_id``). The manifest records the last
+    committed txn version per app id; a replayed batch with
+    ``txn_version <= recorded`` is skipped, so restart-and-replay
+    commits each micro-batch exactly once."""
     import os
 
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version go together")
     os.makedirs(table_dir, exist_ok=True)
     m = _read_manifest(table_dir)
+    txns = dict(m.get("txns", {}))
+    if txn_app_id is not None:
+        last = txns.get(txn_app_id)
+        if last is not None and txn_version <= last:
+            return 0  # this batch already committed; replay is a no-op
+        txns[txn_app_id] = txn_version
     version = m["latest"] + 1
-    df.write.mode("errorifexists").parquet(
+    df.write.mode("overwrite").parquet(
         os.path.join(table_dir, f"v={version}")
     )
-    _commit_manifest(table_dir, {"current": version, "latest": version})
+    manifest = {"current": version, "latest": version}
+    if txns:
+        manifest["txns"] = txns
+    _commit_manifest(table_dir, manifest)
     return version
 
 
@@ -256,9 +287,8 @@ def rollback_snapshot(table_dir: str, version: int) -> None:
     m = _read_manifest(table_dir)
     if version < 1 or version > m["latest"]:
         raise ValueError(f"cannot roll back to version {version}")
-    _commit_manifest(
-        table_dir, {"current": version, "latest": m["latest"]}
-    )
+    m["current"] = version  # keep latest AND the txn ledger intact
+    _commit_manifest(table_dir, m)
 
 
 def vacuum_snapshots(table_dir: str, keep_last: int = 2) -> list[int]:

@@ -14,11 +14,12 @@ answer exactly.
 """
 
 from .pipeline import daily_alert_stream, read_events_stream, score_stream
-from .sinks import foreach_batch_parquet_dedup
+from .sinks import foreach_batch_parquet_dedup, foreach_batch_snapshot
 
 __all__ = [
     "read_events_stream",
     "score_stream",
     "daily_alert_stream",
     "foreach_batch_parquet_dedup",
+    "foreach_batch_snapshot",
 ]

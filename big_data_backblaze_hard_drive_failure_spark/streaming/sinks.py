@@ -42,3 +42,22 @@ def foreach_batch_parquet_dedup(target_dir: str, key: str):
         )
 
     return _write
+
+
+def foreach_batch_snapshot(table_dir: str, app_id: str = "stream"):
+    """Returns the foreachBatch callback committing each micro-batch
+    as a new version of the snapshot table, exactly once: the
+    ``batch_id`` is recorded in the table manifest as
+    (``app_id``, txn_version), so a restarted query replaying an
+    already-committed batch is a no-op instead of a duplicate version
+    (the Delta txnAppId/txnVersion pattern)."""
+    from ..sources.sinks import write_snapshot
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_snapshot(
+            batch_df, table_dir, txn_app_id=app_id, txn_version=batch_id
+        )
+
+    return _commit

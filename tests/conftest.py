@@ -1,11 +1,41 @@
 from __future__ import annotations
 
 import os
+import sys
 
 import pytest
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
+
+
+def _enable_fallback_protobuf() -> None:
+    """transformWithStateInPandas needs google.protobuf (the stateful
+    worker speaks protobuf to the JVM state server), which isn't a
+    baked-in package here. Some images ship a pure-Python protobuf
+    runtime inside the (public) google-cloud-sdk tree — if the normal
+    import fails and that tree exists, put it on sys.path AND on
+    PYTHONPATH so spawned Python workers inherit it. Must run before
+    the JVM starts (workers get the driver process env). The SDK
+    runtime can trail pyspark's gencode by a minor version; protobuf's
+    own documented escape hatch flag skips that check."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    sdk = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+    if not os.path.isdir(os.path.join(sdk, "google", "protobuf")):
+        return
+    sys.path.insert(0, sdk)
+    os.environ["PYTHONPATH"] = (
+        sdk + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
+    os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+
+
+_enable_fallback_protobuf()
 
 
 @pytest.fixture(scope="session")

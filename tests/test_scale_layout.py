@@ -405,3 +405,53 @@ def test_observed_write_collects_metrics_in_one_action(
     ).first()
     assert metrics["n_errors"] == re["e"]
     assert metrics["value_cents"] == re["c"]
+
+
+def test_snapshot_writer_reclaims_crashed_orphan(spark, sf_smoke, tmp_path):
+    """A writer that died after materializing v=N but before the
+    manifest flip must not poison the table: since ``latest`` is
+    monotonic, the next writer's target can only collide with that
+    uncommitted orphan, so it overwrites it and commits normally."""
+    import os
+
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import load
+    from big_data_backblaze_hard_drive_failure_spark.sources.sinks import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    tdir = str(tmp_path / "snap_orphan")
+    nation = load(spark, sf_smoke, "nation")
+    assert write_snapshot(nation.filter("n_nationkey < 5"), tdir) == 1
+    # crashed writer: v=2 data exists, manifest never flipped
+    nation.limit(1).write.parquet(os.path.join(tdir, "v=2"))
+    # next writer reclaims the orphan instead of raising forever
+    assert write_snapshot(nation, tdir) == 2
+    assert read_snapshot(spark, tdir).count() == nation.count()
+
+
+def test_snapshot_txn_ledger_makes_replay_exactly_once(
+    spark, sf_smoke, tmp_path
+):
+    """The (txn_app_id, txn_version) ledger: a replayed batch id is a
+    no-op (returns 0, no new version), a fresh batch id commits, and
+    rollback preserves the ledger so replays stay deduplicated."""
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import load
+    from big_data_backblaze_hard_drive_failure_spark.sources.sinks import (
+        read_snapshot_version,
+        rollback_snapshot,
+        write_snapshot,
+    )
+
+    tdir = str(tmp_path / "snap_txn")
+    nation = load(spark, sf_smoke, "nation")
+    assert write_snapshot(nation, tdir, "q1", 0) == 1
+    # restart-and-replay of batch 0: skipped, version unchanged
+    assert write_snapshot(nation, tdir, "q1", 0) == 0
+    assert read_snapshot_version(tdir) == 1
+    # fresh batch commits; an unrelated app id is independent
+    assert write_snapshot(nation, tdir, "q1", 1) == 2
+    assert write_snapshot(nation, tdir, "q2", 0) == 3
+    rollback_snapshot(tdir, 1)
+    # ledger survives the rollback: replaying batch 1 is still a no-op
+    assert write_snapshot(nation, tdir, "q1", 1) == 0

@@ -1006,16 +1006,23 @@ def test_streaming_foreachbatch_snapshot_sink(spark, sf_smoke, tmp_path):
         write_snapshot,
     )
 
+    from big_data_backblaze_hard_drive_failure_spark.streaming import (
+        foreach_batch_snapshot,
+    )
+
     tdir = str(tmp_path / "snap_stream")
     stream = read_events_stream(spark, sf_smoke)
 
     totals = []
+    seen_ids = []
+    inner = foreach_batch_snapshot(tdir, app_id="snap_stream_test")
 
     def _commit(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        write_snapshot(batch_df, tdir)
+        inner(batch_df, batch_id)
         totals.append(batch_df.count())
+        seen_ids.append(batch_id)
 
     q = (
         stream.writeStream.foreachBatch(_commit)
@@ -1034,3 +1041,8 @@ def test_streaming_foreachbatch_snapshot_sink(spark, sf_smoke, tmp_path):
     )
     batch_n = load(spark, sf_smoke, "events").count()
     assert got == sum(totals) == batch_n
+
+    # restart-and-replay: re-running an already-committed batch id
+    # through the sink is a no-op (exactly-once via the txn ledger)
+    inner(load(spark, sf_smoke, "events"), seen_ids[-1])
+    assert read_snapshot_version(tdir) == n_versions
