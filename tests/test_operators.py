@@ -794,6 +794,50 @@ def test_global_prefix_sum_exclusive_starts_at_zero(spark):
     assert all(rows[k] == (k - 1) * 10 for k in rows)
 
 
+def test_global_prefix_sums_multi_column_shares_one_pass(spark):
+    """The multi-column variant must (a) agree with two independent
+    single-column passes and (b) plan exactly ONE range exchange over
+    the data — the whole point of sharing the scan (a PR curve needs
+    a running count AND a running positive count over one order)."""
+    from big_data_backblaze_hard_drive_failure_spark.operators.prefix import (
+        global_prefix_sum,
+        global_prefix_sums,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1, i % 3) for i in range(1, 201)], "k int, one int, v int"
+    )
+    multi = global_prefix_sums(
+        df, ["k"], {"n": "one", "sv": "v"}, n_partitions=5
+    )
+    rows = {r["k"]: (r["n"], r["sv"]) for r in multi.collect()}
+    a = {
+        r["k"]: r["n"]
+        for r in global_prefix_sum(df, ["k"], "one", "n", 5).collect()
+    }
+    b = {
+        r["k"]: r["sv"]
+        for r in global_prefix_sum(df, ["k"], "v", "sv", 5).collect()
+    }
+    assert rows == {k: (a[k], b[k]) for k in a}
+    # one Window computes BOTH running sums, and the K-row offsets
+    # branch REUSES the data's range exchange instead of repeating it
+    # (AQE's plan string appends an "Initial Plan" section — count
+    # only the final plan)
+    plan = (
+        multi._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("Initial Plan")[0]
+    )
+    n_range = sum(
+        "Exchange rangepartitioning" in line and "Reused" not in line
+        for line in plan.split("\n")
+    )
+    assert n_range == 1, plan
+    assert "ReusedExchange" in plan, plan
+
+
 def test_jaccard_prefix_join_complete_on_small_sets(spark, tmp_path):
     """Prefix-filter completeness at the edge the integer ceil gets
     wrong first: single-shingle docs (s=1 -> prefix must be 1, not 0)
