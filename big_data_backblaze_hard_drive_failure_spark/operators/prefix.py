@@ -86,6 +86,8 @@ def global_prefix_sums(
     independent prefix-sum pass would repeat the exchange — the exact
     waste a rank statistic like a PR curve, which needs both a running
     count and a running positive count, must avoid)."""
+    if not sums:
+        raise ValueError("sums must map at least one out_col: value_col")
     ranged = (
         df.repartitionByRange(n_partitions, *order_by)
         if n_partitions

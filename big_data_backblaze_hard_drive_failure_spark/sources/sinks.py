@@ -225,9 +225,14 @@ def write_snapshot(
 
     Crash safety: a writer that dies after materializing ``v=N/`` but
     before the manifest flip leaves an orphaned uncommitted directory.
-    Since ``latest`` is monotonic, the next writer's target can only
-    collide with such an orphan — so it overwrites (reclaims) it
-    rather than failing forever, and readers never saw the orphan.
+    The write goes to a unique temp dir first and is RENAMED into
+    ``v=N`` at the last moment; if ``v=N`` already exists, the
+    manifest disambiguates — ``latest < N`` means it's such an orphan
+    (readers never saw it; reclaim it), ``latest >= N`` means another
+    writer committed it (LOUD failure, never clobber committed data).
+    A version directory present with NO manifest at all means the
+    manifest was lost/deleted — also a loud failure, since everything
+    on disk may be committed data.
 
     Exactly-once for streaming replays (the Delta txnAppId/txnVersion
     pattern): pass ``txn_app_id`` + ``txn_version`` (e.g. the
@@ -235,11 +240,22 @@ def write_snapshot(
     committed txn version per app id; a replayed batch with
     ``txn_version <= recorded`` is skipped, so restart-and-replay
     commits each micro-batch exactly once."""
+    import glob as _g
     import os
+    import shutil
+    import uuid
 
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version go together")
     os.makedirs(table_dir, exist_ok=True)
+    if not os.path.exists(os.path.join(table_dir, _MANIFEST)) and _g.glob(
+        os.path.join(table_dir, "v=*")
+    ):
+        raise RuntimeError(
+            f"{table_dir} has version directories but no manifest — "
+            "refusing to write into a table whose commit history is "
+            "unknown (restore or remove the directory first)"
+        )
     m = _read_manifest(table_dir)
     txns = dict(m.get("txns", {}))
     if txn_app_id is not None:
@@ -248,9 +264,30 @@ def write_snapshot(
             return 0  # this batch already committed; replay is a no-op
         txns[txn_app_id] = txn_version
     version = m["latest"] + 1
-    df.write.mode("overwrite").parquet(
-        os.path.join(table_dir, f"v={version}")
-    )
+    target = os.path.join(table_dir, f"v={version}")
+    # any .tmp-* dir is uncommitted by construction (commit = rename
+    # into v=N), so under single-writer discipline leftovers from
+    # crashed attempts are garbage — sweep them here
+    for stale in _g.glob(os.path.join(table_dir, ".tmp-v*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    tmp = os.path.join(table_dir, f".tmp-v{version}-{uuid.uuid4().hex[:8]}")
+    df.write.mode("errorifexists").parquet(tmp)
+    try:
+        if os.path.exists(target):
+            # manifest is the source of truth: latest < version means
+            # this directory was never committed (a crashed writer's
+            # orphan) — reclaim it; otherwise someone committed it
+            # concurrently and clobbering would destroy real data
+            if _read_manifest(table_dir)["latest"] >= version:
+                raise RuntimeError(
+                    f"{target} was committed by a concurrent writer; "
+                    "snapshot tables are single-writer"
+                )
+            shutil.rmtree(target)
+        os.rename(tmp, target)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     manifest = {"current": version, "latest": version}
     if txns:
         manifest["txns"] = txns

@@ -28,10 +28,14 @@ def _enable_fallback_protobuf() -> None:
     sdk = "/usr/lib/google-cloud-sdk/platform/google_appengine"
     if not os.path.isdir(os.path.join(sdk, "google", "protobuf")):
         return
-    sys.path.insert(0, sdk)
+    # APPEND, don't prepend: the normal import already failed, so the
+    # fallback only needs to be reachable — putting the SDK tree first
+    # would shadow any other installed google.* package
+    sys.path.append(sdk)
+    existing = os.environ.get("PYTHONPATH", "")
     os.environ["PYTHONPATH"] = (
-        sdk + os.pathsep + os.environ.get("PYTHONPATH", "")
-    ).rstrip(os.pathsep)
+        (existing + os.pathsep + sdk) if existing else sdk
+    )
     os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
 
 

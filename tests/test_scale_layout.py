@@ -455,3 +455,60 @@ def test_snapshot_txn_ledger_makes_replay_exactly_once(
     rollback_snapshot(tdir, 1)
     # ledger survives the rollback: replaying batch 1 is still a no-op
     assert write_snapshot(nation, tdir, "q1", 1) == 0
+
+
+def test_snapshot_writer_never_clobbers_committed_data(
+    spark, sf_smoke, tmp_path
+):
+    """The two destroy-committed-data scenarios must fail LOUDLY:
+    (a) a version directory the manifest says is committed (simulated
+    concurrent writer) is never overwritten; (b) a table whose
+    manifest is lost but which still holds version dirs refuses
+    writes entirely."""
+    import os
+
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import load
+    from big_data_backblaze_hard_drive_failure_spark.sources.sinks import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    nation = load(spark, sf_smoke, "nation")
+
+    # (a) the lost race: writer B reads latest=1, then writer A commits
+    # v=2 before B reaches its rename. Simulate B's stale initial read
+    # with a mock (first _read_manifest call returns the pre-commit
+    # manifest; the collision-time re-read sees the truth on disk).
+    from unittest import mock
+
+    from big_data_backblaze_hard_drive_failure_spark.sources import sinks
+
+    tdir = str(tmp_path / "snap_race")
+    write_snapshot(nation.filter("n_nationkey < 5"), tdir)
+    write_snapshot(nation.filter("n_nationkey < 9"), tdir)  # A's v=2
+    stale = {"current": 1, "latest": 1}
+    real_read = sinks._read_manifest
+    with mock.patch.object(
+        sinks,
+        "_read_manifest",
+        side_effect=lambda d, _calls=iter([stale]): next(
+            _calls, real_read(d)
+        ),
+    ):
+        try:
+            write_snapshot(nation, tdir)
+            raise AssertionError("must not clobber a committed v=2")
+        except RuntimeError:
+            pass
+    # the committed v=2 data is untouched
+    assert read_snapshot(spark, tdir, version=2).count() == 9
+
+    # (b) lost manifest over surviving version dirs
+    tdir2 = str(tmp_path / "snap_lost")
+    write_snapshot(nation, tdir2)
+    os.remove(os.path.join(tdir2, "_manifest.json"))
+    try:
+        write_snapshot(nation, tdir2)
+        raise AssertionError("must refuse a manifest-less table")
+    except RuntimeError:
+        pass

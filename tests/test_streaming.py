@@ -1003,9 +1003,7 @@ def test_streaming_foreachbatch_snapshot_sink(spark, sf_smoke, tmp_path):
     from big_data_backblaze_hard_drive_failure_spark.sources.sinks import (
         read_snapshot,
         read_snapshot_version,
-        write_snapshot,
     )
-
     from big_data_backblaze_hard_drive_failure_spark.streaming import (
         foreach_batch_snapshot,
     )
