@@ -253,3 +253,71 @@ def test_average_hash_properties(w, h, seed, shift):
 
     thumb = resize_nearest(w, h, rgb, 4, 4)
     assert average_hash(4, 4, thumb) == base
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-1000, max_value=1000),  # order key
+            st.integers(min_value=-50, max_value=50),      # value a
+            st.integers(min_value=0, max_value=7),         # value b
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    nparts=st.integers(min_value=1, max_value=6),
+)
+@settings(**_SETTINGS)
+def test_global_prefix_sums_property(spark, rows, nparts):
+    """The distributed two-level prefix sum must equal the plain-Python
+    running total for BOTH columns of a shared pass, on any unique-key
+    frame and any partition count (1 partition = degenerate case where
+    offsets are all zero; more partitions than rows = empty ranges)."""
+    from big_data_backblaze_hard_drive_failure_spark.operators.prefix import (
+        global_prefix_sums,
+    )
+
+    df = spark.createDataFrame(rows, "k INT, a INT, b INT")
+    got = {
+        r["k"]: (r["ra"], r["rb"])
+        for r in global_prefix_sums(
+            df, ["k"], {"ra": "a", "rb": "b"}, n_partitions=nparts
+        ).collect()
+    }
+    ra = rb = 0
+    want = {}
+    for k, a, b in sorted(rows):
+        ra += a
+        rb += b
+        want[k] = (ra, rb)
+    assert got == want
+
+
+@given(
+    n_writes=st.integers(min_value=1, max_value=4),
+    replay_at=st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_snapshot_txn_replay_property(spark, tmp_path_factory,
+                                      n_writes, replay_at):
+    """Any prefix of batch ids replayed against the txn ledger commits
+    each id exactly once: after n_writes sequential batches plus one
+    replay of an arbitrary earlier id, the version count equals
+    n_writes and every committed version is readable."""
+    from big_data_backblaze_hard_drive_failure_spark.sources.sinks import (
+        read_snapshot,
+        read_snapshot_version,
+        write_snapshot,
+    )
+
+    tdir = str(tmp_path_factory.mktemp("snapprop") / "t")
+    df = spark.range(5).toDF("id")
+    for b in range(n_writes):
+        assert write_snapshot(df, tdir, "app", b) == b + 1
+    replay = min(replay_at, n_writes - 1)
+    assert write_snapshot(df, tdir, "app", replay) == 0
+    assert read_snapshot_version(tdir) == n_writes
+    for v in range(1, n_writes + 1):
+        assert read_snapshot(spark, tdir, version=v).count() == 5
