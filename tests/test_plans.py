@@ -257,15 +257,35 @@ def test_join_strategy_hints_control_physical_operator(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["star_gini_spend", "mlops_mann_whitney_u", "mlops_kaplan_meier"]
+    "name",
+    [
+        "star_gini_spend",
+        "mlops_mann_whitney_u",
+        "mlops_kaplan_meier",
+        "mlops_pr_curve",
+    ],
 )
 def test_rank_statistics_use_range_partitioned_prefix(spark, sf_smoke, name):
-    """Gini / Mann-Whitney / Kaplan-Meier must compute rank statistics
-    through the distributed prefix-sum (repartitionByRange + local
-    scans + K-row offset table), never a data-sized unpartitioned
-    window: the plan must contain a rangepartitioning Exchange."""
+    """Gini / Mann-Whitney / Kaplan-Meier / PR curve must compute rank
+    statistics through the distributed prefix-sum (repartitionByRange +
+    local scans + K-row offset table), never a data-sized unpartitioned
+    window: the plan must contain a rangepartitioning Exchange, and any
+    Window ordered over the data must be partitioned (the only
+    unpartitioned windows allowed are the K-row offset frames, which
+    sort by the synthetic partition id, not a data column)."""
     plan = _formatted(spark, name, sf_smoke)
     assert "rangepartitioning" in plan.lower(), name
+    # every Window in these plans is part of the prefix-sum machinery:
+    # either the per-partition local scan (PARTITION BY __prefix_pid)
+    # or the K-row offsets frame (ORDER BY __prefix_pid) — a window
+    # spec NOT mentioning the synthetic pid would be a data-sized
+    # unpartitioned window sneaking back in
+    bad = [
+        line.strip()[:160]
+        for line in plan.split("\n")
+        if "windowspecdefinition" in line and "__prefix_pid" not in line
+    ]
+    assert not bad, f"{name}: non-prefix-sum window(s): {bad}"
 
 
 def test_pmi_pairs_are_generated_map_side(spark, sf_smoke):
