@@ -253,6 +253,37 @@ def io_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Avro write -> explicit-schema read -> aggregate, with NO spark-avro
+# jar: the container ships none, so the engine implements the Avro 1.11
+# Object Container File format itself (sources/avro_py.py — pure-Python
+# binary codec on Spark 4's DataSource API, one container file per
+# partition, two-phase commit). Same explicit-read-schema discipline as
+# CSV/JSON/XML; date goes through the int/date logical type exactly as
+# spark-avro writes it, so the files interchange with any Avro reader.
+# --------------------------------------------------------------------
+@query("io_avro_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def io_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.avro_py import register_avro_source
+
+    try:
+        register_avro_source(spark)
+    except Exception:
+        pass  # already registered in this session
+    path = scratch_dir("avro_roundtrip")
+    (
+        _daily(spark, sf_dir)
+        .coalesce(1)
+        .write.format("avro_py")
+        .mode("overwrite")
+        .save(path)
+    )
+    back = (
+        spark.read.format("avro_py").schema(_DAILY_SCHEMA).load(path)
+    )
+    return _daily_checksum(back)
+
+
+# --------------------------------------------------------------------
 # JSON-lines write -> explicit-schema JSON read -> aggregate: the
 # third interchange format next to parquet/CSV. JSON is the lossiest
 # of the three (no int32/int64 distinction on the wire, no binary),

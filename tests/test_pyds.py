@@ -189,3 +189,97 @@ def test_jsonl_writer_append_preserves_prior_commits(spark, tmp_path):
         .load()
     )
     assert {r["id"] for r in back2.collect()} == set(range(5))
+
+
+def test_avro_roundtrip_all_types_with_nulls(spark, tmp_path):
+    """The pure-Python Avro OCF connector must round-trip every mapped
+    Spark type, including NULLs in every column (the ["null", T] union
+    branch) and negative numbers (zigzag edge)."""
+    import datetime
+
+    from big_data_backblaze_hard_drive_failure_spark.sources.avro_py import (
+        register_avro_source,
+    )
+
+    register_avro_source(spark)
+    rows = [
+        (1, -12345678901, 2.5, "héllo", True, bytearray(b"\x00\xff"),
+         datetime.date(2026, 8, 14)),
+        (2, None, None, None, None, None, None),
+        (3, 0, -0.0, "", False, bytearray(b""), datetime.date(1969, 12, 31)),
+    ]
+    schema = (
+        "id LONG, big LONG, x DOUBLE, s STRING, b BOOLEAN, "
+        "raw BINARY, d DATE"
+    )
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "avro_all")
+    df.write.format("avro_py").mode("overwrite").save(path)
+    back = spark.read.format("avro_py").schema(df.schema).load(path)
+    got = sorted(
+        (tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v
+               for v in r) for r in back.collect())
+    )
+    want = sorted(
+        (tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v
+               for v in r) for r in rows)
+    )
+    assert got == want
+
+
+def test_avro_file_is_spec_conformant_container(spark, tmp_path):
+    """Byte-level spec checks on the written file: Obj\\x01 magic,
+    avro.schema metadata holding a record of nullable fields, the null
+    codec, and a sync marker terminating each block."""
+    import glob
+    import json as _json
+
+    from big_data_backblaze_hard_drive_failure_spark.sources.avro_py import (
+        register_avro_source,
+    )
+
+    register_avro_source(spark)
+    path = str(tmp_path / "avro_spec")
+    spark.range(10).toDF("id").coalesce(1).write.format(
+        "avro_py"
+    ).mode("overwrite").save(path)
+    [f] = glob.glob(f"{path}/part-*.avro")
+    raw = open(f, "rb").read()
+    assert raw[:4] == b"Obj\x01"
+    i = raw.index(b"avro.schema")
+    # metadata value is a length-prefixed JSON blob right after the key
+    j = raw.index(b'{"type": "record"', i)
+    depth = 0
+    for k in range(j, len(raw)):
+        depth += {ord("{"): 1, ord("}"): -1}.get(raw[k], 0)
+        if depth == 0:
+            break
+    meta = _json.loads(raw[j:k + 1])
+    assert [fld["type"] for fld in meta["fields"]] == [["null", "long"]]
+    assert b"null" in raw[raw.index(b"avro.codec"):][:20]
+    # last 16 bytes of the file are the block-terminating sync marker,
+    # which must equal the marker right after the metadata section
+    sync = raw[-16:]
+    assert raw.count(sync) >= 2
+
+
+def test_avro_writer_overwrite_and_abort_semantics(spark, tmp_path):
+    """Overwrite replaces previous parts; a failed job leaves no part
+    files behind (only the temp of the failed task is cleaned)."""
+    import glob
+
+    from big_data_backblaze_hard_drive_failure_spark.sources.avro_py import (
+        register_avro_source,
+    )
+
+    register_avro_source(spark)
+    path = str(tmp_path / "avro_ow")
+    spark.range(5).toDF("id").write.format("avro_py").mode(
+        "overwrite"
+    ).save(path)
+    spark.range(3).toDF("id").write.format("avro_py").mode(
+        "overwrite"
+    ).save(path)
+    back = spark.read.format("avro_py").schema("id LONG").load(path)
+    assert back.count() == 3
+    assert not glob.glob(f"{path}/_temp-*")
