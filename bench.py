@@ -189,7 +189,7 @@ def main() -> int:
         "mlops_pr_at_thresholds", "io_parquet_roundtrip",
         "star_pagerank_nations", "mlops_kaplan_meier",
         "datapipe_pmi_cooccurrence", "datapipe_image_phash_dedup",
-        "star_gini_spend",
+        "star_gini_spend", "io_avro_roundtrip", "mlops_pr_curve",
     ]
     head = {k: timings[k] for k in headline if k in timings}
     out = dict(full)

@@ -1266,13 +1266,49 @@ def datapipe_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # min) on O(docs) rows; lineage is cut per round (localCheckpoint) so
 # the plan doesn't grow with iterations — the standard Spark pattern
 # for iterative algorithms. Rounds needed = graph diameter in bands
-# (tiny for dedup graphs). Iterative -> not SQL-expressible in one
-# statement: driver runs the rows-only check; pytest verifies the
-# fixpoint against a union-find ground truth.
+# (tiny for dedup graphs).
+#
+# The fixpoint is DETERMINISTIC (min doc_id of each component), so it
+# IS oracle-checkable despite being iterative: the oracle UNROLLS the
+# exact same bounded update rule — _CC_ROUNDS rounds of
+# (bucket min-label, then doc min-over-buckets) — as 2K linear
+# group-by CTE stages. Extra rounds after convergence are no-ops
+# (min-propagation is monotone), and if the diameter exceeds the
+# bound, BOTH engines stop at the same partial labels: parity by
+# construction, never a quadratic transitive closure. pytest
+# additionally verifies the fixpoint against union-find ground truth.
 # --------------------------------------------------------------------
-@query("datapipe_neardup_components")
+_CC_ROUNDS = 10
+
+
+def _cc_oracle(rounds: int) -> str:
+    stages = []
+    for r in range(1, rounds + 1):
+        stages.append(
+            f"bm{r} AS (SELECT b.band_id, b.band_key,"
+            f" MIN(l.label) AS bl FROM bands b"
+            f" JOIN labels{r - 1} l USING (doc_id)"
+            f" GROUP BY b.band_id, b.band_key)"
+        )
+        stages.append(
+            f"labels{r} AS (SELECT b.doc_id, MIN(m.bl) AS label"
+            f" FROM bands b JOIN bm{r} m"
+            f" ON b.band_id = m.band_id AND b.band_key = m.band_key"
+            f" GROUP BY b.doc_id)"
+        )
+    return f"""
+    WITH sig AS ({_SIG_SQL}),
+    bands AS ({_BANDS_FROM_SIG_SQL}),
+    labels0 AS (SELECT DISTINCT doc_id, doc_id AS label FROM bands),
+    {', '.join(stages)}
+    SELECT doc_id, CAST(label AS BIGINT) AS component_id
+    FROM labels{rounds}
+    """
+
+
+@query("datapipe_neardup_components", oracle=_cc_oracle(_CC_ROUNDS))
 def datapipe_neardup_components(
-    spark: SparkSession, sf_dir: str, max_iter: int = 10
+    spark: SparkSession, sf_dir: str, max_iter: int = _CC_ROUNDS
 ) -> DataFrame:
     from ..operators.staging import lineage_cut
 
