@@ -10,10 +10,15 @@ canonicalized values). Exit 0 = all match.
 from __future__ import annotations
 
 import datetime as dt
+import os
 import sys
 
 import duckdb
 from pyspark.sql import SparkSession
+
+# `python scripts/driver_sim.py` puts scripts/ (not the repo root) on
+# sys.path; __spark_entry__ and the package live at the root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
