@@ -386,6 +386,90 @@ def mlops_feature_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# M10/S8: the SHAP SUMMARY aggregate — mean |contribution| per feature
+# over the alerted set, i.e. exactly the quantity the reference's
+# summary_plot PNG visualizes (05_SHAP:139-149) before matplotlib gets
+# involved. Distributed end to end; the 2-row result is what
+# sources/report_png.py:write_feature_importance_png renders.
+#
+# Cross-engine exactness: |contrib_i| sums are order-dependent in
+# floats, so sum the INTEGER quantity instead —
+#   |w*(x - sum/n)| = w/(scale*n) * |x*scale*n - sum*scale| —
+# the |cents*n - sum_cents| term is an exact BIGINT per row, its sum
+# is exact, and one identical final division per engine yields
+# bit-identical doubles (the package's standard exact-cents move, one
+# level deeper). Sums stay < 2^53 through sf10; Spark SUM(BIGINT)
+# and DuckDB CAST(SUM AS BIGINT) agree.
+# --------------------------------------------------------------------
+@query(
+    "mlops_feature_importance",
+    oracle=f"""
+    WITH alerted AS (
+        SELECT * FROM ({_SCORED_SQL})
+        WHERE failure_probability >= {_CONTRIB_THRESHOLD}
+    ), stats AS (
+        SELECT SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents,
+               SUM(is_error) AS sum_err,
+               COUNT(*) AS n
+        FROM alerted
+    ), su AS (
+        SELECT CAST(SUM(ABS(CAST(ROUND(value * 100) AS BIGINT) * n
+                            - sum_cents)) AS BIGINT) AS s_val,
+               CAST(SUM(ABS(is_error * n - sum_err)) AS BIGINT) AS s_err,
+               MAX(n) AS n
+        FROM alerted, stats
+    )
+    SELECT feature, mean_abs_contribution FROM (
+        SELECT 'contrib_value' AS feature,
+               CAST(0.02 AS DOUBLE) * s_val
+                   / (CAST(100 AS DOUBLE) * n * n)
+                   AS mean_abs_contribution
+        FROM su
+        UNION ALL
+        SELECT 'contrib_is_error' AS feature,
+               CAST(0.3 AS DOUBLE) * s_err / (CAST(n AS DOUBLE) * n)
+        FROM su
+    ) ORDER BY mean_abs_contribution DESC, feature
+    """,
+)
+def mlops_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = scored_frame(spark, sf_dir, via="column").filter(
+        F.col("failure_probability") >= _CONTRIB_THRESHOLD
+    )
+    stats = scored.agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        F.sum("is_error").alias("sum_err"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    su = (
+        scored.crossJoin(F.broadcast(stats))
+        .agg(
+            F.sum(
+                F.abs(
+                    F.round(F.col("value") * 100).cast("long") * F.col("n")
+                    - F.col("sum_cents")
+                )
+            ).alias("s_val"),
+            F.sum(
+                F.abs(F.col("is_error") * F.col("n") - F.col("sum_err"))
+            ).alias("s_err"),
+            F.max("n").alias("n"),
+        )
+    )
+    return (
+        su.selectExpr(
+            "stack(2, "
+            "  'contrib_value',"
+            "  CAST(0.02 AS DOUBLE) * s_val / (CAST(100 AS DOUBLE) * n * n),"
+            "  'contrib_is_error',"
+            "  CAST(0.3 AS DOUBLE) * s_err / (CAST(n AS DOUBLE) * n)"
+            ") AS (feature, mean_abs_contribution)"
+        )
+        .orderBy(F.col("mean_abs_contribution").desc(), "feature")
+    )
+
+
+# --------------------------------------------------------------------
 # M3/M4: distributed MLlib training + PR-AUC. Cross-engine training is
 # not SQL-expressible -> rows-only check (driver records the weaker
 # gate; SURVEY §2.8 note). Kept cheap: logistic regression on the

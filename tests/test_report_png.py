@@ -115,6 +115,22 @@ def test_pr_curve_png_sink(spark, tmp_path):
     assert line_px > 50
 
 
+def test_feature_importance_query_feeds_png_sink(spark, sf_smoke, tmp_path):
+    """End-to-end S8: the mlops_feature_importance query (the SHAP
+    summary aggregate) renders through the PNG sink — the reference's
+    05_SHAP compute->plot->savefig path, engine-side."""
+    from big_data_backblaze_hard_drive_failure_spark.plans import QUERIES
+
+    df = QUERIES["mlops_feature_importance"](spark, sf_smoke)
+    out = str(tmp_path / "summary.png")
+    pairs = write_feature_importance_png(df, out)
+    assert {p[0] for p in pairs} == {"contrib_value", "contrib_is_error"}
+    assert all(v >= 0 for _, v in pairs)
+    with open(out, "rb") as f:
+        w, h, _ = decode_png(f.read())
+    assert (w, h) == (480, 320)
+
+
 def test_show_string_matches_spark_show(spark):
     df = spark.createDataFrame(
         [
