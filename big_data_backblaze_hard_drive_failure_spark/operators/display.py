@@ -42,9 +42,44 @@ def _cell(v: object, truncate: int) -> str:
         ) + "}"
     else:
         s = str(v)
-    if 0 < truncate < len(s):
-        return s[:truncate] if truncate < 4 else s[: truncate - 3] + "..."
+    u16len = sum(2 if ord(c) > 0xFFFF else 1 for c in s)
+    if 0 < truncate < u16len:
+        return (
+            _u16_truncate(s, truncate)
+            if truncate < 4
+            else _u16_truncate(s, truncate - 3) + "..."
+        )
     return s
+
+
+# Spark's Dataset.showString measures cells in DISPLAY width: East
+# Asian full-width characters count as 2 columns (the fullWidthRegex
+# ranges in Dataset.scala, verbatim)
+_FULL_WIDTH_RANGES = (
+    (0x1100, 0x115F), (0x2E80, 0xA4CF), (0xAC00, 0xD7A3),
+    (0xF900, 0xFAFF), (0xFE10, 0xFE19), (0xFE30, 0xFE6F),
+    (0xFF00, 0xFF60), (0xFFE0, 0xFFE6),
+)
+
+
+def _display_width(s: str) -> int:
+    # JVM String.length counts UTF-16 code units (astral chars = 2);
+    # the full-width ranges are all BMP, so astral chars never also
+    # match the regex — width = UTF-16 length + full-width count
+    return sum(2 if ord(ch) > 0xFFFF else 1 for ch in s) + sum(
+        1
+        for ch in s
+        if any(lo <= ord(ch) <= hi for lo, hi in _FULL_WIDTH_RANGES)
+    )
+
+
+def _u16_truncate(s: str, units: int) -> str:
+    """``String.substring(0, units)`` in UTF-16 code units — including
+    the JVM artifact of splitting a surrogate pair (the leftover high
+    surrogate survives via surrogatepass, exactly as showString emits
+    it)."""
+    b = s.encode("utf-16-be", "surrogatepass")
+    return b[: units * 2].decode("utf-16-be", "surrogatepass")
 
 
 def show_string(df: DataFrame, n: int = 20, truncate: int = 20) -> str:
@@ -55,19 +90,19 @@ def show_string(df: DataFrame, n: int = 20, truncate: int = 20) -> str:
     rows = rows[:n]
     header = list(df.columns)
     cells = [[_cell(v, truncate) for v in row] for row in rows]
-    # Spark's showString enforces a minimum column width of 3
+    # column width = max DISPLAY width, Spark's minimum of 3
     widths = [
-        max(3, len(h), *[len(r[i]) for r in cells]) if cells
-        else max(3, len(h))
+        max(3, _display_width(h), *[_display_width(r[i]) for r in cells])
+        if cells else max(3, _display_width(h))
         for i, h in enumerate(header)
     ]
     sep = "+" + "+".join("-" * w for w in widths) + "+"
 
     def fmt(vals: "list[str]") -> str:
-        pad = (
-            (lambda s, w: s.rjust(w)) if truncate > 0
-            else (lambda s, w: s.ljust(w))
-        )
+        def pad(s: str, w: int) -> str:
+            fill = " " * (w - _display_width(s))
+            return (fill + s) if truncate > 0 else (s + fill)
+
         return "|" + "|".join(pad(v, w) for v, w in zip(vals, widths)) + "|"
 
     lines = [sep, fmt(header), sep, *(fmt(r) for r in cells), sep]

@@ -321,3 +321,77 @@ def test_snapshot_txn_replay_property(spark, tmp_path_factory,
     assert read_snapshot_version(tdir) == n_writes
     for v in range(1, n_writes + 1):
         assert read_snapshot(spark, tdir, version=v).count() == 5
+
+
+# --------------------------------------------------------------------
+# Round-6 reporting boundary: PNG codec identity and show_string parity
+# on generated inputs.
+# --------------------------------------------------------------------
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_png_encode_decode_identity(w, h, seed):
+    """encode_png -> decode_png is the identity on arbitrary rasters
+    (every byte value, not just chart colors)."""
+    from big_data_backblaze_hard_drive_failure_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    # xorshift-ish deterministic byte stream; hits all filter branches
+    # on decode because encode always writes filter 0
+    x = seed or 1
+    rgb = bytearray()
+    for _ in range(w * h * 3):
+        x ^= (x << 13) & 0xFFFFFFFF
+        x ^= x >> 17
+        x ^= (x << 5) & 0xFFFFFFFF
+        rgb.append(x & 0xFF)
+    got = decode_png(encode_png(w, h, bytes(rgb)))
+    assert got == (w, h, bytes(rgb))
+
+
+_cell_values = st.one_of(
+    st.none(),
+    st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs", "Cc", "Cn")
+        ),
+        max_size=30,
+    ),
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(_cell_values, _cell_values), min_size=0, max_size=6
+    ),
+    n=st.integers(min_value=1, max_value=5),
+    truncate=st.sampled_from([0, 3, 5, 20]),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_show_string_property_vs_spark(spark, rows, n, truncate):
+    """show_string == Dataset.showString on generated frames: nulls,
+    negative ints, empty/unicode/long strings, every truncate regime.
+    Rows-as-strings because a mixed int/str column can't infer; ints
+    are rendered via CAST so both engines print the same text."""
+    from big_data_backblaze_hard_drive_failure_spark.operators.display import (
+        show_string,
+    )
+
+    data = [
+        (str(a) if a is not None else None, str(b) if b is not None else None)
+        for a, b in rows
+    ]
+    df = spark.createDataFrame(data, "a string, b string")
+    want = df._jdf.showString(n, truncate, False)
+    got = show_string(df, n=n, truncate=truncate)
+    assert got.rstrip("\n") == want.rstrip("\n")
