@@ -395,3 +395,61 @@ def test_show_string_property_vs_spark(spark, rows, n, truncate):
     want = df._jdf.showString(n, truncate, False)
     got = show_string(df, n=n, truncate=truncate)
     assert got.rstrip("\n") == want.rstrip("\n")
+
+
+@given(n=st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=200, deadline=None)
+def test_avro_zigzag_codec_identity(n):
+    """zigzag varint encode -> decode is the identity over the full
+    Avro long range (the codec every OCF field rides on)."""
+    import io as _io
+
+    from big_data_backblaze_hard_drive_failure_spark.sources.avro_py import (
+        _zigzag_decode,
+        _zigzag_encode,
+    )
+
+    assert _zigzag_decode(_io.BytesIO(_zigzag_encode(n))) == n
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            st.one_of(st.none(), st.text(max_size=20)),
+            st.one_of(
+                st.none(),
+                st.floats(allow_nan=False, allow_infinity=False, width=64),
+            ),
+        ),
+        min_size=0,
+        max_size=50,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_avro_ocf_roundtrip_property(rows, tmp_path_factory):
+    """write_ocf -> read_ocf is the identity on generated rows —
+    pure-Python path, no Spark session, so the codec (not the Data
+    Source plumbing) is what's under test."""
+    import os
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from big_data_backblaze_hard_drive_failure_spark.sources.avro_py import (
+        read_ocf,
+        write_ocf,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType(), False),
+            T.StructField("s", T.StringType(), True),
+            T.StructField("d", T.DoubleType(), True),
+        ]
+    )
+    path = os.path.join(
+        str(tmp_path_factory.mktemp("avro_prop")), f"{uuid.uuid4().hex}.avro"
+    )
+    write_ocf(path, schema, rows, rows_per_block=7)
+    assert list(read_ocf(path, schema)) == [tuple(r) for r in rows]
