@@ -7,54 +7,35 @@ a built-in bound — Spark executes ``take(n + 1)``, so only n+1 rows
 ever cross to the driver regardless of table size; that bound is the
 whole reason it is safe at 100 TB while ``collect()`` is not.
 
-``show_string`` reproduces Spark's grid exactly (same truncation rule,
-same alignment rule, same footer) but RETURNS the string instead of
-printing, which is what an engine embedded in a pipeline needs: the
-caller decides whether it goes to a log, a notebook, or a test
-assertion.  Behavior matched to the public ``Dataset.showString``
-contract: cells longer than ``truncate`` keep the first
-``truncate - 3`` chars + ``"..."`` (or a bare prefix when truncate <
-4); cells are RIGHT-aligned when truncating, LEFT-aligned when
-``truncate=0``; ``None`` renders as ``NULL``.
+``show_string`` reproduces ``Dataset.showString`` byte-for-byte but
+RETURNS the string instead of printing, which is what an engine
+embedded in a pipeline needs: the caller decides whether it goes to a
+log, a notebook, or a test assertion.  Faithfulness comes from doing
+what Spark's ``getRows`` does rather than re-implementing value
+rendering: every non-binary column is CAST TO STRING in the JVM (so
+timestamps keep microseconds, doubles print Java-style ``1.0E-7``,
+structs print ``{1, x}`` — Catalyst's cast is the single source of
+truth), then the driver-side steps are mechanical: NULL for nulls,
+``[AA BB]`` hex for binary, meta-character escaping (``\\n`` etc.),
+UTF-16-unit truncation (first ``truncate - 3`` units + ``"..."``, no
+ellipsis under 4), display-width padding (full-width East Asian chars
+count 2), right-aligned when truncating, left-aligned at
+``truncate=0``, minimum column width 3, top-N footer.
 """
 
 from __future__ import annotations
 
-import datetime as dt
-
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 
+# SparkStringUtils.escapeMetaCharacters, verbatim
+_META = {
+    "\n": "\\n", "\r": "\\r", "\t": "\\t", "\f": "\\f",
+    "\b": "\\b", "\x0b": "\\v", "\x07": "\\a",
+}
 
-def _cell(v: object, truncate: int) -> str:
-    if v is None:
-        s = "NULL"
-    elif isinstance(v, (bytes, bytearray)):
-        s = "[" + " ".join(f"{b:02X}" for b in v) + "]"
-    elif isinstance(v, bool):
-        s = "true" if v else "false"
-    elif isinstance(v, dt.datetime):
-        s = v.strftime("%Y-%m-%d %H:%M:%S")
-    elif isinstance(v, list):
-        s = "[" + ", ".join(_cell(x, 0) for x in v) + "]"
-    elif isinstance(v, dict):
-        s = "{" + ", ".join(
-            f"{_cell(k, 0)} -> {_cell(x, 0)}" for k, x in v.items()
-        ) + "}"
-    else:
-        s = str(v)
-    u16len = sum(2 if ord(c) > 0xFFFF else 1 for c in s)
-    if 0 < truncate < u16len:
-        return (
-            _u16_truncate(s, truncate)
-            if truncate < 4
-            else _u16_truncate(s, truncate - 3) + "..."
-        )
-    return s
-
-
-# Spark's Dataset.showString measures cells in DISPLAY width: East
-# Asian full-width characters count as 2 columns (the fullWidthRegex
-# ranges in Dataset.scala, verbatim)
+# Dataset.scala's fullWidthRegex ranges, verbatim: these count as 2
+# display columns (all BMP, so they never overlap the astral rule)
 _FULL_WIDTH_RANGES = (
     (0x1100, 0x115F), (0x2E80, 0xA4CF), (0xAC00, 0xD7A3),
     (0xF900, 0xFAFF), (0xFE10, 0xFE19), (0xFE30, 0xFE6F),
@@ -62,11 +43,17 @@ _FULL_WIDTH_RANGES = (
 )
 
 
+def _escape_meta(s: str) -> str:
+    return "".join(_META.get(ch, ch) for ch in s)
+
+
+def _u16_len(s: str) -> int:
+    """JVM ``String.length``: UTF-16 code units (astral chars = 2)."""
+    return sum(2 if ord(ch) > 0xFFFF else 1 for ch in s)
+
+
 def _display_width(s: str) -> int:
-    # JVM String.length counts UTF-16 code units (astral chars = 2);
-    # the full-width ranges are all BMP, so astral chars never also
-    # match the regex — width = UTF-16 length + full-width count
-    return sum(2 if ord(ch) > 0xFFFF else 1 for ch in s) + sum(
+    return _u16_len(s) + sum(
         1
         for ch in s
         if any(lo <= ord(ch) <= hi for lo, hi in _FULL_WIDTH_RANGES)
@@ -82,13 +69,47 @@ def _u16_truncate(s: str, units: int) -> str:
     return b[: units * 2].decode("utf-16-be", "surrogatepass")
 
 
+def _cell(v: object, truncate: int) -> str:
+    if v is None:
+        s = "NULL"
+    elif isinstance(v, (bytes, bytearray)):
+        s = "[" + " ".join(f"{b:02X}" for b in v) + "]"
+    else:
+        # always a string here: the JVM cast already rendered the value
+        s = _escape_meta(str(v))
+    if 0 < truncate < _u16_len(s):
+        return (
+            _u16_truncate(s, truncate)
+            if truncate < 4
+            else _u16_truncate(s, truncate - 3) + "..."
+        )
+    return s
+
+
 def show_string(df: DataFrame, n: int = 20, truncate: int = 20) -> str:
     """Spark-``show``-shaped grid over ``take(n + 1)`` rows (the +1
     detects whether the footer is needed without a count job)."""
-    rows = df.take(n + 1)
+    # getRows' move: cast everything except binary to string IN THE
+    # JVM, so Catalyst owns value rendering. The positional toDF
+    # rename first makes duplicate/dotted column names unambiguous
+    # (df[i] and F.col both resolve BY NAME).
+    from pyspark.sql import functions as F
+
+    renamed = df.toDF(*[f"c{i}" for i in range(len(df.columns))])
+    projected = renamed.select(
+        [
+            F.col(f"c{i}")
+            if isinstance(f.dataType, T.BinaryType)
+            else F.col(f"c{i}").cast("string")
+            for i, f in enumerate(df.schema.fields)
+        ]
+    )
+    rows = projected.take(n + 1)
     more = len(rows) > n
     rows = rows[:n]
-    header = list(df.columns)
+    # headers are escaped but never truncated (getRows truncates data
+    # cells only)
+    header = [_escape_meta(c) for c in df.columns]
     cells = [[_cell(v, truncate) for v in row] for row in rows]
     # column width = max DISPLAY width, Spark's minimum of 3
     widths = [

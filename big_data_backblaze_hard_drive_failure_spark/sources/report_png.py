@@ -85,7 +85,8 @@ def render_bar_chart(
 ) -> bytes:
     """Horizontal bar chart (the shape of a SHAP summary's mean-|v|
     panel): one left-anchored bar per value, lengths proportional to
-    value / max(values), 2px gaps, y-axis line.  Returns PNG bytes."""
+    value / max(values), a 1px gap between bars, y-axis line.
+    Returns PNG bytes."""
     if not values:
         raise ValueError("no bars to draw")
     if any(v < 0 for v in values):
@@ -100,7 +101,7 @@ def render_bar_chart(
         raise ValueError(f"{n} bars need height >= {2 * _MARGIN + 3 * n}")
     for i, v in enumerate(values):
         y0 = _MARGIN + i * slot
-        y1 = y0 + slot - 2  # 2px gap between bars
+        y1 = y0 + slot - 2  # rect is y1-inclusive: slot-1 rows, 1px gap
         bar_len = int(round(plot_w * (v / vmax)))
         if bar_len > 0:
             r.rect(x_axis + 1, y0, x_axis + bar_len, y1, _BAR)

@@ -359,7 +359,10 @@ _cell_values = st.one_of(
     st.integers(min_value=-(2**31), max_value=2**31 - 1),
     st.text(
         alphabet=st.characters(
-            codec="utf-8", exclude_categories=("Cs", "Cc", "Cn")
+            # Cc INCLUDED on purpose: showString escapes \n \r \t \f
+            # \b \v \a — the fuzz must cover the escaping path.
+            # Surrogates (Cs) stay excluded: not valid in transit.
+            codec="utf-8", exclude_categories=("Cs", "Cn")
         ),
         max_size=30,
     ),

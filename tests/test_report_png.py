@@ -150,3 +150,51 @@ def test_show_string_no_truncate_left_aligns(spark):
     want = df._jdf.showString(20, 0, False)
     got = show_string(df, n=20, truncate=0)
     assert got.rstrip("\n") == want.rstrip("\n")
+
+
+def test_show_string_typed_rendering_matches_spark(spark):
+    """The cells where naive Python str() diverges from Catalyst's
+    cast-to-string: meta characters (showString escapes \\n etc.),
+    sub-second timestamps, Java-style double scientific notation and
+    Infinity, structs, arrays, and binary hex. Each pinned
+    byte-for-byte against Dataset.showString."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (
+                "a\nb\tc",
+                dt.datetime(2024, 1, 1, 0, 0, 0, 123456),
+                1e-7,
+                (1, "x"),
+                [1, 2],
+                bytearray(b"\x00\xff"),
+            ),
+            (
+                "plain",
+                dt.datetime(2024, 6, 1, 12, 30),
+                float("inf"),
+                (2, "y\nz"),
+                [],
+                bytearray(b""),
+            ),
+        ],
+        "s string, ts timestamp, d double, "
+        "st struct<a:int,b:string>, arr array<int>, bin binary",
+    )
+    for truncate in (0, 10, 20):
+        want = df._jdf.showString(5, truncate, False)
+        got = show_string(df, n=5, truncate=truncate)
+        assert got.rstrip("\n") == want.rstrip("\n"), f"truncate={truncate}"
+
+
+def test_show_string_duplicate_and_dotted_columns(spark):
+    """Positional projection keeps duplicate and dotted column names
+    working — the case where F.col(name) would be ambiguous."""
+    base = spark.createDataFrame([(1, 2)], "a int, b int")
+    df = base.select(
+        base["a"].alias("x.y"), base["b"].alias("n"), base["a"].alias("n")
+    )
+    want = df._jdf.showString(5, 20, False)
+    got = show_string(df, n=5, truncate=20)
+    assert got.rstrip("\n") == want.rstrip("\n")
