@@ -265,10 +265,10 @@ def io_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def io_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.avro_py import register_avro_source
 
-    try:
-        register_avro_source(spark)
-    except Exception:
-        pass  # already registered in this session
+    # re-registration is idempotent (latest registration wins), so no
+    # guard: a genuine registration failure should surface HERE, not
+    # as a later DATA_SOURCE_NOT_FOUND
+    register_avro_source(spark)
     path = scratch_dir("avro_roundtrip")
     (
         _daily(spark, sf_dir)

@@ -2031,7 +2031,7 @@ def mlops_ab_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mlops_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.prefix import global_prefix_sum
+    from ..operators.prefix import global_prefix_sums
 
     ev = load(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
@@ -2068,12 +2068,9 @@ def mlops_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("all_a").alias("tot_a"), F.sum("all_b").alias("tot_b")
     )
     r = (
-        global_prefix_sum(
-            global_prefix_sum(g, ["t"], "all_a", "cb_a", exclusive=True),
-            ["t"],
-            "all_b",
-            "cb_b",
-            exclusive=True,
+        # both running totals share ONE range exchange + offset table
+        global_prefix_sums(
+            g, ["t"], {"cb_a": "all_a", "cb_b": "all_b"}, exclusive=True
         )
         .crossJoin(F.broadcast(tot))
         .select(

@@ -32,7 +32,6 @@ without materializing the whole file.
 
 from __future__ import annotations
 
-import dataclasses as _dc
 import io
 import json
 import struct
@@ -41,10 +40,10 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    DataSourceWriter,
     InputPartition,
-    WriterCommitMessage,
 )
+
+from .pyds import FileCommitMessage, TwoPhaseDirectoryWriter
 
 _MAGIC = b"Obj\x01"
 
@@ -110,8 +109,12 @@ def _avro_type(dt: T.DataType) -> object:
         return "bytes"
     if isinstance(dt, T.DateType):
         return {"type": "int", "logicalType": "date"}
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+    if isinstance(dt, T.TimestampType):
+        # instant semantics: micros since the UTC epoch
         return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.TimestampNTZType):
+        # wall-clock semantics, no zone — the spec's local-timestamp
+        return {"type": "long", "logicalType": "local-timestamp-micros"}
     raise ValueError(f"avro_py does not map Spark type {dt}")
 
 
@@ -141,7 +144,23 @@ def _encode_value(dt: T.DataType, v) -> bytes:
         return _enc_bytes(bytes(v))
     if isinstance(dt, T.DateType):
         return _zigzag_encode(v.toordinal() - _EPOCH_ORDINAL)
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+    if isinstance(dt, T.TimestampType):
+        # PySpark hands the writer a NAIVE datetime in the PROCESS
+        # local zone (TimestampType.fromInternal); mktime inverts that
+        # exactly (it is what toInternal uses), so the file stores TRUE
+        # epoch micros and a spec-compliant external reader (fastavro,
+        # spark-avro) sees the same instant. Aware datetimes convert
+        # via their own offset.
+        import calendar
+        import time
+
+        if v.tzinfo is not None:
+            secs = calendar.timegm(v.utctimetuple())
+        else:
+            secs = int(time.mktime(v.timetuple()))
+        return _zigzag_encode(secs * 1_000_000 + v.microsecond)
+    if isinstance(dt, T.TimestampNTZType):
+        # no-zone wall clock: the epoch arithmetic IS the value
         import calendar
 
         micros = (
@@ -168,7 +187,16 @@ def _decode_value(dt: T.DataType, buf):
         return datetime.date.fromordinal(
             _zigzag_decode(buf) + _EPOCH_ORDINAL
         )
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+    if isinstance(dt, T.TimestampType):
+        import datetime
+
+        micros = _zigzag_decode(buf)
+        # local naive datetime, exactly what TimestampType.toInternal
+        # expects back (integer split keeps full micro precision)
+        return datetime.datetime.fromtimestamp(
+            micros // 1_000_000
+        ) + datetime.timedelta(microseconds=micros % 1_000_000)
+    if isinstance(dt, T.TimestampNTZType):
         import datetime
 
         micros = _zigzag_decode(buf)
@@ -257,14 +285,14 @@ def read_ocf(path: str, schema: T.StructType):
         codec = meta.get("avro.codec", b"null").decode("utf-8")
         if codec != "null":
             raise ValueError(f"unsupported avro codec {codec}")
-        file_fields = [
-            fld["name"]
-            for fld in json.loads(meta["avro.schema"])["fields"]
-        ]
-        want = [f2.name for f2 in schema.fields]
+        # full structural check — NAME AND TYPE. A name-only check
+        # would let a mistyped read schema desync the varint stream
+        # and yield garbage; the embedded writer schema is the truth.
+        file_fields = json.loads(meta["avro.schema"])["fields"]
+        want = json.loads(_avro_schema_json(schema))["fields"]
         if file_fields != want:
             raise ValueError(
-                f"avro file fields {file_fields} != read schema {want}"
+                f"avro file schema {file_fields} != read schema {want}"
             )
         sync = f.read(16)
         fields = schema.fields
@@ -290,10 +318,9 @@ def read_ocf(path: str, schema: T.StructType):
 # -- Spark DataSource plumbing ----------------------------------------
 
 
-@_dc.dataclass
-class AvroCommitMessage(WriterCommitMessage):
-    temp_path: str
-    n_rows: int
+# the commit protocol (and its message shape) is the shared
+# TwoPhaseDirectoryWriter from pyds.py
+AvroCommitMessage = FileCommitMessage
 
 
 class AvroDataSource(DataSource):
@@ -313,44 +340,20 @@ class AvroDataSource(DataSource):
         return AvroReader(self.options, schema)
 
 
-class AvroWriter(DataSourceWriter):
+class AvroWriter(TwoPhaseDirectoryWriter):
+    """Two-phase commit shared with the JSONL sink
+    (``sources/pyds.py:TwoPhaseDirectoryWriter``); only the
+    serialization differs."""
+
+    suffix = ".avro"
+    format_name = "avro_py"
+
     def __init__(self, options, schema, overwrite: bool):
-        self.path = options.get("path")
-        if not self.path:
-            raise ValueError("avro_py requires a path")
+        super().__init__(options, overwrite)
         self.schema = schema
-        self.overwrite = overwrite
 
-    def write(self, iterator) -> AvroCommitMessage:
-        import os
-        import uuid
-
-        os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f"_temp-{uuid.uuid4().hex}.avro")
-        n = write_ocf(tmp, self.schema, iterator)
-        return AvroCommitMessage(temp_path=tmp, n_rows=n)
-
-    def commit(self, messages) -> None:
-        import os
-        import uuid
-
-        if self.overwrite:
-            for name in os.listdir(self.path):
-                if name.startswith("part-"):
-                    os.remove(os.path.join(self.path, name))
-        commit_id = uuid.uuid4().hex[:12]
-        for i, m in enumerate(messages):
-            final = os.path.join(
-                self.path, f"part-{commit_id}-{i:05d}.avro"
-            )
-            os.replace(m.temp_path, final)
-
-    def abort(self, messages) -> None:
-        import os
-
-        for m in messages:
-            if m is not None and os.path.exists(m.temp_path):
-                os.remove(m.temp_path)
+    def _write_temp(self, tmp: str, iterator) -> int:
+        return write_ocf(tmp, self.schema, iterator)
 
 
 class AvroReader(DataSourceReader):

@@ -144,9 +144,76 @@ from pyspark.sql.datasource import (  # noqa: E402
 
 
 @_dc.dataclass
-class JsonlCommitMessage(WriterCommitMessage):
+class FileCommitMessage(WriterCommitMessage):
     temp_path: str
     n_rows: int
+
+
+# the JSONL writer predates the shared name; tests construct it
+JsonlCommitMessage = FileCommitMessage
+
+
+class TwoPhaseDirectoryWriter(DataSourceWriter):
+    """The two-phase-commit protocol, format-agnostic: subclasses set
+    ``suffix`` and implement ``_write_temp(tmp_path, iterator) ->
+    n_rows`` (executor side); ``_after_commit(total_rows)`` is an
+    optional driver-side hook after all renames land. Keeping ONE copy
+    of the protocol means a crash-window fix never has to be made
+    twice (this class serves both the JSONL and the Avro OCF sinks)."""
+
+    suffix = ".bin"
+    format_name = "two-phase writer"
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError(f"{self.format_name} requires a path")
+        self.overwrite = overwrite
+
+    def _write_temp(self, tmp: str, iterator) -> int:
+        raise NotImplementedError
+
+    def _after_commit(self, total_rows: int) -> None:
+        pass
+
+    def write(self, iterator) -> FileCommitMessage:
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(
+            self.path, f"_temp-{uuid.uuid4().hex}{self.suffix}"
+        )
+        n = self._write_temp(tmp, iterator)
+        return FileCommitMessage(temp_path=tmp, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import os
+        import uuid
+
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.startswith("part-"):
+                    os.remove(os.path.join(self.path, name))
+        # part names carry a commit-scoped uuid: append-mode commits
+        # must never collide with (and silently replace) the part
+        # files of an earlier commit
+        commit_id = uuid.uuid4().hex[:12]
+        total = 0
+        for i, m in enumerate(messages):
+            final = os.path.join(
+                self.path, f"part-{commit_id}-{i:05d}{self.suffix}"
+            )
+            os.replace(m.temp_path, final)
+            total += m.n_rows
+        self._after_commit(total)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.temp_path):
+                os.remove(m.temp_path)
 
 
 class JsonlDataSource(DataSource):
@@ -168,47 +235,24 @@ class JsonlDataSource(DataSource):
         return JsonlReader(self.options, schema)
 
 
-class JsonlWriter(DataSourceWriter):
-    def __init__(self, options, overwrite: bool):
-        self.path = options.get("path")
-        if not self.path:
-            raise ValueError("jsonl_dir requires a path")
-        self.overwrite = overwrite
+class JsonlWriter(TwoPhaseDirectoryWriter):
+    suffix = ".jsonl"
+    format_name = "jsonl_dir"
 
-    def write(self, iterator) -> JsonlCommitMessage:
+    def _write_temp(self, tmp: str, iterator) -> int:
         import json
-        import os
-        import uuid
 
-        os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f"_temp-{uuid.uuid4().hex}.jsonl")
         n = 0
         with open(tmp, "w") as f:
             for row in iterator:
                 f.write(json.dumps(row.asDict()) + "\n")
                 n += 1
-        return JsonlCommitMessage(temp_path=tmp, n_rows=n)
+        return n
 
-    def commit(self, messages) -> None:
+    def _after_commit(self, total_rows: int) -> None:
         import json
         import os
-        import uuid
 
-        if self.overwrite:
-            for name in os.listdir(self.path):
-                if name.startswith("part-"):
-                    os.remove(os.path.join(self.path, name))
-        # part names carry a commit-scoped uuid: append-mode commits
-        # must never collide with (and silently replace) the part
-        # files of an earlier commit
-        commit_id = uuid.uuid4().hex[:12]
-        total = 0
-        for i, m in enumerate(messages):
-            final = os.path.join(
-                self.path, f"part-{commit_id}-{i:05d}.jsonl"
-            )
-            os.replace(m.temp_path, final)
-            total += m.n_rows
         # _SUCCESS reflects the DIRECTORY state (all live parts), not
         # just this commit, so appends keep it truthful
         n_parts = sum(
@@ -220,14 +264,7 @@ class JsonlWriter(DataSourceWriter):
             with open(success) as f:
                 prev = json.load(f).get("n_rows", 0)
         with open(success, "w") as f:
-            json.dump({"n_rows": prev + total, "n_files": n_parts}, f)
-
-    def abort(self, messages) -> None:
-        import os
-
-        for m in messages:
-            if m is not None and os.path.exists(m.temp_path):
-                os.remove(m.temp_path)
+            json.dump({"n_rows": prev + total_rows, "n_files": n_parts}, f)
 
 
 class JsonlReader(DataSourceReader):

@@ -44,20 +44,42 @@ def foreach_batch_parquet_dedup(target_dir: str, key: str):
     return _write
 
 
-def foreach_batch_snapshot(table_dir: str, app_id: str = "stream"):
+def foreach_batch_snapshot(table_dir: str, app_id: str):
     """Returns the foreachBatch callback committing each micro-batch
     as a new version of the snapshot table, exactly once: the
     ``batch_id`` is recorded in the table manifest as
     (``app_id``, txn_version), so a restarted query replaying an
     already-committed batch is a no-op instead of a duplicate version
-    (the Delta txnAppId/txnVersion pattern)."""
+    (the Delta txnAppId/txnVersion pattern).
+
+    ``app_id`` is REQUIRED and must be (a) stable across restarts of
+    the same logical stream — it is the replay-dedup key — and (b)
+    unique per logical stream writing to this table: two pipelines
+    sharing an app_id would dedup against EACH OTHER's batch ids and
+    silently drop data. Same rule as Delta's txnAppId, including the
+    corollary: if a stream's checkpoint is deleted (its batch ids
+    restart at 0), a FRESH app_id must be chosen, because a skipped
+    replay is indistinguishable from a collision at this layer — a
+    replayed batch 0 is perfectly normal when a query crashed between
+    the batch-0 commit and the checkpoint advance. Skips are logged to
+    stderr so a misconfigured pipeline is at least visible in the
+    query logs."""
+    import sys
+
     from ..sources.sinks import write_snapshot
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        write_snapshot(
+        version = write_snapshot(
             batch_df, table_dir, txn_app_id=app_id, txn_version=batch_id
         )
+        if version == 0:
+            print(
+                f"snapshot sink {table_dir!r}: replayed batch "
+                f"{batch_id} for app_id {app_id!r} skipped "
+                "(already committed)",
+                file=sys.stderr,
+            )
 
     return _commit

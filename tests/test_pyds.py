@@ -283,3 +283,95 @@ def test_avro_writer_overwrite_and_abort_semantics(spark, tmp_path):
     back = spark.read.format("avro_py").schema("id LONG").load(path)
     assert back.count() == 3
     assert not glob.glob(f"{path}/_temp-*")
+
+
+def test_avro_writer_abort_removes_temps(tmp_path):
+    """abort() after successful task writes: every temp gone (None
+    entries for unfinished tasks tolerated), nothing committed, and a
+    subsequent reader sees zero part files."""
+    from pyspark.sql import types as T
+
+    from big_data_backblaze_hard_drive_failure_spark.sources.avro_py import (
+        AvroWriter,
+    )
+
+    schema = T.StructType([T.StructField("id", T.LongType(), True)])
+    w = AvroWriter({"path": str(tmp_path / "t")}, schema, overwrite=True)
+    m1 = w.write(iter([(1,), (2,)]))
+    m2 = w.write(iter([(3,)]))
+    import os
+
+    assert os.path.exists(m1.temp_path) and os.path.exists(m2.temp_path)
+    w.abort([m1, None, m2])
+    left = os.listdir(str(tmp_path / "t"))
+    assert left == []
+    # abort is idempotent (driver may retry it)
+    w.abort([m1, None, m2])
+
+
+def test_avro_timestamp_stores_true_epoch_micros(tmp_path):
+    """The file must hold TRUE epoch micros for TimestampType (what
+    fastavro/spark-avro would read), not the local wall clock
+    reinterpreted as UTC: encode inverts PySpark's fromInternal
+    (process-local mktime), so epoch micros are recovered exactly.
+    TimestampNTZ stays wall-clock and is tagged with the
+    local-timestamp-micros logical type per the spec."""
+    import datetime
+    import io as _io
+    import json as _json
+    import time
+
+    from pyspark.sql import types as T
+
+    from big_data_backblaze_hard_drive_failure_spark.sources.avro_py import (
+        _avro_type,
+        _decode_value,
+        _encode_value,
+        _zigzag_decode,
+    )
+
+    v = datetime.datetime(2026, 8, 14, 12, 0, 0, 123456)
+    enc = _encode_value(T.TimestampType(), v)
+    micros = _zigzag_decode(_io.BytesIO(enc))
+    want = int(time.mktime(v.timetuple())) * 1_000_000 + v.microsecond
+    assert micros == want
+    # decode returns the identical naive local datetime
+    assert _decode_value(T.TimestampType(), _io.BytesIO(enc)) == v
+    # aware datetimes convert through their own offset
+    aware = v.replace(tzinfo=datetime.timezone.utc)
+    enc_aware = _encode_value(T.TimestampType(), aware)
+    assert _zigzag_decode(_io.BytesIO(enc_aware)) == (
+        int(aware.timestamp()) * 1_000_000 + aware.microsecond
+    )
+    # NTZ: wall-clock micros, spec's local-timestamp logical type
+    enc_ntz = _encode_value(T.TimestampNTZType(), v)
+    ntz_micros = _zigzag_decode(_io.BytesIO(enc_ntz))
+    epoch = datetime.datetime(1970, 1, 1)
+    assert ntz_micros == int((v - epoch).total_seconds() * 1_000_000)
+    assert _json.dumps(_avro_type(T.TimestampNTZType())) == _json.dumps(
+        {"type": "long", "logicalType": "local-timestamp-micros"}
+    )
+    assert _json.dumps(_avro_type(T.TimestampType())) == _json.dumps(
+        {"type": "long", "logicalType": "timestamp-micros"}
+    )
+
+
+def test_avro_read_schema_type_mismatch_raises(tmp_path):
+    """A read schema with matching names but a wrong TYPE must fail
+    loudly (the embedded writer schema is the truth) instead of
+    desyncing the varint stream into garbage rows."""
+    import pytest as _pytest
+
+    from pyspark.sql import types as T
+
+    from big_data_backblaze_hard_drive_failure_spark.sources.avro_py import (
+        read_ocf,
+        write_ocf,
+    )
+
+    schema = T.StructType([T.StructField("id", T.LongType(), True)])
+    path = str(tmp_path / "f.avro")
+    write_ocf(path, schema, [(1,), (2,)])
+    bad = T.StructType([T.StructField("id", T.DoubleType(), True)])
+    with _pytest.raises(ValueError, match="read schema"):
+        list(read_ocf(path, bad))
