@@ -88,6 +88,21 @@ def global_prefix_sums(
     count and a running positive count, must avoid)."""
     if not sums:
         raise ValueError("sums must map at least one out_col: value_col")
+    # CORRECTNESS COUPLING, do not "simplify": the data branch and the
+    # K-row offsets branch below both contain this range exchange, and
+    # the algorithm is only correct when both see the SAME partition
+    # boundaries. Spark's range partitioner samples boundaries with a
+    # seed derived from the exchange RDD's id, so two independently
+    # executed exchanges may split ranges differently — offsets would
+    # then be added against the wrong slices. The number-less
+    # REPARTITION_BY_COL form canonicalizes both branches identically
+    # and AQE's stage cache executes the exchange ONCE (ReusedExchange
+    # — pinned by tests/test_operators.py's shares-one-pass plan
+    # assertions); forcing an explicit count here (REPARTITION_BY_NUM)
+    # was observed to BREAK that reuse in real query contexts and
+    # silently corrupt rank statistics (caught by the oracle-parity
+    # gate). Callers passing n_partitions keep the explicit form —
+    # their tests pin reuse explicitly.
     ranged = (
         df.repartitionByRange(n_partitions, *order_by)
         if n_partitions

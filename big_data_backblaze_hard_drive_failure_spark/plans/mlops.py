@@ -398,8 +398,11 @@ def mlops_feature_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the |cents*n - sum_cents| term is an exact BIGINT per row, its sum
 # is exact, and one identical final division per engine yields
 # bit-identical doubles (the package's standard exact-cents move, one
-# level deeper). Sums stay < 2^53 through sf10; Spark SUM(BIGINT)
-# and DuckDB CAST(SUM AS BIGINT) agree.
+# level deeper). Spark SUM(BIGINT) and DuckDB CAST(SUM AS BIGINT)
+# agree on the exact integer; past ~2^53 (very large alerted sets)
+# the int->double conversion rounds, but BOTH engines round the SAME
+# integer the same way, so cross-engine parity holds at any scale —
+# only the (already sub-ulp) statistical precision degrades.
 # --------------------------------------------------------------------
 @query(
     "mlops_feature_importance",

@@ -888,3 +888,22 @@ def test_pagerank_mass_conservation_and_km_monotone(spark, sf_smoke):
     assert all(a >= b for a, b in zip(surv, surv[1:]))
     assert all(a > b for a, b in zip(risk, risk[1:]))
     assert all(r.n_fail <= r.n_risk for r in km)
+
+
+def test_logrank_shares_one_range_exchange(spark, sf_smoke):
+    """mlops_logrank_test's two cumulative-at-risk columns must ride
+    ONE shared prefix-sum pass. A single pass puts exactly 2
+    RepartitionByExpression nodes in the optimized logical plan (the
+    one exchange, appearing in both the data branch and the K-row
+    offsets branch — runtime stage reuse dedups those); two CHAINED
+    single-column passes explode to 6 because the second pass
+    re-partitions the first's joined output, breaking reuse (measured:
+    6 live exchanges, 0 reused)."""
+    from big_data_backblaze_hard_drive_failure_spark.plans import QUERIES
+
+    df = QUERIES["mlops_logrank_test"](spark, sf_smoke)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    n_nodes = sum(
+        "RepartitionByExpression" in line for line in opt.split("\n")
+    )
+    assert n_nodes == 2, opt

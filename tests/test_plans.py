@@ -263,6 +263,7 @@ def test_join_strategy_hints_control_physical_operator(spark):
         "mlops_mann_whitney_u",
         "mlops_kaplan_meier",
         "mlops_pr_curve",
+        "mlops_logrank_test",
     ],
 )
 def test_rank_statistics_use_range_partitioned_prefix(spark, sf_smoke, name):
