@@ -14,37 +14,72 @@ is the job.
 
 This module implements the classic two-level scan instead:
 
-1. range-shuffle the rows by the order key (``repartitionByRange``)
-   so partition *i* holds a contiguous key range, every key < every
-   key of partition *i+1*;
-2. per-partition running totals — a window PARTITIONED BY
-   ``spark_partition_id()``, so each task scans only its own slice;
-3. a K-row aggregate (K = number of range partitions) of per-partition
-   totals, turned into exclusive offsets by a window over those K rows
-   (trivially single-task at any data scale: K ~ thousands);
+1. assign every row an order-preserving BUCKET id: K-1 split points
+   over the first order key, computed once by a bounded
+   ``percentile_approx`` aggregate and embedded as LITERALS (K ~ the
+   shuffle width — a driver-side list of doubles, not data);
+2. per-bucket running totals — a window PARTITIONED BY the bucket id
+   (one hash exchange), so each task scans only its own slice;
+3. a K-row aggregate of per-bucket totals, turned into exclusive
+   offsets by a window over those K rows (trivially single-task at
+   any data scale: K ~ thousands);
 4. broadcast-join the offsets back and add.
 
-Cost: one range exchange + one map-side pass + one K-row side plan —
-the same shape MPP engines use for ORDER BY running totals.
+Cost: one bounded boundary aggregate + one hash exchange + one
+map-side pass + one K-row side plan — the same shape MPP engines use
+for ORDER BY running totals, with the boundary table materialized the
+way they materialize it.
 
-Determinism requirement: the order key must be UNIQUE per row
-(``repartitionByRange`` boundaries are sampled, so rows that compare
-equal may land in different partitions, making their relative order —
-and thus their running totals — nondeterministic). Callers with
-duplicate keys should pre-aggregate per key (the usual case: a
-distinct-value frame) or extend the key with a unique tie-breaker.
+Why literal boundaries instead of ``repartitionByRange`` +
+``spark_partition_id()`` (the previous spelling): the data branch and
+the offsets branch BOTH contain the bucketing step, and the algorithm
+is only correct when both see identical bucket assignment. Spark's
+range partitioner samples its boundaries with an rdd.id-seeded RNG at
+exchange EXECUTION time, so the old form was correct only while AQE
+stage reuse executed that exchange once — a plan-shape perturbation
+that broke reuse silently corrupted the running totals (caught by the
+oracle-parity gate). Boundaries materialized ONCE as literals make
+both branches identical BY CONSTRUCTION: reuse is now purely a
+performance optimization, never a correctness requirement. A welcome
+side effect: rows that tie on the first key can never be split across
+buckets (sampled range partitioning could split them).
+
+Determinism requirement: the order key must still be UNIQUE per row —
+rows that compare equal under the full ``order_by`` have
+nondeterministic relative order inside the local window, making their
+running totals nondeterministic. Callers with duplicate keys should
+pre-aggregate per key (the usual case: a distinct-value frame) or
+extend the key with a unique tie-breaker.
+
+The first order key must be numeric (percentile boundaries); every
+caller's leading key is a score/count/cents column. NULL keys bucket
+to 0 and NaN doubles to the last bucket, matching Spark's ASC
+NULLS-FIRST / NaN-greatest window order.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# historical name: this is now a deterministic bucket id, not a
+# physical partition id, but it still plays the "pid" role in plans
 _PID = "__prefix_pid"
 _LOCAL = "__prefix_local"
 _OFFSET = "__prefix_offset"
+_GUARD = "__prefix_guard"
+
+# percentile_approx accuracy for the boundary aggregate: boundary
+# placement only affects BALANCE, never correctness, so a cheap
+# coarse sketch is the right trade — at accuracy A the rank error is
+# ~n/A, i.e. bucket sizes off by ~n/500 per boundary, noise next to
+# the n/K bucket size itself for any realistic K
+_BOUNDS_ACCURACY = 500
+
+# (semanticHash, key, k) -> tuple of split points; see use site
+_BOUNDS_MEMO: dict = {}
 
 
 def global_prefix_sum(
@@ -81,33 +116,92 @@ def global_prefix_sums(
 ) -> DataFrame:
     """Multi-column form of :func:`global_prefix_sum`: every
     ``out_col: value_col`` pair in ``sums`` gets its running total over
-    the SAME total order, sharing one range exchange, one
-    per-partition scan, and one K-row offset table (a second
-    independent prefix-sum pass would repeat the exchange — the exact
-    waste a rank statistic like a PR curve, which needs both a running
-    count and a running positive count, must avoid)."""
+    the SAME total order, sharing one bucket assignment, one hash
+    exchange, one per-bucket scan, and one K-row offset table (a
+    second independent prefix-sum pass would repeat all of it — the
+    exact waste a rank statistic like a PR curve, which needs both a
+    running count and a running positive count, must avoid).
+
+    ``n_partitions`` bounds the bucket count (default: the session's
+    shuffle width)."""
     if not sums:
         raise ValueError("sums must map at least one out_col: value_col")
-    # CORRECTNESS COUPLING, do not "simplify": the data branch and the
-    # K-row offsets branch below both contain this range exchange, and
-    # the algorithm is only correct when both see the SAME partition
-    # boundaries. Spark's range partitioner samples boundaries with a
-    # seed derived from the exchange RDD's id, so two independently
-    # executed exchanges may split ranges differently — offsets would
-    # then be added against the wrong slices. The number-less
-    # REPARTITION_BY_COL form canonicalizes both branches identically
-    # and AQE's stage cache executes the exchange ONCE (ReusedExchange
-    # — pinned by tests/test_operators.py's shares-one-pass plan
-    # assertions); forcing an explicit count here (REPARTITION_BY_NUM)
-    # was observed to BREAK that reuse in real query contexts and
-    # silently corrupt rank statistics (caught by the oracle-parity
-    # gate). Callers passing n_partitions keep the explicit form —
-    # their tests pin reuse explicitly.
-    ranged = (
-        df.repartitionByRange(n_partitions, *order_by)
-        if n_partitions
-        else df.repartitionByRange(*order_by)
-    ).withColumn(_PID, F.spark_partition_id())
+    key0 = order_by[0]
+    k = n_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    # bounded materialization: K-1 split points, a driver-side list of
+    # scalars (the IVF-fit / MMR bounded-collect discipline). Embedding
+    # them as literals makes bucket assignment identical in EVERY
+    # branch that recomputes it — correctness no longer depends on
+    # exchange reuse (see module docstring). Memoized per semantic
+    # plan (the BRP-LSH fit-memoization pattern): repeated builds of
+    # the same query skip the boundary job, and a stale/collided memo
+    # entry can only cost BALANCE, never correctness, because whatever
+    # bounds are used are applied as the same literals everywhere.
+    bounds: list = []
+    if k > 1:
+        memo_key = (df.semanticHash(), key0, k)
+        cached = _BOUNDS_MEMO.get(memo_key)
+        if cached is not None:
+            bounds = list(cached)
+        else:
+            probs = [i / k for i in range(1, k)]
+            row = df.agg(
+                F.percentile_approx(key0, probs, _BOUNDS_ACCURACY).alias("b")
+            ).first()
+            raw = row["b"] if row is not None else None
+            seen = set()
+            for b in raw or []:
+                if b is not None and b not in seen:
+                    seen.add(b)
+                    bounds.append(b)
+            bounds.sort()
+            if len(_BOUNDS_MEMO) > 256:
+                _BOUNDS_MEMO.clear()
+            _BOUNDS_MEMO[memo_key] = tuple(bounds)
+    if bounds:
+        # count of boundaries strictly below the key, UNROLLED into
+        # plain comparisons (not array+filter: a higher-order
+        # function's lambda variables don't canonicalize cleanly).
+        # Monotone in the key, ties share a bucket, NULL key -> 0
+        # (NULLS FIRST), NaN -> len(bounds) (Spark orders NaN
+        # greatest); K-1 codegen'd comparisons, no shuffle.
+        acc = F.lit(0)
+        for b in bounds:
+            acc = acc + (F.col(key0) > F.lit(b)).cast("int")
+        bucket = F.coalesce(acc, F.lit(0))
+    else:
+        bucket = F.lit(0)
+
+    # Exchange on the bucket EXPRESSION over the raw frame, then the
+    # pid column is (re)computed ABOVE the exchange behind a
+    # constant-zero spark_partition_id() barrier. The barrier's
+    # nondeterministic flag stops Catalyst pushing column pruning down
+    # through this projection, so the data branch and the K-row
+    # offsets branch keep byte-identical subtrees under the exchange
+    # and AQE executes the shuffle ONCE (without it, pruning
+    # specializes each branch's child, the exchanges stop
+    # canonicalizing equal, and the offsets branch re-scans the whole
+    # input — measured 2-3x). This is exactly the barrier the old
+    # repartitionByRange + spark_partition_id spelling enjoyed — minus
+    # its fatal property that the VALUE was execution-dependent: here
+    # the bucket id is literal-deterministic, so even if reuse ever
+    # fails both branches still agree and the result is correct, just
+    # slower. Reuse is performance, never correctness. (rand() would
+    # not work as the barrier: its instances canonicalize UNEQUAL
+    # after the self-join's attribute dedup.)
+    # _PID is a PURE alias of the bucket expression so the exchange's
+    # hash(bucket) partitioning propagates through the projection as
+    # hash(_PID) (alias-transparent) and the window adds NO second
+    # shuffle; the nondeterministic guard lives in its own throwaway
+    # column of the same projection.
+    ranged = df.repartition(k, bucket)
+    bucketed = ranged.select(
+        "*",
+        bucket.alias(_PID),
+        (F.spark_partition_id() * 0).alias(_GUARD),
+    )
 
     local_w = (
         Window.partitionBy(_PID)
@@ -115,7 +209,7 @@ def global_prefix_sums(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # all locals share local_w -> Catalyst folds them into ONE Window
-    with_local = ranged.select(
+    with_local = bucketed.select(
         "*",
         *[
             F.sum(val).over(local_w).alias(f"{_LOCAL}_{out}")
@@ -123,9 +217,9 @@ def global_prefix_sums(
         ],
     )
 
-    # K rows (one per range partition) -> exclusive offsets. The
-    # window below is unpartitioned BY DESIGN: its input is the K-row
-    # per-partition total frame, not the data.
+    # K rows (one per bucket) -> exclusive offsets. The window below
+    # is unpartitioned BY DESIGN: its input is the K-row per-bucket
+    # total frame, not the data.
     totals = with_local.groupBy(_PID).agg(
         *[F.sum(val).alias(f"__pt_{out}") for out, val in sums.items()]
     )
@@ -150,6 +244,7 @@ def global_prefix_sums(
         )
     return out_df.drop(
         _PID,
+        _GUARD,
         *[f"{_LOCAL}_{out}" for out in sums],
         *[f"{_OFFSET}_{out}" for out in sums],
     )

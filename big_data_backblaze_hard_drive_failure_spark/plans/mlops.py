@@ -221,9 +221,10 @@ def mlops_alert_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale: BOTH running counts (alerts and true positives) come from one
 # shared pass of the distributed two-level prefix sum
-# (operators/prefix.py:global_prefix_sums) — one range exchange over
-# (-score, event_id), per-partition scans, a K-row offset table —
-# never an unpartitioned window, so the exact curve survives 100x.
+# (operators/prefix.py:global_prefix_sums) — literal bucket
+# boundaries over (-score, event_id), per-bucket scans, a K-row
+# offset table — never an unpartitioned window, so the exact curve
+# survives 100x.
 # The K-threshold twin (mlops_pr_at_thresholds) remains the cheaper
 # fixed-size-output summary when the full curve isn't needed.
 # --------------------------------------------------------------------
@@ -1965,7 +1966,7 @@ def mlops_ab_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # failures are compared to the hypergeometric expectation given the
 # at-risk counts; z = Σ(O−E)/sqrt(ΣV). At-risk counts per cohort
 # come from the same distributed prefix-sum discipline as the KM
-# life table (two chained range-partitioned passes over the
+# life table (one shared bucketed pass over the
 # O(distinct durations) frame); every O/E/V term is an identically-
 # written double over exact integers. [beyond-reference] survival
 # inference.
@@ -2071,7 +2072,7 @@ def mlops_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("all_a").alias("tot_a"), F.sum("all_b").alias("tot_b")
     )
     r = (
-        # both running totals share ONE range exchange + offset table
+        # both running totals share ONE prefix pass + offset table
         global_prefix_sums(
             g, ["t"], {"cb_a": "all_a", "cb_b": "all_b"}, exclusive=True
         )

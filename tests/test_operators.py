@@ -796,9 +796,12 @@ def test_global_prefix_sum_exclusive_starts_at_zero(spark):
 
 def test_global_prefix_sums_multi_column_shares_one_pass(spark):
     """The multi-column variant must (a) agree with two independent
-    single-column passes and (b) plan exactly ONE range exchange over
-    the data — the whole point of sharing the scan (a PR curve needs
-    a running count AND a running positive count over one order)."""
+    single-column passes and (b) plan exactly ONE data-sized exchange
+    — the whole point of sharing the scan (a PR curve needs a running
+    count AND a running positive count over one order). With literal
+    bucket boundaries, no sampled range exchange exists anywhere, and
+    the offsets branch map-side-combines BEFORE its exchange, so that
+    exchange carries K rows, not data."""
     from big_data_backblaze_hard_drive_failure_spark.operators.prefix import (
         global_prefix_sum,
         global_prefix_sums,
@@ -820,22 +823,37 @@ def test_global_prefix_sums_multi_column_shares_one_pass(spark):
         for r in global_prefix_sum(df, ["k"], "v", "sv", 5).collect()
     }
     assert rows == {k: (a[k], b[k]) for k in a}
-    # one Window computes BOTH running sums, and the K-row offsets
-    # branch REUSES the data's range exchange instead of repeating it
-    # (AQE's plan string appends an "Initial Plan" section — count
-    # only the final plan)
     plan = (
         multi._jdf.queryExecution()
         .executedPlan()
         .toString()
         .split("Initial Plan")[0]
     )
-    n_range = sum(
-        "Exchange rangepartitioning" in line and "Reused" not in line
+    # no sampled range partitioning anywhere: bucket ids are literal
+    # boundaries (branch-consistent by construction)
+    assert "rangepartitioning" not in plan.lower(), plan
+    # exactly ONE data-sized exchange (hash on the bucket expression),
+    # which the offsets branch REUSES — the spark_partition_id guard
+    # column exists precisely to keep both branch subtrees identical
+    data_exchanges = [
+        line
         for line in plan.split("\n")
-    )
-    assert n_range == 1, plan
+        if "Exchange hashpartitioning" in line and "Reused" not in line
+    ]
+    assert len(data_exchanges) == 1, plan
     assert "ReusedExchange" in plan, plan
+    # ONE window line computes BOTH running sums PARTITIONED BY the
+    # bucket id (partition-by form = comma right after the pid attr;
+    # the K-row offsets window instead ORDERS by it)
+    import re
+
+    local_windows = [
+        line
+        for line in plan.split("\n")
+        if re.search(r"windowspecdefinition\(__prefix_pid#\d+,", line)
+    ]
+    assert len(local_windows) == 1, plan
+    assert local_windows[0].count("sum(") >= 2, local_windows[0]
 
 
 def test_jaccard_prefix_join_complete_on_small_sets(spark, tmp_path):
@@ -890,20 +908,17 @@ def test_pagerank_mass_conservation_and_km_monotone(spark, sf_smoke):
     assert all(r.n_fail <= r.n_risk for r in km)
 
 
-def test_logrank_shares_one_range_exchange(spark, sf_smoke):
+def test_logrank_shares_one_prefix_pass(spark, sf_smoke):
     """mlops_logrank_test's two cumulative-at-risk columns must ride
-    ONE shared prefix-sum pass. A single pass puts exactly 2
-    RepartitionByExpression nodes in the optimized logical plan (the
-    one exchange, appearing in both the data branch and the K-row
-    offsets branch — runtime stage reuse dedups those); two CHAINED
-    single-column passes explode to 6 because the second pass
-    re-partitions the first's joined output, breaking reuse (measured:
-    6 live exchanges, 0 reused)."""
+    ONE shared prefix-sum pass: exactly 2 Window nodes in the
+    optimized plan (the shared per-bucket local scan + the K-row
+    offsets frame). Two CHAINED single-column passes would plan 4."""
     from big_data_backblaze_hard_drive_failure_spark.plans import QUERIES
 
     df = QUERIES["mlops_logrank_test"](spark, sf_smoke)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
-    n_nodes = sum(
-        "RepartitionByExpression" in line for line in opt.split("\n")
+    n_windows = sum(
+        line.strip().lstrip(":+- ").startswith("Window ")
+        for line in opt.split("\n")
     )
-    assert n_nodes == 2, opt
+    assert n_windows == 2, opt

@@ -267,15 +267,16 @@ def test_join_strategy_hints_control_physical_operator(spark):
     ],
 )
 def test_rank_statistics_use_range_partitioned_prefix(spark, sf_smoke, name):
-    """Gini / Mann-Whitney / Kaplan-Meier / PR curve must compute rank
-    statistics through the distributed prefix-sum (repartitionByRange +
-    local scans + K-row offset table), never a data-sized unpartitioned
-    window: the plan must contain a rangepartitioning Exchange, and any
-    Window ordered over the data must be partitioned (the only
-    unpartitioned windows allowed are the K-row offset frames, which
-    sort by the synthetic partition id, not a data column)."""
+    """Gini / Mann-Whitney / Kaplan-Meier / PR curve / logrank must
+    compute rank statistics through the distributed prefix-sum
+    (literal bucket boundaries + per-bucket local scans + K-row offset
+    table), never a data-sized unpartitioned window: the plan must
+    partition on the bucket id, and any Window ordered over the data
+    must be partitioned (the only unpartitioned windows allowed are
+    the K-row offset frames, which sort by the synthetic bucket id,
+    not a data column)."""
     plan = _formatted(spark, name, sf_smoke)
-    assert "rangepartitioning" in plan.lower(), name
+    assert "__prefix_pid" in plan, name
     # every Window in these plans is part of the prefix-sum machinery:
     # either the per-partition local scan (PARTITION BY __prefix_pid)
     # or the K-row offsets frame (ORDER BY __prefix_pid) — a window
