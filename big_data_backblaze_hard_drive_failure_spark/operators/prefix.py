@@ -161,16 +161,27 @@ def global_prefix_sums(
                 _BOUNDS_MEMO.clear()
             _BOUNDS_MEMO[memo_key] = tuple(bounds)
     if bounds:
-        # count of boundaries strictly below the key, UNROLLED into
-        # plain comparisons (not array+filter: a higher-order
-        # function's lambda variables don't canonicalize cleanly).
-        # Monotone in the key, ties share a bucket, NULL key -> 0
-        # (NULLS FIRST), NaN -> len(bounds) (Spark orders NaN
-        # greatest); K-1 codegen'd comparisons, no shuffle.
-        acc = F.lit(0)
-        for b in bounds:
-            acc = acc + (F.col(key0) > F.lit(b)).cast("int")
-        bucket = F.coalesce(acc, F.lit(0))
+        # count of boundaries strictly below the key as a BINARY
+        # SEARCH tree of when/otherwise over the sorted literals:
+        # O(log K) comparisons per row (a linear K-term chain is an
+        # O(K) hot-path cost once K is in the thousands), plain
+        # expressions only (not array+filter: a higher-order
+        # function's lambda variables don't canonicalize cleanly,
+        # which would break branch reuse below). Monotone in the key,
+        # ties share a bucket, NULL key -> 0 (NULLS FIRST: the NULL
+        # comparison falls through every otherwise() to the leftmost
+        # leaf), NaN -> len(bounds) (Spark orders NaN greatest, and
+        # NaN > b is true for every bound).
+        def _tree(lo: int, hi: int):
+            # bucket index for keys known to land in [lo, hi]
+            if lo == hi:
+                return F.lit(lo)
+            mid = (lo + hi) // 2
+            return F.when(
+                F.col(key0) > F.lit(bounds[mid]), _tree(mid + 1, hi)
+            ).otherwise(_tree(lo, mid))
+
+        bucket = _tree(0, len(bounds))
     else:
         bucket = F.lit(0)
 

@@ -150,7 +150,12 @@ def _encode_value(dt: T.DataType, v) -> bytes:
         # exactly (it is what toInternal uses), so the file stores TRUE
         # epoch micros and a spec-compliant external reader (fastavro,
         # spark-avro) sees the same instant. Aware datetimes convert
-        # via their own offset.
+        # via their own offset. Known caveat, inherited from PySpark's
+        # own naive conversion: during a DST fall-back hour the naive
+        # wall time is ambiguous and mktime picks one fold, so that
+        # one local hour per year can land 3600s off under a
+        # DST-observing process TZ — the engine's session factory pins
+        # UTC, where the ambiguity cannot occur.
         import calendar
         import time
 

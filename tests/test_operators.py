@@ -922,3 +922,25 @@ def test_logrank_shares_one_prefix_pass(spark, sf_smoke):
         for line in opt.split("\n")
     )
     assert n_windows == 2, opt
+
+
+def test_prefix_sum_null_and_nan_key_ordering(spark):
+    """The binary-search bucket tree must agree with Spark's window
+    order at both extremes: NULL keys sort FIRST (they fall through
+    every otherwise() to bucket 0) and NaN doubles sort LAST (NaN > b
+    for every boundary). Running totals across 8 buckets prove it."""
+    from big_data_backblaze_hard_drive_failure_spark.operators.prefix import (
+        global_prefix_sum,
+    )
+
+    rows = [(float("nan"), 104, 1), (None, 100, 1)] + [
+        (float(i), i, 1) for i in range(1, 100)
+    ]
+    df = spark.createDataFrame(rows, "x double, id int, one int")
+    out = global_prefix_sum(
+        df, ["x", "id"], "one", "n", n_partitions=8
+    ).collect()
+    d = {r["id"]: r["n"] for r in out}
+    assert d[100] == 1      # NULL key: first in the total order
+    assert d[1] == 2 and d[99] == 100
+    assert d[104] == 101    # NaN key: last in the total order
