@@ -62,11 +62,15 @@ def _display_width(s: str) -> int:
 
 def _u16_truncate(s: str, units: int) -> str:
     """``String.substring(0, units)`` in UTF-16 code units — including
-    the JVM artifact of splitting a surrogate pair (the leftover high
-    surrogate survives via surrogatepass, exactly as showString emits
-    it)."""
+    the JVM artifact of splitting a surrogate pair: the leftover high
+    surrogate is unencodable, and the JVM's UTF-8 writer (what show()
+    actually prints through, and what py4j transports) replaces it
+    with ``?`` — so we do too."""
     b = s.encode("utf-16-be", "surrogatepass")
-    return b[: units * 2].decode("utf-16-be", "surrogatepass")
+    t = b[: units * 2].decode("utf-16-be", "surrogatepass")
+    if t and 0xD800 <= ord(t[-1]) <= 0xDBFF:
+        t = t[:-1] + "?"
+    return t
 
 
 def _cell(v: object, truncate: int) -> str:
