@@ -52,6 +52,8 @@ _MAGIC = b"Obj\x01"
 
 def _zigzag_encode(n: int) -> bytes:
     u = (n << 1) ^ (n >> 63)
+    if 0 <= u < 0x80:  # one-byte fast path (the common small varint)
+        return bytes((u,))
     out = bytearray()
     while True:
         b = u & 0x7F
@@ -131,19 +133,24 @@ def _avro_schema_json(schema: T.StructType) -> str:
     )
 
 
-def _encode_value(dt: T.DataType, v) -> bytes:
+def _make_encoder(dt: T.DataType):
+    """Resolve the Spark type to a value-encoder closure ONCE per
+    schema; the per-row hot loop then runs no isinstance dispatch
+    (the row-at-a-time Python DataSource path is the engine's slowest
+    connector — this keeps its constant factor honest)."""
     if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
-        return _zigzag_encode(int(v))
+        return lambda v: _zigzag_encode(int(v))
     if isinstance(dt, (T.DoubleType, T.FloatType)):
-        return struct.pack("<d", float(v))
+        pack = struct.Struct("<d").pack
+        return lambda v: pack(float(v))
     if isinstance(dt, T.StringType):
-        return _enc_str(str(v))
+        return lambda v: _enc_str(str(v))
     if isinstance(dt, T.BooleanType):
-        return b"\x01" if v else b"\x00"
+        return lambda v: b"\x01" if v else b"\x00"
     if isinstance(dt, T.BinaryType):
-        return _enc_bytes(bytes(v))
+        return lambda v: _enc_bytes(bytes(v))
     if isinstance(dt, T.DateType):
-        return _zigzag_encode(v.toordinal() - _EPOCH_ORDINAL)
+        return lambda v: _zigzag_encode(v.toordinal() - _EPOCH_ORDINAL)
     if isinstance(dt, T.TimestampType):
         # PySpark hands the writer a NAIVE datetime in the PROCESS
         # local zone (TimestampType.fromInternal); mktime inverts that
@@ -159,56 +166,73 @@ def _encode_value(dt: T.DataType, v) -> bytes:
         import calendar
         import time
 
-        if v.tzinfo is not None:
-            secs = calendar.timegm(v.utctimetuple())
-        else:
-            secs = int(time.mktime(v.timetuple()))
-        return _zigzag_encode(secs * 1_000_000 + v.microsecond)
+        def _enc_ts(v):
+            if v.tzinfo is not None:
+                secs = calendar.timegm(v.utctimetuple())
+            else:
+                secs = int(time.mktime(v.timetuple()))
+            return _zigzag_encode(secs * 1_000_000 + v.microsecond)
+
+        return _enc_ts
     if isinstance(dt, T.TimestampNTZType):
         # no-zone wall clock: the epoch arithmetic IS the value
         import calendar
 
-        micros = (
+        return lambda v: _zigzag_encode(
             calendar.timegm(v.timetuple()) * 1_000_000 + v.microsecond
         )
-        return _zigzag_encode(micros)
     raise ValueError(f"avro_py cannot encode Spark type {dt}")
 
 
-def _decode_value(dt: T.DataType, buf):
+def _encode_value(dt: T.DataType, v) -> bytes:
+    return _make_encoder(dt)(v)
+
+
+def _make_decoder(dt: T.DataType):
+    """Per-field decoder closure, resolved once per schema (mirror of
+    :func:`_make_encoder`)."""
     if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
-        return _zigzag_decode(buf)
+        return _zigzag_decode
     if isinstance(dt, (T.DoubleType, T.FloatType)):
-        return struct.unpack("<d", buf.read(8))[0]
+        unpack = struct.Struct("<d").unpack
+        return lambda buf: unpack(buf.read(8))[0]
     if isinstance(dt, T.StringType):
-        return _dec_bytes(buf).decode("utf-8")
+        return lambda buf: _dec_bytes(buf).decode("utf-8")
     if isinstance(dt, T.BooleanType):
-        return buf.read(1) == b"\x01"
+        return lambda buf: buf.read(1) == b"\x01"
     if isinstance(dt, T.BinaryType):
-        return _dec_bytes(buf)
+        return _dec_bytes
     if isinstance(dt, T.DateType):
         import datetime
 
-        return datetime.date.fromordinal(
-            _zigzag_decode(buf) + _EPOCH_ORDINAL
-        )
+        fromordinal = datetime.date.fromordinal
+        return lambda buf: fromordinal(_zigzag_decode(buf) + _EPOCH_ORDINAL)
     if isinstance(dt, T.TimestampType):
         import datetime
 
-        micros = _zigzag_decode(buf)
-        # local naive datetime, exactly what TimestampType.toInternal
-        # expects back (integer split keeps full micro precision)
-        return datetime.datetime.fromtimestamp(
-            micros // 1_000_000
-        ) + datetime.timedelta(microseconds=micros % 1_000_000)
+        fromtimestamp = datetime.datetime.fromtimestamp
+        delta = datetime.timedelta
+
+        def _dec_ts(buf):
+            micros = _zigzag_decode(buf)
+            # local naive datetime, exactly what TimestampType.toInternal
+            # expects back (integer split keeps full micro precision)
+            return fromtimestamp(micros // 1_000_000) + delta(
+                microseconds=micros % 1_000_000
+            )
+
+        return _dec_ts
     if isinstance(dt, T.TimestampNTZType):
         import datetime
 
-        micros = _zigzag_decode(buf)
-        return datetime.datetime(1970, 1, 1) + datetime.timedelta(
-            microseconds=micros
-        )
+        epoch = datetime.datetime(1970, 1, 1)
+        delta = datetime.timedelta
+        return lambda buf: epoch + delta(microseconds=_zigzag_decode(buf))
     raise ValueError(f"avro_py cannot decode Spark type {dt}")
+
+
+def _decode_value(dt: T.DataType, buf):
+    return _make_decoder(dt)(buf)
 
 
 # -- Object Container File read/write ---------------------------------
@@ -227,7 +251,7 @@ def write_ocf(path: str, schema: T.StructType, rows, rows_per_block=4096):
     """Stream ``rows`` (sequences in field order) into one Avro OCF."""
     schema_json = _avro_schema_json(schema)
     sync = _sync_marker(schema_json)
-    fields = schema.fields
+    encoders = [_make_encoder(f.dataType) for f in schema.fields]
     n_total = 0
     with open(path, "wb") as f:
         f.write(_MAGIC)
@@ -254,12 +278,12 @@ def write_ocf(path: str, schema: T.StructType, rows, rows_per_block=4096):
             n_block = 0
 
         for row in rows:
-            for fld, v in zip(fields, row):
+            for enc, v in zip(encoders, row):
                 if v is None:
-                    block += _zigzag_encode(0)  # union branch: null
+                    block += b"\x00"  # union branch: null (zigzag 0)
                 else:
-                    block += _zigzag_encode(1)  # union branch: value
-                    block += _encode_value(fld.dataType, v)
+                    block += b"\x02"  # union branch: value (zigzag 1)
+                    block += enc(v)
             n_block += 1
             n_total += 1
             if n_block >= rows_per_block:
@@ -300,7 +324,7 @@ def read_ocf(path: str, schema: T.StructType):
                 f"avro file schema {file_fields} != read schema {want}"
             )
         sync = f.read(16)
-        fields = schema.fields
+        decoders = [_make_decoder(fld.dataType) for fld in schema.fields]
         while True:
             try:
                 n_rows = _zigzag_decode(f)
@@ -309,13 +333,10 @@ def read_ocf(path: str, schema: T.StructType):
             n_bytes = _zigzag_decode(f)
             buf = io.BytesIO(f.read(n_bytes))
             for _ in range(n_rows):
-                out = []
-                for fld in fields:
-                    if _zigzag_decode(buf) == 0:
-                        out.append(None)
-                    else:
-                        out.append(_decode_value(fld.dataType, buf))
-                yield tuple(out)
+                yield tuple(
+                    dec(buf) if _zigzag_decode(buf) else None
+                    for dec in decoders
+                )
             if f.read(16) != sync:
                 raise ValueError(f"{path}: sync marker mismatch")
 

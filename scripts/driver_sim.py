@@ -54,7 +54,17 @@ def canon(v):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only: set[str] | None = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a[len("--only=") :].split(","))
+        elif a == "--first50":
+            # replicate the driver's budget: the first 50 entries in
+            # registry iteration order (the rotation floats unseen
+            # names to the front)
+            only = "FIRST50"  # resolved after import
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[8]")
         # hostile on purpose: the driver does NOT use our session factory
@@ -74,8 +84,11 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     qs, osql = e.queries(), e.oracle_sql()
+    if only == "FIRST50":
+        only = set(list(qs)[:50])
+    names = sorted(qs) if only is None else sorted(n for n in qs if n in only)
     fails = []
-    for name in sorted(qs):
+    for name in names:
         sdf = qs[name](spark, sf_dir)
         srows = [tuple(r) for r in sdf.collect()]
         if name not in osql:
