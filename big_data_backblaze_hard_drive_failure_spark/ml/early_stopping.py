@@ -119,6 +119,12 @@ def fit_boosted_stumps(
     """Boost until validation average precision stops improving for
     ``patience`` rounds (the appendix's early_stopping_rounds
     semantics); ``best_round`` rewinds to the best validation score."""
+    if len(X_train) == 0 or len(X_val) == 0:
+        raise ValueError(
+            "fit_boosted_stumps: empty training or validation split — "
+            "boosting cannot start (no-data day or over-tight split "
+            "upstream)"
+        )
     p0 = min(max(y_train.mean(), _EPS), 1 - _EPS)
     base = float(np.log(p0 / (1 - p0)))
     margin_tr = np.full(len(X_train), base)

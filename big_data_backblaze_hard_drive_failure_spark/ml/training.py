@@ -39,6 +39,21 @@ def assemble_features(
     return asm.transform(df)
 
 
+def _require_rows(df: DataFrame, op: str) -> DataFrame:
+    """Training on a zero-row frame cannot produce a model; fail with
+    the pipeline-level reason instead of MLlib's internal errors
+    ("Nothing has been added to this summarizer" / "DecisionTree
+    requires size of input RDD > 0"). The isEmpty probe reads one
+    partition — negligible next to the fit it guards."""
+    if df.isEmpty():
+        raise ValueError(
+            f"{op}: training input has no rows — a model cannot be fit "
+            "on an empty frame (empty split, over-tight filter, or a "
+            "no-data day upstream)"
+        )
+    return df
+
+
 def train_logistic(
     df: DataFrame,
     features: Sequence[str],
@@ -48,7 +63,7 @@ def train_logistic(
 ):
     """Distributed logistic regression (Spark-native twin of the
     reference's binary:logistic XGBoost objective, 05_01:110-121)."""
-    vec = assemble_features(df, features)
+    vec = _require_rows(assemble_features(df, features), "train_logistic")
     lr = LogisticRegression(
         featuresCol="features_vec",
         labelCol=label,
@@ -69,7 +84,7 @@ def train_gbt(
 ):
     """Gradient-boosted trees — the closest MLlib analog of the
     reference's XGBoost config (depth 6, hist; 05_01:110-121)."""
-    vec = assemble_features(df, features)
+    vec = _require_rows(assemble_features(df, features), "train_gbt")
     gbt = GBTClassifier(
         featuresCol="features_vec",
         labelCol=label,

@@ -739,7 +739,11 @@ def _brp_lsh_fit(spark: SparkSession, sf_dir: str, emb: DataFrame):
             inputCol="v", outputCol="h", bucketLength=2.0,
             numHashTables=3, seed=42,
         )
-        _BRP_LSH_MODELS[key] = lsh.fit(emb)
+        # MLlib's fit needs >= 1 row to size the hyperplanes; a
+        # zero-row corpus memoizes None and the caller returns the
+        # empty result (the isEmpty probe runs once per session+dir,
+        # inside the memo, so the bench path never re-pays it)
+        _BRP_LSH_MODELS[key] = None if emb.isEmpty() else lsh.fit(emb)
     return _BRP_LSH_MODELS[key]
 
 
@@ -757,6 +761,10 @@ def datapipe_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", array_to_vector(as_double_array("embedding")).alias("v")
     )
     model = _brp_lsh_fit(spark, sf_dir, emb)
+    if model is None:  # zero-row corpus: no neighbors to find
+        return spark.createDataFrame(
+            [], "query_id BIGINT, n_candidates BIGINT"
+        )
     q = emb.filter(F.col("vec_id") < 5)
     joined = model.approxSimilarityJoin(q, emb, 9.0, distCol="dist")
     return (
@@ -1519,6 +1527,9 @@ def _ivf_fit_centroids(
     # so skip the guard's count() pre-pass (one Spark job saved)
     sample = emb.orderBy("vec_id").limit(_IVF_TRAIN_CAP).toPandas()
     x = np.array(sample["v"].tolist())
+    if len(x) == 0:  # zero-row corpus: nothing to index, no cells
+        _IVF_CENTROIDS[key] = []
+        return []
     rng = np.random.RandomState(42)
     k_cells = min(k_cells, len(x))  # tiny corpora: one cell per vector
     centers = x[rng.choice(len(x), size=k_cells, replace=False)]
@@ -1578,6 +1589,12 @@ def datapipe_knn_ivf(
         as_double_array("embedding").alias("v"),
     )
     centroid_lists = _ivf_fit_centroids(spark, sf_dir, k_cells)
+    if not centroid_lists:
+        # empty corpus: a similarity search legitimately returns no
+        # neighbors (same schema as the populated path)
+        return spark.createDataFrame(
+            [], "query_id BIGINT, vec_id BIGINT, cosine DOUBLE, rank INT"
+        )
     assigned = emb.select(
         "vec_id", "v", _ivf_cell_expr(centroid_lists).alias("cell")
     )
@@ -5071,12 +5088,15 @@ def datapipe_mmr_diverse_topk(
     )
     out_rows = []
     for k in range(1, _MMR_K + 1):
-        pick = (
+        picked = (
             state.withColumn("score", score)
             .orderBy(F.desc("score"), "vec_id")
             .limit(1)
-            .collect()[0]
+            .collect()
         )  # bounded: ONE row per round, k rounds total
+        if not picked:  # candidate pool exhausted (or empty corpus)
+            break
+        pick = picked[0]
         out_rows.append((k, int(pick["vec_id"]), float(pick["score"])))
         if k < _MMR_K:
             chosen = F.array(*[F.lit(x) for x in pick["ce"]])

@@ -160,16 +160,19 @@ def _partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         + "_" + _hl.md5(real.encode()).hexdigest()[:8]
     )  # realpath-derived: same-basename fixture dirs must not collide
     path = scratch_dir(f"partitioned_events_{key}")
+    staged = load(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
     if key not in _PARTITIONED_WRITTEN:
-        staged = load(spark, sf_dir, "events").select(
-            "event_id",
-            "ts",
-            "event_type",
-            F.round(F.col("value") * 100).cast("long").alias("cents"),
-        )
         write_parquet(staged, path, partition_by=["event_type"])
         _PARTITIONED_WRITTEN.add(key)
-    return spark.read.parquet(path)
+    # explicit read schema: a zero-row day writes NO parquet files into
+    # the partition dirs, and schema inference over an empty layout
+    # fails — the write-side schema is the contract either way
+    return spark.read.schema(staged.schema).parquet(path)
 
 
 _PARTITIONED_WRITTEN: set[str] = set()
@@ -518,7 +521,8 @@ def io_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
         patch.write.mode("overwrite").partitionBy("day").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    back = spark.read.parquet(path)
+    # explicit schema for the same zero-row reason as _partitioned_events
+    back = spark.read.schema(staged.schema).parquet(path)
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("day").cast("long").alias("n_days"),

@@ -939,11 +939,17 @@ def mlops_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # nullif: on real data t_ref/t_cur > 0 and the division is
+    # unchanged; on a zero-row day the totals are 0 and ANSI mode
+    # would raise DIVIDE_BY_ZERO — NULL CDFs degrade to a NULL
+    # ks_stat instead of crashing the monitoring pipeline
     cdf = bins.crossJoin(F.broadcast(tot)).select(
         "t_ref",
         "t_cur",
-        (F.sum("n_ref").over(w) * 1.0 / F.col("t_ref")).alias("cdf_ref"),
-        (F.sum("n_cur").over(w) * 1.0 / F.col("t_cur")).alias("cdf_cur"),
+        (F.sum("n_ref").over(w) * 1.0 / F.nullif(F.col("t_ref"), F.lit(0)))
+        .alias("cdf_ref"),
+        (F.sum("n_cur").over(w) * 1.0 / F.nullif(F.col("t_cur"), F.lit(0)))
+        .alias("cdf_cur"),
     )
     return cdf.groupBy("t_ref", "t_cur").agg(
         F.round(F.max(F.abs(F.col("cdf_ref") - F.col("cdf_cur"))), 6).alias(

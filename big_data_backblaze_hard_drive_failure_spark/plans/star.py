@@ -2521,9 +2521,21 @@ def star_crosstab_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.dayofweek("ts").alias("dow")
     )
     ct = df.stat.crosstab("event_type", "dow")
+    # crosstab's output schema is DATA-DEPENDENT (one column per
+    # observed dow value) — a day-of-week absent from the input (or a
+    # zero-row day) would otherwise make the fixed 7-column contract
+    # fail to resolve; absent days are an explicit zero
+    present = set(ct.columns)
     return ct.select(
         "event_type_dow",
-        *[F.col(f"`{d}`").cast("long").alias(str(d)) for d in range(1, 8)],
+        *[
+            (
+                F.col(f"`{d}`").cast("long")
+                if str(d) in present
+                else F.lit(0).cast("long")
+            ).alias(str(d))
+            for d in range(1, 8)
+        ],
     )
 
 

@@ -1,0 +1,77 @@
+"""Registry-wide empty-input robustness.
+
+A daily pipeline sees zero-row days: late landing data, an over-tight
+filter, a new deployment with no traffic yet. Every registered query
+must either produce a degenerate (possibly zero-row) result or fail
+with the engine's own pipeline-level ValueError — never an internal
+IndexError / DIVIDE_BY_ZERO / UNABLE_TO_INFER_SCHEMA from deep inside
+numpy, MLlib, or the parquet reader.
+
+The four model-TRAINING queries are the only allowed raisers: a model
+genuinely cannot be fit on an empty frame, and the contract is the
+explicit message from ml/training.py:_require_rows /
+ml/early_stopping.py:fit_boosted_stumps.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from big_data_backblaze_hard_drive_failure_spark.plans import QUERIES
+
+SRC = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# training ops: empty input is a *documented* error, not a crash
+_EXPECTED_RAISE = {
+    "mlops_train_eval": r"training input has no rows",
+    "mlops_gbt_score": r"training input has no rows",
+    "mlops_gbt_contributions": r"training input has no rows",
+    "mlops_train_early_stop": r"empty training or validation split",
+}
+
+
+@pytest.fixture(scope="session")
+def empty_sf_dir(tmp_path_factory):
+    """Schema-complete, zero-row copy of the test corpus: the real
+    parquet schemas (including the events TIMESTAMP(NANOS) quirk the
+    loaders must handle) with no rows."""
+    d = tmp_path_factory.mktemp("sf_empty")
+    for t in TABLES:
+        schema = pq.read_schema(os.path.join(SRC, f"{t}.parquet"))
+        pq.write_table(
+            pa.Table.from_arrays(
+                [pa.array([], type=f.type) for f in schema], schema=schema
+            ),
+            str(d / f"{t}.parquet"),
+        )
+    return str(d)
+
+
+def test_every_query_survives_empty_input(spark, empty_sf_dir):
+    """One loop (not parametrize) so the whole sweep shares a session
+    and the report stays one line; collects ALL violations before
+    failing so a regression shows the full blast radius."""
+    bad: dict[str, str] = {}
+    for name, fn in sorted(QUERIES.items()):
+        try:
+            fn(spark, empty_sf_dir).collect()
+        except ValueError as ex:
+            want = _EXPECTED_RAISE.get(name)
+            if not (want and re.search(want, str(ex))):
+                bad[name] = f"ValueError: {ex}"
+        except Exception as ex:  # noqa: BLE001 — cataloging, not handling
+            bad[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:140]}"
+        else:
+            if name in _EXPECTED_RAISE:
+                bad[name] = "expected the documented empty-input ValueError"
+    assert not bad, f"{len(bad)} queries break on empty input: {bad}"
