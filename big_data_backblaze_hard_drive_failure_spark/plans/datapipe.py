@@ -3923,12 +3923,20 @@ def datapipe_png_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same answer, quadratic vs near-linear candidate space.
 #
 # The rarity-ordered shingle frame feeds three consumers (prefix
-# explode + both verification sides); Spark recomputes it per use
-# (bounded 3x, each O(corpus)). In a long-running 100 TB job, wrap
-# it in operators.staging.stage_boundary (persist MEMORY_AND_DISK)
-# or write it once as a bucketed table keyed on doc_id so the
-# verification joins are exchange-free; kept pure here so the
-# registry stays side-effect-free.
+# explode + both verification sides). Catalyst does not
+# materialize common subplans, so without a boundary the physical
+# plan contains the shingle + frequency-join subtree 3x and the
+# document scan ~6x (visible in explain()). stage_boundary
+# (persist MEMORY_AND_DISK, lazy: the single no-op-sink action
+# fills the cache on first touch, the other branches read blocks)
+# computes it once; the ContextCleaner unpersists when the frame
+# is unreferenced, so repeated calls don't leak storage. At local
+# fixture scale the redundant subtree is cheap enough that this is
+# near-neutral on wall clock; at 100 TB — where the shingle
+# explode dominates — compute-once is the difference between one
+# corpus pass and three. There, prefer writing the frame once as a
+# bucketed table keyed on doc_id so the verification joins are
+# also exchange-free.
 # --------------------------------------------------------------------
 @query(
     "datapipe_jaccard_prefix_join",
@@ -3959,6 +3967,8 @@ def datapipe_png_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def datapipe_jaccard_prefix_join(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from ..operators.staging import stage_boundary
+
     sh = (
         load(spark, sf_dir, "documents")
         .select(
@@ -3984,6 +3994,7 @@ def datapipe_jaccard_prefix_join(
         )
         .select("doc_id", "toks", F.size("toks").alias("s"))
     )
+    ordered = stage_boundary(ordered, materialize=False)
     # prefix length for tau = 9/10, in exact integer arithmetic:
     # p = s - ceil(9s/10) + 1
     prefixes = ordered.select(
