@@ -4340,6 +4340,14 @@ def datapipe_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = pairs.groupBy("tok_a", "tok_b").agg(
         F.count(F.lit(1)).alias("c_xy")
     )
+    # stage boundaries at the two aggregated frames (O(vocab) and
+    # O(distinct pairs)): marg feeds three consumers (n_tok, both
+    # marginal join sides) and pc two (n_pairs, the main join), so
+    # the unstaged plan re-tokenizes the corpus five times
+    from ..operators.staging import stage_boundary
+
+    marg = stage_boundary(marg, materialize=False)
+    pc = stage_boundary(pc, materialize=False)
     # totals come from the ALREADY-aggregated frames (O(vocab) /
     # O(pairs) rows), not a second scan of the corpus-sized inputs
     n_tok = marg.agg(F.sum("c").alias("n"))

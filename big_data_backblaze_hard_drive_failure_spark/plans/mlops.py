@@ -1603,6 +1603,7 @@ def mlops_conformal_interval(
 )
 def mlops_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix import global_prefix_sum
+    from ..operators.staging import stage_boundary
 
     ev = load(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
@@ -1624,6 +1625,15 @@ def mlops_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t"),
         F.col("err_ts").isNotNull().cast("long").alias("failed"),
     )
+    # stage boundary at the per-user duration frame (O(users) rows).
+    # Both prefix passes, the life table, and the total count all
+    # branch from here; without the boundary the physical plan
+    # carries the events scan TWELVE times (per-user group-by +
+    # horizon max in every branch — tests/test_plan_hygiene.py's
+    # rescan budget pins the fixed plan at <= 2 scans). Wall-clock
+    # neutral at fixture scale; at 100 TB it is one corpus pass
+    # instead of six.
+    dur = stage_boundary(dur, materialize=False)
     grp = dur.groupBy("t").agg(
         F.count(F.lit(1)).alias("n_all"),
         F.sum("failed").alias("n_fail"),
@@ -2042,6 +2052,7 @@ def mlops_ab_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mlops_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix import global_prefix_sums
+    from ..operators.staging import stage_boundary
 
     ev = load(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
@@ -2064,6 +2075,10 @@ def mlops_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t"),
         F.col("err_ts").isNotNull().cast("long").alias("failed"),
     )
+    # same O(users) stage boundary as mlops_kaplan_meier: without it
+    # the plan scans events six times (cohort life table, cohort
+    # totals, and the shared prefix pass each recompute it)
+    dur = stage_boundary(dur, materialize=False)
     g = dur.groupBy("t").agg(
         F.sum((F.col("grp") == 0).cast("long")).alias("all_a"),
         F.sum((F.col("grp") == 1).cast("long")).alias("all_b"),

@@ -34,6 +34,34 @@ def test_no_cartesian_no_row_python(spark, sf_smoke, name):
     assert "BatchEvalPython" not in tree, f"{name} uses a row-pickling UDF"
 
 
+# Per-table rescan budget. Catalyst does not materialize common
+# subplans: a frame consumed by N sibling branches appears N times in
+# the physical plan, and each occurrence is a full corpus pass at
+# 100 TB. Shapes that legitimately reach 3-4 scans exist (NOT-EXISTS
+# twins like tpch_q21 re-probe lineitem; incremental-vs-corpus dedup
+# reads the corpus as both sides), so the budget is 4; anything above
+# means a missing operators.staging.stage_boundary on a shared frame
+# (mlops_kaplan_meier hit TWELVE events scans before its boundary;
+# the sweep that found it is the scan audit this test now pins).
+_RESCAN_BUDGET = 4
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_table_rescan_budget(spark, sf_smoke, name):
+    import re
+    from collections import Counter
+
+    from tests.test_plans import _formatted
+
+    plan = _formatted(spark, name, sf_smoke)
+    scans = Counter(re.findall(r"file:[^\s\]]*?/(\w+)\.parquet", plan))
+    worst = {t: n for t, n in scans.items() if n > _RESCAN_BUDGET}
+    assert not worst, (
+        f"{name} scans {worst} times in one plan — add a stage_boundary "
+        "on the shared frame (each extra scan is a full corpus pass)"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_oracle_paired_schemas_are_scalar(spark, sf_smoke, name):
     """Driver-gate compatibility: the correctness harness canonicalizes
