@@ -3281,21 +3281,29 @@ def datapipe_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lucene ``ln((N - df + 0.5)/(df + 0.5) + 1)`` form (always
     positive), k1=1.2, b=0.75.
     """
+    from ..operators.staging import stage_boundary
+
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", tokens("text").alias("toks")
     )
-    dl = docs.select(
-        "doc_id", F.size("toks").cast("long").alias("dl")
+    # dl (two longs per doc) and tf (docs x |Q| query terms) are the
+    # two shared frames; staged, the plan tokenizes the corpus twice
+    # (their fills) instead of four times (stats + df_ + both final
+    # join sides)
+    dl = stage_boundary(
+        docs.select("doc_id", F.size("toks").cast("long").alias("dl")),
+        materialize=False,
     )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.col("dl") * 1.0).alias("avgdl"),
     )  # 1-row, broadcast
-    tf = (
+    tf = stage_boundary(
         docs.select("doc_id", F.explode("toks").alias("tok"))
         .filter(F.col("tok").isin(*BM25_TERMS))
         .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf")),
+        materialize=False,
     )
     df_ = tf.groupBy("tok").agg(
         F.countDistinct("doc_id").alias("df")
@@ -3531,9 +3539,20 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", F.explode(tokens("text")).alias("tok")
     )
-    freq = toks.groupBy("tok").agg(
-        F.count(F.lit(1)).alias("c_raw"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_tgt"),
+    from ..operators.staging import stage_boundary
+
+    # O(vocab) boundary: freq feeds the totals and the scoring join;
+    # unstaged, each consumer re-tokenizes the corpus. The token
+    # stream itself (toks) stays unstaged on purpose — it is
+    # corpus-sized, and two tokenize passes beat materializing it.
+    freq = stage_boundary(
+        toks.groupBy("tok").agg(
+            F.count(F.lit(1)).alias("c_raw"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias(
+                "c_tgt"
+            ),
+        ),
+        materialize=False,
     )
     tot = freq.agg(
         F.sum("c_raw").alias("n_raw"),
@@ -4710,9 +4729,15 @@ def datapipe_ngram_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def datapipe_chi_square_assoc(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from ..operators.staging import stage_boundary
+
     docs = load(spark, sf_dir, "documents")
-    ct = docs.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n")
+    # the contingency table is O(langs x sources) and feeds four
+    # consumers (row/col marginals, totals, the join) — staged so the
+    # plan scans documents once, not four times
+    ct = stage_boundary(
+        docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n")),
+        materialize=False,
     )
     rm = ct.groupBy("lang").agg(F.sum("n").alias("nr"))
     cm = ct.groupBy("source").agg(F.sum("n").alias("nc"))
