@@ -3373,11 +3373,19 @@ def datapipe_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     would drop first). AVG of per-token doubles is rounded to 6dp on
     both engines; token and total counts are exact integers.
     """
+    from ..operators.staging import stage_boundary
+
     toks = (
         load(spark, sf_dir, "documents")
         .select("doc_id", F.explode(tokens("text")).alias("tok"))
     )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    # O(vocab) boundary (the DSIR pattern): freq feeds the total and
+    # the scoring join; staged, the corpus tokenizes twice, not three
+    # times
+    freq = stage_boundary(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq")),
+        materialize=False,
+    )
     tot = freq.agg(F.sum("freq").alias("t"))  # 1-row, broadcast
     return (
         toks.join(freq, "tok")
@@ -3856,11 +3864,17 @@ _VOCAB_K = 16
 )
 def datapipe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OOV rate of the top-16-token vocabulary over the corpus."""
-    counts = (
+    from ..operators.staging import stage_boundary
+
+    # O(vocab) boundary: counts feeds the vocab cut, the token total,
+    # and the coverage semi-join — staged, one tokenize pass instead
+    # of three
+    counts = stage_boundary(
         load(spark, sf_dir, "documents")
         .select(F.explode(tokens("text")).alias("tok"))
         .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("c")),
+        materialize=False,
     )
     vocab = counts.orderBy(F.desc("c"), "tok").limit(_VOCAB_K).select("tok")
     tot = counts.agg(F.sum("c").alias("n_tokens"))

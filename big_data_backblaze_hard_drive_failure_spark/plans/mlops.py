@@ -1503,13 +1503,21 @@ def mlops_conformal_interval(
         "event_id",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
+    from ..operators.staging import stage_boundary
+
     cal = base.filter(F.col("event_id") % 2 == 0)
-    pred = cal.groupBy("event_type").agg(
-        (
-            (F.sum("cents").cast("double") / F.lit(100.0))
-            / F.count(F.lit(1))
-        ).alias("mu"),
-        F.count(F.lit(1)).alias("n_cal"),
+    # O(event_types) boundary: the per-type calibration means feed
+    # the quantile pass and the eval join — staged, the calibration
+    # half scans once for them instead of per consumer
+    pred = stage_boundary(
+        cal.groupBy("event_type").agg(
+            (
+                (F.sum("cents").cast("double") / F.lit(100.0))
+                / F.count(F.lit(1))
+            ).alias("mu"),
+            F.count(F.lit(1)).alias("n_cal"),
+        ),
+        materialize=False,
     )
     resid = F.abs(F.col("cents") / F.lit(100.0) - F.col("mu"))
     q = (

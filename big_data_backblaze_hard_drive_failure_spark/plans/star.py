@@ -3511,6 +3511,12 @@ def star_rfm_segments_scalable(
             "monetary_cents",
         )
     )
+    # O(customers) boundary: the RFM frame feeds the quantile-edge
+    # aggregate and the scoring join — staged, orders scans once for
+    # both instead of per consumer
+    from ..operators.staging import stage_boundary
+
+    rfm = stage_boundary(rfm, materialize=False)
     qs = "array(0.2, 0.4, 0.6, 0.8)"
     edges = rfm.agg(
         F.expr(f"percentile(neg_recency, {qs})").alias("re"),
