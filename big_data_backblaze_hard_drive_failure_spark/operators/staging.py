@@ -16,8 +16,23 @@ for multi-hour jobs.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
+
+# Live staged frames, oldest first. Spark's ContextCleaner frees
+# weakly-referenced RDDs/broadcasts but NOT SQL CacheManager entries —
+# a persisted DataFrame's InMemoryRelation is held until an explicit
+# unpersist() or session shutdown. A long-lived session that builds
+# staged plans over many inputs (daily partitions, per-round fixture
+# dirs) would therefore grow executor storage without bound. This
+# bounded LRU caps the number of simultaneously-live stage caches:
+# past the cap the oldest is unpersisted (safe — later actions on it
+# just recompute). Sized to comfortably hold every staged frame a
+# single query plan needs, times a few concurrent queries.
+_LIVE_STAGED: "OrderedDict[int, DataFrame]" = OrderedDict()
+_MAX_LIVE_STAGED = 32
 
 
 def stage_boundary(
@@ -27,11 +42,29 @@ def stage_boundary(
 ) -> DataFrame:
     """Persist a stage output; optionally force materialization now
     (the reference's ``persist(); count()`` idiom) so downstream
-    actions reuse blocks instead of racing to fill the cache."""
+    actions reuse blocks instead of racing to fill the cache.
+
+    Every staged frame is tracked in a bounded LRU; beyond
+    ``_MAX_LIVE_STAGED`` the oldest cache is dropped so repeated
+    query builds over new inputs can't leak executor storage."""
     out = df.persist(storage_level)
     if materialize:
         out.count()
+    _LIVE_STAGED[id(out)] = out
+    while len(_LIVE_STAGED) > _MAX_LIVE_STAGED:
+        _, oldest = _LIVE_STAGED.popitem(last=False)
+        oldest.unpersist(blocking=False)
     return out
+
+
+def release_stage_boundaries() -> int:
+    """Unpersist every live staged frame (e.g. between bench queries
+    or at pipeline teardown). Returns the number released."""
+    n = len(_LIVE_STAGED)
+    while _LIVE_STAGED:
+        _, oldest = _LIVE_STAGED.popitem(last=False)
+        oldest.unpersist(blocking=False)
+    return n
 
 
 def lineage_cut(df: DataFrame, eager: bool = True) -> DataFrame:

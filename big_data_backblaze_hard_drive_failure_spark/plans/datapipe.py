@@ -3962,8 +3962,10 @@ def datapipe_png_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # document scan ~6x (visible in explain()). stage_boundary
 # (persist MEMORY_AND_DISK, lazy: the single no-op-sink action
 # fills the cache on first touch, the other branches read blocks)
-# computes it once; the ContextCleaner unpersists when the frame
-# is unreferenced, so repeated calls don't leak storage. At local
+# computes it once; stage_boundary's bounded LRU unpersists the
+# oldest staged cache past its cap (Spark's ContextCleaner does NOT
+# free SQL cache entries), so repeated calls don't leak storage. At
+# local
 # fixture scale the redundant subtree is cheap enough that this is
 # near-neutral on wall clock; at 100 TB — where the shingle
 # explode dominates — compute-once is the difference between one

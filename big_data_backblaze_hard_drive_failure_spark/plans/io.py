@@ -160,22 +160,25 @@ def _partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         + "_" + _hl.md5(real.encode()).hexdigest()[:8]
     )  # realpath-derived: same-basename fixture dirs must not collide
     path = scratch_dir(f"partitioned_events_{key}")
-    staged = load(spark, sf_dir, "events").select(
-        "event_id",
-        "ts",
-        "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-    )
     if key not in _PARTITIONED_WRITTEN:
+        staged = load(spark, sf_dir, "events").select(
+            "event_id",
+            "ts",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
         write_parquet(staged, path, partition_by=["event_type"])
-        _PARTITIONED_WRITTEN.add(key)
+        # capture the write-side schema so later calls don't rebuild
+        # the source lineage (footer read + nanos-rebuild select) just
+        # to name it
+        _PARTITIONED_WRITTEN[key] = staged.schema
     # explicit read schema: a zero-row day writes NO parquet files into
     # the partition dirs, and schema inference over an empty layout
     # fails — the write-side schema is the contract either way
-    return spark.read.schema(staged.schema).parquet(path)
+    return spark.read.schema(_PARTITIONED_WRITTEN[key]).parquet(path)
 
 
-_PARTITIONED_WRITTEN: set[str] = set()
+_PARTITIONED_WRITTEN: dict[str, "object"] = {}
 
 
 _ROUNDTRIP_ORACLE = """

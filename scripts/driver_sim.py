@@ -64,6 +64,10 @@ def main() -> int:
             # registry iteration order (the rotation floats unseen
             # names to the front)
             only = "FIRST50"  # resolved after import
+        elif a.startswith("--"):
+            # an unrecognized flag must not silently select all 248
+            # queries (or zero) and print a green run
+            raise SystemExit(f"unknown flag {a!r} (expected --only=a,b or --first50)")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[8]")
@@ -87,6 +91,13 @@ def main() -> int:
     if only == "FIRST50":
         only = set(list(qs)[:50])
     names = sorted(qs) if only is None else sorted(n for n in qs if n in only)
+    if only is not None:
+        unknown = sorted(only - set(qs))
+        if unknown:
+            # a typo'd --only name must fail loudly, not shrink the run
+            raise SystemExit(f"--only names not in the registry: {unknown}")
+    if not names:
+        raise SystemExit("no queries selected — refusing to print a green run")
     fails = []
     for name in names:
         sdf = qs[name](spark, sf_dir)

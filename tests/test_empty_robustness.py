@@ -9,7 +9,7 @@ numpy, MLlib, or the parquet reader.
 
 The four model-TRAINING queries are the only allowed raisers: a model
 genuinely cannot be fit on an empty frame, and the contract is the
-explicit message from ml/training.py:_require_rows /
+explicit message from ml/training.py:_fit_or_explain_empty /
 ml/early_stopping.py:fit_boosted_stumps.
 """
 
@@ -70,7 +70,8 @@ def test_every_query_survives_empty_input(spark, empty_sf_dir):
             if not (want and re.search(want, str(ex))):
                 bad[name] = f"ValueError: {ex}"
         except Exception as ex:  # noqa: BLE001 — cataloging, not handling
-            bad[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:140]}"
+            first = (str(ex).splitlines() or [""])[0]
+            bad[name] = f"{type(ex).__name__}: {first[:140]}"
         else:
             if name in _EXPECTED_RAISE:
                 bad[name] = "expected the documented empty-input ValueError"
