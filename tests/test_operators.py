@@ -245,6 +245,31 @@ def test_stage_boundary_persists(spark, sf_smoke):
     assert cut.count() == n
 
 
+def test_stage_boundary_lru_bounds_live_caches(spark, sf_smoke):
+    """The staged-frame LRU must cap simultaneously-live SQL caches
+    (ContextCleaner never frees CacheManager entries) and
+    release_stage_boundaries must drop them all."""
+    from big_data_backblaze_hard_drive_failure_spark.operators import staging
+
+    base = _events(spark, sf_smoke).select("event_id", "value")
+    staging.release_stage_boundaries()
+    frames = [
+        staging.stage_boundary(base.filter(F.col("event_id") % 100 == i),
+                               materialize=False)
+        for i in range(staging._MAX_LIVE_STAGED + 3)
+    ]
+    assert len(staging._LIVE_STAGED) == staging._MAX_LIVE_STAGED
+    # the oldest overflow victims were unpersisted, the newest kept
+    assert frames[0].storageLevel.useMemory is False
+    assert frames[-1].storageLevel.useMemory or frames[-1].storageLevel.useDisk
+    # an evicted frame still computes correctly (recompute, not error)
+    assert frames[0].count() == base.filter(F.col("event_id") % 100 == 0).count()
+    released = staging.release_stage_boundaries()
+    assert released == staging._MAX_LIVE_STAGED
+    assert not staging._LIVE_STAGED
+    assert frames[-1].storageLevel.useMemory is False
+
+
 def test_row_udf_matches_pandas_udf(spark, sf_smoke):
     """Typed row-wise UDF (reference F2, typed) agrees with the
     vectorized scorer — same arithmetic, different execution path."""
