@@ -538,17 +538,19 @@ def fake_decode_meta(df: DataFrame) -> DataFrame:
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payload = pdf["payload"]
-            byte_len = payload.map(len).astype("int64")
+            # NULL payload (missing asset) -> NULL metadata, row kept —
+            # nullable extension dtypes carry the NA through Arrow
+            byte_len = payload.map(len, na_action="ignore").astype("Int64")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "byte_len": byte_len,
                     "first_byte": payload.map(
-                        lambda b: b[0] if len(b) else -1
-                    ).astype("int32"),
-                    "fake_width": (64 + byte_len % 512).astype("int32"),
-                    "fake_height": (64 + byte_len % 384).astype("int32"),
-                    "fake_n_frames": (1 + byte_len % 7).astype("int32"),
+                        lambda b: b[0] if len(b) else -1, na_action="ignore"
+                    ).astype("Int32"),
+                    "fake_width": (64 + byte_len % 512).astype("Int32"),
+                    "fake_height": (64 + byte_len % 384).astype("Int32"),
+                    "fake_n_frames": (1 + byte_len % 7).astype("Int32"),
                 }
             )
 

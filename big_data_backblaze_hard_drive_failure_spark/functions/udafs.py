@@ -15,9 +15,12 @@ def exact_cents_mean(v: pd.Series) -> float:
     """Exact mean of a 2-decimal column via integer cents: summing
     int64 is order-insensitive, so the result is bit-identical across
     partial-aggregation layouts AND engines (a float sum would drift
-    with accumulation order)."""
-    cents = (v * 100).round().astype("int64")
-    return int(cents.sum()) / (len(v) * 100.0)
+    with accumulation order). NULLs are skipped like SQL AVG; an
+    all-NULL group aggregates to NULL."""
+    cents = (v.dropna() * 100).round().astype("int64")
+    if cents.empty:
+        return None
+    return int(cents.sum()) / (len(cents) * 100.0)
 
 
 # Scalar Arrow UDFs (Spark 4 arrow_udf) — live here for the same

@@ -25,6 +25,8 @@ class ChunkDocuments:
     pre-tokenization windowing for LLM training corpora)."""
 
     def eval(self, doc_id: int, text: str):
+        if text is None:  # a NULL doc has no chunks — emit nothing
+            return
         toks = text.split(" ")
         for idx, start in enumerate(range(0, len(toks), CHUNK_TOKENS)):
             chunk = toks[start : start + CHUNK_TOKENS]
@@ -64,6 +66,8 @@ class NGramWindows:
         return AnalyzeResult(schema=schema)
 
     def eval(self, doc_id: int, text: str, n: int):
+        if text is None:  # a NULL doc has no windows — emit nothing
+            return
         toks = text.split(" ")
         for pos in range(len(toks) - n + 1):
             win = toks[pos : pos + n]

@@ -33,9 +33,14 @@ TOPANDAS_ROW_CAP = 1_000_000
 def assemble_features(
     df: DataFrame, features: Sequence[str], out: str = "features_vec"
 ) -> DataFrame:
-    """Column list -> MLlib vector column (null-safe: rows with any
-    null feature are the caller's job to fill first — reference P8)."""
-    asm = VectorAssembler(inputCols=list(features), outputCol=out)
+    """Column list -> MLlib vector column. Rows with a null/NaN
+    feature are DROPPED (handleInvalid="skip"): a row with missing
+    features carries no usable signal, and silently imputing here
+    would hide upstream gaps — the caller fills deliberately
+    (reference P8 ``fillna(0)``) when imputation is the intent."""
+    asm = VectorAssembler(
+        inputCols=list(features), outputCol=out, handleInvalid="skip"
+    )
     return asm.transform(df)
 
 
@@ -67,8 +72,10 @@ def train_logistic(
     reg_param: float = 0.0,
 ):
     """Distributed logistic regression (Spark-native twin of the
-    reference's binary:logistic XGBoost objective, 05_01:110-121)."""
-    vec = assemble_features(df, features)
+    reference's binary:logistic XGBoost objective, 05_01:110-121).
+    Unlabeled rows can't train: null labels are dropped alongside
+    assemble_features' null-feature skip."""
+    vec = assemble_features(df.filter(F.col(label).isNotNull()), features)
     lr = LogisticRegression(
         featuresCol="features_vec",
         labelCol=label,
@@ -88,8 +95,9 @@ def train_gbt(
     seed: int = 42,
 ):
     """Gradient-boosted trees — the closest MLlib analog of the
-    reference's XGBoost config (depth 6, hist; 05_01:110-121)."""
-    vec = assemble_features(df, features)
+    reference's XGBoost config (depth 6, hist; 05_01:110-121).
+    Null labels dropped — see train_logistic."""
+    vec = assemble_features(df.filter(F.col(label).isNotNull()), features)
     gbt = GBTClassifier(
         featuresCol="features_vec",
         labelCol=label,

@@ -757,8 +757,16 @@ def datapipe_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance 9.0 (euclidean on unit-ish vectors ~ cosine band)."""
     from pyspark.ml.functions import array_to_vector
 
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(as_double_array("embedding")).alias("v")
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        # a NULL vector can't be hashed or matched — not part of the
+        # index by definition; filter BEFORE array_to_vector, whose
+        # JVM lambda NPEs on a null array rather than passing it
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            array_to_vector(as_double_array("embedding")).alias("v"),
+        )
     )
     model = _brp_lsh_fit(spark, sf_dir, emb)
     if model is None:  # zero-row corpus: no neighbors to find
@@ -1520,8 +1528,10 @@ def _ivf_fit_centroids(
     if key in _IVF_CENTROIDS:
         return _IVF_CENTROIDS[key]
 
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("v")
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_array("embedding").alias("v"))
+        .filter(F.col("v").isNotNull())  # NULL vectors can't train cells
     )
     # limit() already enforces the guarded-toPandas bound structurally,
     # so skip the guard's count() pre-pass (one Spark job saved)
@@ -1584,9 +1594,11 @@ def datapipe_knn_ivf(
 ) -> DataFrame:
     import numpy as np
 
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        as_double_array("embedding").alias("v"),
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_array("embedding").alias("v"))
+        # NULL vectors are neither indexable nor searchable
+        .filter(F.col("v").isNotNull())
     )
     centroid_lists = _ivf_fit_centroids(spark, sf_dir, k_cells)
     if not centroid_lists:

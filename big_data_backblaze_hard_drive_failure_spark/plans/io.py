@@ -405,7 +405,8 @@ _BINARYFILE_CAP = 24
     SELECT doc_id,
            CAST(strlen(text) AS BIGINT) AS n_bytes,
            sha256(text) AS sha
-    FROM documents WHERE doc_id < {_BINARYFILE_CAP}
+    FROM documents
+    WHERE doc_id < {_BINARYFILE_CAP} AND text IS NOT NULL
     """,
 )
 def io_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,6 +415,9 @@ def io_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _BINARYFILE_CAP)
+        # a NULL doc has no bytes — no file lands for it (same filter
+        # in the oracle)
+        .filter(F.col("text").isNotNull())
         .select("doc_id", "text")
         .collect()  # bounded: < _BINARYFILE_CAP rows, fixture setup only
     )

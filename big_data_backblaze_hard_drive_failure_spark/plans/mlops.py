@@ -1772,7 +1772,11 @@ def mlops_isotonic_calibration(
         score_column(MODEL).alias("score"),
         F.col("is_error").alias("label"),
     )
-    vec = VectorAssembler(inputCols=["score"], outputCol="features")
+    # skip: a row with a null score/label carries nothing to calibrate
+    vec = VectorAssembler(
+        inputCols=["score"], outputCol="features", handleInvalid="skip"
+    )
+    scored = scored.filter(F.col("label").isNotNull())
     iso = IsotonicRegression(
         featuresCol="features", labelCol="label", isotonic=True
     )

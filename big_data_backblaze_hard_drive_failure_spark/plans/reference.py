@@ -664,14 +664,15 @@ _GROUPED_ZSCORE_SQL = """
         SELECT user_id, event_id, value,
                SUM(cents) OVER w AS sx,
                SUM(cents * cents) OVER w AS sxx,
-               COUNT(*) OVER w AS n
+               COUNT(cents) OVER w AS n
         FROM (SELECT user_id, event_id, value,
                      CAST(ROUND(value * 100) AS BIGINT) AS cents
               FROM events)
         WINDOW w AS (PARTITION BY user_id)
     )
     SELECT event_id, user_id,
-           CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0
+           CASE WHEN value IS NULL THEN NULL
+                WHEN n > 1 AND (n * sxx - sx * sx) > 0
                 THEN (value - sx / (n * 100.0))
                      / (SQRT((n * sxx - sx * sx) * 1.0 / (n * (n - 1)))
                         / 100.0)
@@ -689,8 +690,11 @@ def ref_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        cents = (pdf["value"] * 100).round().astype("int64")
-        n = len(pdf)
+        # NULL values carry no statistics (SQL AVG semantics) and get
+        # a NULL z-score; Float64 (nullable) turns the NaNs they
+        # propagate into real NULLs through Arrow
+        cents = (pdf["value"].dropna() * 100).round().astype("int64")
+        n = len(cents)
         sx = int(cents.sum())
         sxx = int((cents * cents).sum())
         if n > 1 and (n * sxx - sx * sx) > 0:
@@ -698,12 +702,12 @@ def ref_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             std = ((n * sxx - sx * sx) * 1.0 / (n * (n - 1))) ** 0.5 / 100.0
             z = (pdf["value"] - mean) / std
         else:
-            z = pd.Series(0.0, index=pdf.index)
+            z = pd.Series(0.0, index=pdf.index).mask(pdf["value"].isna())
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 "user_id": pdf["user_id"],
-                "zscore": z.astype("float64"),
+                "zscore": z.astype("Float64"),
             }
         )
 
@@ -735,7 +739,7 @@ def ref_grouped_zscore_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "value", cents.alias("cents"))
         .withColumn("sx", F.sum("cents").over(w))
         .withColumn("sxx", F.sum(F.col("cents") * F.col("cents")).over(w))
-        .withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("n", F.count("cents").over(w))
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     var_num = n * sxx - sx * sx
@@ -745,7 +749,11 @@ def ref_grouped_zscore_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "event_id",
         "user_id",
-        F.when((n > 1) & (var_num > 0), z).otherwise(F.lit(0.0)).alias("zscore"),
+        # a NULL value has no z-score (stats skip it, like SQL AVG)
+        F.when(F.col("value").isNull(), F.lit(None).cast("double"))
+        .when((n > 1) & (var_num > 0), z)
+        .otherwise(F.lit(0.0))
+        .alias("zscore"),
     )
 
 
@@ -759,7 +767,7 @@ def ref_grouped_zscore_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ref_grouped_agg_udaf",
     oracle="""
     SELECT event_type,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) / (COUNT(*) * 100.0)
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / (COUNT(value) * 100.0)
                AS exact_mean
     FROM events GROUP BY event_type
     """,

@@ -1602,10 +1602,13 @@ def star_pandas_api_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         psdf = ps.read_parquet(os.path.join(sf_dir, "orders.parquet"))
         psdf = psdf.assign(
-            cents=(psdf["o_totalprice"] * 100).round().astype("int64")
+            # nullable Int64: a NULL price stays NULL (plain int64
+            # astype refuses missing values); sum() skips it like SQL
+            cents=(psdf["o_totalprice"] * 100).round().astype("Int64")
         )
         g = (
-            psdf.groupby("o_orderstatus")
+            # dropna=False: SQL GROUP BY keeps the NULL-key group
+            psdf.groupby("o_orderstatus", dropna=False)
             .agg(
                 n_orders=("o_orderkey", "count"),
                 total_cents=("cents", "sum"),

@@ -1,0 +1,92 @@
+"""Registry-wide null-input robustness.
+
+Lake data at 100 TB is never fully populated: a scraper emits NULL
+text, a sensor drops `value`, an embedding job writes NULL vectors for
+failed rows, a schema migration back-fills NULL. Every registered
+query must tolerate a corpus where ~10% of every NON-KEY value is
+NULL — producing a (possibly different) result or the engine's own
+documented pipeline-level error, never an internal crash from a UDF
+unpacking None, numpy choking on NaN-promoted objects, or MLlib's
+"Values to assemble cannot be null".
+
+Join/identity keys (``*key`` / ``*_id``) stay populated: nulling them
+is a different scenario (referential breakage) with different
+semantics; the empty-input sweep already covers the degenerate end.
+
+The null mask is deterministic — row ``i`` of column ``j`` (in schema
+order) is nulled iff ``(i + 7*j) % 10 == 3`` — so different columns
+null different rows and reruns are reproducible.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from big_data_backblaze_hard_drive_failure_spark.plans import QUERIES
+
+SRC = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+_KEY = re.compile(r"(key|_id)$")
+
+# training ops raise their documented error if nulls empty the split;
+# with a 10% mask they still have rows, so they are expected to FIT —
+# but either outcome is a contract, not a crash
+_ALLOWED_RAISE = {
+    "mlops_train_eval": r"training input has no rows",
+    "mlops_gbt_score": r"training input has no rows",
+    "mlops_gbt_contributions": r"training input has no rows",
+    "mlops_train_early_stop": r"empty training or validation split",
+}
+
+
+def _null_mask(n: int, col_idx: int) -> pa.Array:
+    return pa.array([(i + 7 * col_idx) % 10 == 3 for i in range(n)])
+
+
+@pytest.fixture(scope="session")
+def nulled_sf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_nulled")
+    for t in TABLES:
+        tbl = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        cols = []
+        for j, f in enumerate(tbl.schema):
+            col = tbl.column(j).combine_chunks()
+            if not _KEY.search(f.name):
+                col = pc.if_else(
+                    _null_mask(len(tbl), j), pa.nulls(len(tbl), f.type), col
+                )
+            cols.append(col)
+        pq.write_table(
+            pa.Table.from_arrays(cols, schema=tbl.schema),
+            str(d / f"{t}.parquet"),
+        )
+    return str(d)
+
+
+def test_every_query_survives_nulled_input(spark, nulled_sf_dir):
+    """One loop so the sweep shares a session; collects ALL violations
+    before failing so a regression shows the full blast radius."""
+    bad: dict[str, str] = {}
+    for name, fn in sorted(QUERIES.items()):
+        try:
+            fn(spark, nulled_sf_dir).collect()
+        except ValueError as ex:
+            want = _ALLOWED_RAISE.get(name)
+            if not (want and re.search(want, str(ex))):
+                first = (str(ex).splitlines() or [""])[0]
+                bad[name] = f"ValueError: {first[:140]}"
+        except Exception as ex:  # noqa: BLE001 — cataloging, not handling
+            first = (str(ex).splitlines() or [""])[0]
+            bad[name] = f"{type(ex).__name__}: {first[:140]}"
+    assert not bad, f"{len(bad)} queries break on 10%-nulled input: {bad}"
