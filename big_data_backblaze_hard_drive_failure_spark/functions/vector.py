@@ -36,4 +36,9 @@ def l2_norm(v: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL when either vector has zero norm: the angle is undefined,
+    and under ANSI mode a bare division would abort the whole job on
+    one degenerate row. DuckDB's x/0 is NULL, so SQL oracles agree
+    without extra CASE arms (threshold filters then drop the pair on
+    both engines)."""
+    return dot_product(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))

@@ -354,7 +354,9 @@ def datapipe_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ta, tb = toks.alias("ta"), toks.alias("tb")
     jac = (
         F.size(F.array_intersect(F.col("ta.ts"), F.col("tb.ts"))) * 1.0
-        / F.size(F.array_union(F.col("ta.ts"), F.col("tb.ts")))
+        / F.nullif(
+            F.size(F.array_union(F.col("ta.ts"), F.col("tb.ts"))), F.lit(0)
+        )  # two empty token sets: similarity undefined, NULL like DuckDB
     )
     return (
         cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
@@ -402,7 +404,12 @@ def datapipe_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = (
         F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
         * 1.0
-        / F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+        # two shingle-less docs (< 3 tokens): undefined, NULL on both
+        # engines (ANSI division would abort the job on one such pair)
+        / F.nullif(
+            F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles"))),
+            F.lit(0),
+        )
     )
     return a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
         F.col("a.doc_id").alias("doc_a"),
@@ -476,9 +483,10 @@ def datapipe_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
-        FROM embeddings WHERE vec_id < 5
+        FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL
     ), c AS (
         SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings
+        WHERE embedding IS NOT NULL
     ), sims AS (
         SELECT query_id, vec_id,
                list_dot_product(qe, ce) /
@@ -491,7 +499,7 @@ def datapipe_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT *, ROW_NUMBER() OVER (
                    PARTITION BY query_id
                    ORDER BY ROUND(cosine, 6) DESC, vec_id) AS rank
-        FROM sims
+        FROM sims WHERE cosine IS NOT NULL
     )
     WHERE rank <= 3
     """,
@@ -503,8 +511,12 @@ def datapipe_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-pushdown window (WindowGroupLimit). Ranking on ROUND(cos, 6)
     with a vec_id tie-break keeps ranks stable across engines (raw
     doubles are bit-identical here, but rounding makes the contract
-    explicit). Scale path for corpus-x-corpus: datapipe_knn_lsh."""
-    emb = load(spark, sf_dir, "embeddings")
+    explicit). NULL vectors and zero-norm pairs (NULL cosine) are not
+    neighbors — excluded rather than left to engine null-ordering.
+    Scale path for corpus-x-corpus: datapipe_knn_lsh."""
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     q = (
         emb.filter(F.col("vec_id") < 5)
         .select(
@@ -521,6 +533,7 @@ def datapipe_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             cosine_similarity("qe", "ce").alias("cosine"),
         )
+        .filter(F.col("cosine").isNotNull())
     )
     return top_k_per_group(
         sims,
@@ -540,7 +553,7 @@ def datapipe_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                + 8 * (embedding[3] > 0)::INT + 4 * (embedding[4] > 0)::INT
                + 2 * (embedding[5] > 0)::INT + (embedding[6] > 0)::INT
                    AS bucket
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            list_dot_product(a.v, b.v) /
@@ -567,10 +580,14 @@ def datapipe_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bit = (F.element_at(F.col("embedding"), d + 1) > 0).cast("int")
         term = bit * (2 ** (5 - d))
         sign_bits = term if sign_bits is None else sign_bits + term
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        as_double_array("embedding").alias("v"),
-        sign_bits.alias("bucket"),
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())  # no bucket, no pairs
+        .select(
+            "vec_id",
+            as_double_array("embedding").alias("v"),
+            sign_bits.alias("bucket"),
+        )
     )
     a, b = e.alias("a"), e.alias("b")
     cos = cosine_similarity(F.col("a.v"), F.col("b.v"))
@@ -662,7 +679,7 @@ _SIGN_SIG_SQL = (
         SELECT vec_id,
                {_SIGN_SIG_SQL.format(off=1)} AS sig_lo,
                {_SIGN_SIG_SQL.format(off=33)} AS sig_hi
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            CAST(bit_count(xor(a.sig_lo, b.sig_lo))
@@ -681,8 +698,13 @@ def datapipe_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     N^2 (widen the band for bigger corpora — each extra band bit
     halves candidates). Signature build is a pure JVM map; the only
     shuffle is the band-key join."""
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("v")
+    # NULL vectors have no signature (a NULL sig would silently drop
+    # via the null join key anyway; DuckDB's CASE would instead fold
+    # them to sig 0 — filter on both engines so neither happens)
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", as_double_array("embedding").alias("v"))
     )
 
     def sig(offset: int) -> Column:
@@ -953,7 +975,13 @@ def datapipe_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            octet_length(encode(text)) AS byte_len,
-           ascii(substring(text, 1, 1)) AS first_byte,
+           -- the decoder reads payload BYTES: ascii() would return
+           -- the first CODE POINT (220 for 'Ü' instead of byte 0xC3)
+           CASE WHEN text IS NULL THEN NULL
+                WHEN octet_length(encode(text)) = 0 THEN -1
+                ELSE CAST(CONCAT('0x',
+                          substring(hex(encode(text)), 1, 2)) AS INTEGER)
+           END AS first_byte,
            CAST(64 + octet_length(encode(text)) % 512 AS INTEGER)
                AS fake_width,
            CAST(64 + octet_length(encode(text)) % 384 AS INTEGER)
@@ -1213,7 +1241,9 @@ def datapipe_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            lpad(source, 8, '_') AS src_pad,
            reverse(source) AS src_rev,
            replace(source, 'src', 'corpus') AS src_renamed,
-           concat(lang, ':', source) AS lang_src,
+           -- || not concat(): DuckDB's concat() SKIPS NULL args while
+           -- Spark's concat propagates NULL; || propagates on both
+           lang || ':' || source AS lang_src,
            levenshtein(source, 'src0') AS lev_to_src0,
            instr(text, 'spark') AS first_spark,
            trim(substring(text, 1, 10)) AS head10,
@@ -1783,7 +1813,7 @@ def datapipe_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      for i in range(0, 3)])) AS frame_idx
         FROM (
             SELECT doc_id, text, 1 + strlen(text) % 7 AS n_frames
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         )
     )
     """,
@@ -1792,9 +1822,15 @@ def datapipe_frame_sample(spark: SparkSession, sf_dir: str, k: int = 3) -> DataF
     """Sample up to ``k`` evenly spaced frames per document. n_frames
     derives from payload byte length exactly like fake_decode_meta's
     fake_n_frames; the frame fingerprint (md5 of payload + index)
-    stands in for the decoded-frame feature vector."""
-    docs = load(spark, sf_dir, "documents").withColumn(
-        "n_frames", (F.lit(1) + F.octet_length("text") % 7).cast("int")
+    stands in for the decoded-frame feature vector. NULL payloads
+    have no frames (without the filter, array_distinct keeps a NULL
+    index Spark-side while DuckDB's list_distinct drops it)."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .withColumn(
+            "n_frames", (F.lit(1) + F.octet_length("text") % 7).cast("int")
+        )
     )
     idx = F.array_distinct(
         F.transform(
@@ -2666,9 +2702,10 @@ def datapipe_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFra
     WITH q AS (
         SELECT vec_id AS query_id, label AS query_label,
                embedding::DOUBLE[] AS qe
-        FROM embeddings WHERE vec_id < 5
+        FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL
     ), c AS (
         SELECT vec_id, label, embedding::DOUBLE[] AS ce FROM embeddings
+        WHERE embedding IS NOT NULL
     ), sims AS (
         SELECT query_id, query_label, vec_id, label AS neg_label,
                list_dot_product(qe, ce) /
@@ -2682,13 +2719,17 @@ def datapipe_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFra
         SELECT *, ROW_NUMBER() OVER (
                    PARTITION BY query_id
                    ORDER BY ROUND(cosine, 6) DESC, vec_id) AS rank
-        FROM sims
+        FROM sims WHERE cosine IS NOT NULL
     )
     WHERE rank <= 3
     """,
 )
 def datapipe_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    # same exclusion contract as datapipe_cosine_topk: NULL vectors
+    # and undefined (zero-norm) cosines are not candidates
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
@@ -2712,6 +2753,7 @@ def datapipe_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neg_label",
             cosine_similarity("qe", "ce").alias("cosine"),
         )
+        .filter(F.col("cosine").isNotNull())
     )
     return top_k_per_group(
         sims,
@@ -3664,7 +3706,10 @@ _POS_SQL = ", ".join(
     )
     SELECT a.doc_id,
            CAST(n_hit = n_probe AS INTEGER) AS bloom_hit,
-           CAST(a.fp IN (SELECT fp FROM corpus) AS INTEGER) AS true_dup
+           -- NULL-fp corpus rows (NULL text) match nothing; without
+           -- the filter SQL's three-valued IN returns NULL, not 0
+           CAST(a.fp IN (SELECT fp FROM corpus WHERE fp IS NOT NULL)
+                AS INTEGER) AS true_dup
     FROM agg a
     """,
 )
@@ -4131,6 +4176,11 @@ def datapipe_jaccard_prefix_join(
                CAST(regexp_extract(url, '[?&]q=([0-9]+)', 1) AS BIGINT)
                    AS q_chars
         FROM u
+        -- a NULL source/lang/n_chars nulls the whole concat: no URL,
+        -- not crawlable (Spark's NOT-IN-via-anti-join would otherwise
+        -- KEEP the NULL host while SQL NOT IN drops it — both now
+        -- exclude it explicitly)
+        WHERE url IS NOT NULL
     )
     SELECT host,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -4168,7 +4218,7 @@ def datapipe_url_domain_curation(
         F.parse_url(url, F.lit("QUERY"), F.lit("q"))
         .cast("long")
         .alias("q_chars"),
-    )
+    ).filter(F.col("host").isNotNull())  # no URL -> not crawlable
     blocklist = spark.createDataFrame(
         [("src0-0.example.com",), ("src2-1.example.com",)], ["host"]
     )
@@ -4456,6 +4506,7 @@ def datapipe_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, label AS true_label, CAST(i AS INT) AS i,
                CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
         FROM embeddings CROSS JOIN range(1, 65) r(i)
+        WHERE embedding IS NOT NULL
     ),
     c AS (SELECT true_label AS label, i, AVG(v) AS c
           FROM d GROUP BY true_label, i),
@@ -4811,9 +4862,12 @@ def datapipe_chi_square_assoc(
     "datapipe_weighted_median_len",
     oracle="""
     WITH w AS (
+        -- NULL lengths carry no position on the length axis (and
+        -- Spark orders NULL first vs DuckDB last, which would shift
+        -- every cumulative weight)
         SELECT n_chars AS len_chars,
                CAST(SUM(1 + doc_id % 5) AS BIGINT) AS wt
-        FROM documents GROUP BY n_chars
+        FROM documents WHERE n_chars IS NOT NULL GROUP BY n_chars
     ),
     c AS (
         SELECT len_chars, wt,
@@ -4837,6 +4891,7 @@ def datapipe_weighted_median_len(
 
     w = (
         load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull())  # see oracle comment
         .groupBy(F.col("n_chars").alias("len_chars"))
         .agg(F.sum(1 + F.col("doc_id") % 5).alias("wt"))
     )
@@ -5097,14 +5152,18 @@ def _mmr_oracle() -> str:
     )
     parts = [f"""
     WITH q AS (
-        SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+        SELECT embedding::DOUBLE[] AS qe FROM embeddings
+        WHERE vec_id = 0 AND embedding IS NOT NULL
     ),
     c0 AS (
-        SELECT vec_id, embedding::DOUBLE[] AS ce,
-               {cos.format(a="embedding::DOUBLE[]", b="qe")} AS simq,
-               CAST(-1.0 AS DOUBLE) AS pen
-        FROM embeddings, q
-        WHERE vec_id <> 0 AND vec_id < {_MMR_CAND}
+        SELECT * FROM (
+            SELECT vec_id, embedding::DOUBLE[] AS ce,
+                   {cos.format(a="embedding::DOUBLE[]", b="qe")} AS simq,
+                   CAST(-1.0 AS DOUBLE) AS pen
+            FROM embeddings, q
+            WHERE vec_id <> 0 AND vec_id < {_MMR_CAND}
+                  AND embedding IS NOT NULL
+        ) WHERE simq IS NOT NULL
     )"""]
     for k in range(1, _MMR_K + 1):
         parts.append(f""",
@@ -5152,6 +5211,11 @@ def datapipe_mmr_diverse_topk(
             ).alias("simq"),
             F.lit(-1.0).alias("pen"),
         )
+        # NULL simq (NULL vector, or zero-norm query/candidate) is not
+        # a rankable candidate — a zero-norm query yields an EMPTY
+        # pick list instead of k arbitrary rows (or a driver crash on
+        # float(None))
+        .filter(F.col("simq").isNotNull())
     )
     score = F.round(
         F.lit(lam) * F.col("simq")

@@ -406,7 +406,8 @@ _BINARYFILE_CAP = 24
            CAST(strlen(text) AS BIGINT) AS n_bytes,
            sha256(text) AS sha
     FROM documents
-    WHERE doc_id < {_BINARYFILE_CAP} AND text IS NOT NULL
+    WHERE doc_id < {_BINARYFILE_CAP}
+          AND text IS NOT NULL AND strlen(text) > 0
     """,
 )
 def io_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -415,9 +416,10 @@ def io_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _BINARYFILE_CAP)
-        # a NULL doc has no bytes — no file lands for it (same filter
-        # in the oracle)
-        .filter(F.col("text").isNotNull())
+        # a NULL or empty doc lands no file: there are no bytes, and
+        # Spark's binaryFile source skips zero-byte files anyway —
+        # making the contract explicit keeps the oracle exact
+        .filter(F.octet_length("text") > 0)
         .select("doc_id", "text")
         .collect()  # bounded: < _BINARYFILE_CAP rows, fixture setup only
     )
@@ -453,10 +455,16 @@ def io_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "io_text_roundtrip",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
-           CAST(SUM(strlen(line)) AS BIGINT) AS total_chars,
+           -- length() (code points) not strlen() (bytes): Spark's
+           -- length() counts code points, and unicode corpora differ
+           CAST(SUM(length(line)) AS BIGINT) AS total_chars,
            CAST(SUM(len(string_split(line, ' '))) AS BIGINT) AS total_tokens
     FROM (
-        SELECT replace(replace(text, chr(10), ' '), chr(13), ' ') AS line
+        -- the text sink writes a NULL doc as an empty line (a
+        -- line-oriented format has no NULL), so the round-trip
+        -- profile sees '' — mirror that here
+        SELECT replace(replace(COALESCE(text, ''), chr(10), ' '),
+                       chr(13), ' ') AS line
         FROM documents
     )
     """,
@@ -466,10 +474,16 @@ def io_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # newlines ARE the sink's record delimiter: a doc containing one
     # would split into extra lines on re-read and break the
     # one-line-per-doc contract (the fixture is newline-free; this
-    # normalization makes the round-trip hold for any corpus)
+    # normalization makes the round-trip hold for any corpus). NULL
+    # docs become empty lines EXPLICITLY — a line-oriented format has
+    # no NULL, and relying on the writer's null handling is implicit.
     (
         load(spark, sf_dir, "documents")
-        .select(F.translate("text", "\n\r", "  ").alias("value"))
+        .select(
+            F.translate(
+                F.coalesce(F.col("text"), F.lit("")), "\n\r", "  "
+            ).alias("value")
+        )
         .coalesce(2)
         .write.mode("overwrite")
         .text(path)
