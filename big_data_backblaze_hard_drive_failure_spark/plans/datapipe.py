@@ -941,15 +941,24 @@ def datapipe_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ====================================================================
 @query(
     "datapipe_props_json",
+    # json_valid + TRY_CAST mirror from_json's PERMISSIVE behavior:
+    # malformed JSON, a non-object, a nested value, a case-mismatched
+    # key, or an int32 overflow all extract as NULL instead of
+    # erroring (DuckDB's json_extract throws on malformed input)
     oracle="""
-    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
-               AS k_bucket,
+    WITH k AS (
+        SELECT CASE WHEN props IS NOT NULL AND json_valid(props)
+                    THEN TRY_CAST(json_extract_string(props, '$.k')
+                                  AS INTEGER)
+               END AS k
+        FROM events
+    )
+    SELECT k % 10 AS k_bucket,
            COUNT(*) AS n,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
-                AS BIGINT) AS k_sum,
-           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_min,
-           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max
-    FROM events GROUP BY k_bucket
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           MIN(k) AS k_min,
+           MAX(k) AS k_max
+    FROM k GROUP BY k_bucket
     """,
 )
 def datapipe_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1952,19 +1961,27 @@ def datapipe_neardup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 @query(
     "datapipe_props_variant",
+    # same guarded oracle as datapipe_props_json — see that comment
     oracle="""
-    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
-               AS k_bucket,
+    WITH k AS (
+        SELECT CASE WHEN props IS NOT NULL AND json_valid(props)
+                    THEN TRY_CAST(json_extract_string(props, '$.k')
+                                  AS INTEGER)
+               END AS k
+        FROM events
+    )
+    SELECT k % 10 AS k_bucket,
            COUNT(*) AS n,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
-                AS BIGINT) AS k_sum,
-           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_min,
-           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max
-    FROM events GROUP BY k_bucket
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           MIN(k) AS k_min,
+           MAX(k) AS k_max
+    FROM k GROUP BY k_bucket
     """,
 )
 def datapipe_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    # try_parse_json: one malformed props row must not abort a
+    # corpus-scale job (parse_json raises under ANSI)
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
     return (
         load(spark, sf_dir, "events")
         .select(k.alias("k"))

@@ -1418,7 +1418,10 @@ def ref_mase_seasonal_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     mae1 = F.sum(d1) / F.sum(c1)
     return lagged.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
-        F.sum(c7).cast("long").alias("n_seasonal"),
+        # count(m7), not sum(when(...)): a series shorter than the
+        # season has ZERO seasonal comparisons, not NULL (sum over an
+        # all-NULL when() loses the oracle's ELSE 0)
+        F.count("m7").alias("n_seasonal"),
         F.round(mae7, 6).alias("mae_seasonal"),
         F.round(mae1, 6).alias("mae_naive"),
         F.round(mae7 / mae1, 6).alias("mase"),
