@@ -5210,6 +5210,8 @@ def _mmr_oracle() -> str:
 def datapipe_mmr_diverse_topk(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from ..operators.staging import stage_boundary
+
     lam, one_m = float(_MMR_LAMBDA), 0.3
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(
@@ -5234,6 +5236,10 @@ def datapipe_mmr_diverse_topk(
         # float(None))
         .filter(F.col("simq").isNotNull())
     )
+    # each greedy round otherwise re-executes the scan+crossJoin
+    # lineage (k jobs x full corpus read); one lazy cache fill makes
+    # rounds 2..k read blocks
+    state = stage_boundary(state, materialize=False)
     score = F.round(
         F.lit(lam) * F.col("simq")
         - F.lit(one_m) * F.greatest(F.col("pen"), F.lit(0.0)),
