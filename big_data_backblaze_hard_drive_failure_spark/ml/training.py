@@ -31,15 +31,20 @@ TOPANDAS_ROW_CAP = 1_000_000
 
 
 def assemble_features(
-    df: DataFrame, features: Sequence[str], out: str = "features_vec"
+    df: DataFrame,
+    features: Sequence[str],
+    out: str = "features_vec",
+    handle_invalid: str = "skip",
 ) -> DataFrame:
-    """Column list -> MLlib vector column. Rows with a null/NaN
-    feature are DROPPED (handleInvalid="skip"): a row with missing
-    features carries no usable signal, and silently imputing here
-    would hide upstream gaps — the caller fills deliberately
-    (reference P8 ``fillna(0)``) when imputation is the intent."""
+    """Column list -> MLlib vector column. By default rows with a
+    null/NaN feature are DROPPED (handleInvalid="skip"): a row with
+    missing features carries no usable signal, and silently imputing
+    here would hide upstream gaps — the caller fills deliberately
+    (reference P8 ``fillna(0)``) when imputation is the intent.
+    Callers that must not lose rows (scoring a fixed population) pass
+    ``handle_invalid="error"`` / ``"keep"`` explicitly."""
     asm = VectorAssembler(
-        inputCols=list(features), outputCol=out, handleInvalid="skip"
+        inputCols=list(features), outputCol=out, handleInvalid=handle_invalid
     )
     return asm.transform(df)
 
@@ -55,7 +60,14 @@ def _fit_or_explain_empty(estimator, vec: DataFrame, op: str):
     try:
         return estimator.fit(vec)
     except Exception as ex:
-        if vec.isEmpty():
+        # The probe itself can fail (executor/session death killed the
+        # fit AND the cluster) — never let the probe's error mask the
+        # original fit exception.
+        try:
+            empty = vec.isEmpty()
+        except Exception:
+            raise ex from None
+        if empty:
             raise ValueError(
                 f"{op}: training input has no rows — a model cannot be "
                 "fit on an empty frame (empty split, over-tight filter, "
@@ -108,12 +120,25 @@ def train_gbt(
     return _fit_or_explain_empty(gbt, vec, "train_gbt")
 
 
-def score_with_model(model, df: DataFrame, features: Sequence[str]) -> DataFrame:
+def score_with_model(
+    model,
+    df: DataFrame,
+    features: Sequence[str],
+    handle_invalid: str = "skip",
+) -> DataFrame:
     """JVM-side scoring: ``model.transform`` + positive-class
     probability extracted as a plain double column
     (``failure_probability``, matching the reference's column name at
-    05_01:144-155). No Python workers anywhere in this plan."""
-    vec = assemble_features(df, features)
+    05_01:144-155). No Python workers anywhere in this plan.
+
+    Row-drop contract: with the default ``handle_invalid="skip"``,
+    rows with a null/NaN feature are silently dropped BEFORE scoring —
+    the scored output (and any metric denominator computed from it,
+    e.g. pr_auc) covers only fully-featured rows. Pass ``"error"`` to
+    fail loudly on missing features, or ``"keep"`` (NaN-padded
+    vectors) when the model tolerates them and every input row must
+    appear in the output."""
+    vec = assemble_features(df, features, handle_invalid=handle_invalid)
     scored = model.transform(vec)
     return scored.withColumn(
         "failure_probability",

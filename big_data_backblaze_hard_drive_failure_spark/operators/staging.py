@@ -16,6 +16,7 @@ for multi-hour jobs.
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame
@@ -33,6 +34,7 @@ from pyspark.storagelevel import StorageLevel
 # single query plan needs, times a few concurrent queries.
 _LIVE_STAGED: "OrderedDict[int, DataFrame]" = OrderedDict()
 _MAX_LIVE_STAGED = 32
+_STAGED_LOCK = threading.Lock()  # concurrent query builds share the dict
 
 
 def stage_boundary(
@@ -50,21 +52,29 @@ def stage_boundary(
     out = df.persist(storage_level)
     if materialize:
         out.count()
-    _LIVE_STAGED[id(out)] = out
-    while len(_LIVE_STAGED) > _MAX_LIVE_STAGED:
-        _, oldest = _LIVE_STAGED.popitem(last=False)
-        oldest.unpersist(blocking=False)
+    evicted = []
+    with _STAGED_LOCK:
+        _LIVE_STAGED[id(out)] = out
+        # True LRU: refresh recency on re-stage of a live frame
+        # (OrderedDict assignment to an existing key keeps its slot).
+        _LIVE_STAGED.move_to_end(id(out))
+        while len(_LIVE_STAGED) > _MAX_LIVE_STAGED:
+            _, oldest = _LIVE_STAGED.popitem(last=False)
+            evicted.append(oldest)
+    for frame in evicted:  # unpersist outside the lock (RPC call)
+        frame.unpersist(blocking=False)
     return out
 
 
 def release_stage_boundaries() -> int:
     """Unpersist every live staged frame (e.g. between bench queries
     or at pipeline teardown). Returns the number released."""
-    n = len(_LIVE_STAGED)
-    while _LIVE_STAGED:
-        _, oldest = _LIVE_STAGED.popitem(last=False)
-        oldest.unpersist(blocking=False)
-    return n
+    with _STAGED_LOCK:
+        frames = list(_LIVE_STAGED.values())
+        _LIVE_STAGED.clear()
+    for frame in frames:
+        frame.unpersist(blocking=False)
+    return len(frames)
 
 
 def lineage_cut(df: DataFrame, eager: bool = True) -> DataFrame:

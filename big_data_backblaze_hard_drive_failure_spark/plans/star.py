@@ -1523,14 +1523,21 @@ def star_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def star_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     acc = 10000  # 1/acc max rank error
-    return orders.groupBy("o_orderstatus").agg(
-        F.percentile_approx("o_totalprice", [0.5, 0.95], acc).alias(
-            "approx_p50_p95"
-        ),
-        F.expr("percentile(o_totalprice, array(0.5, 0.95))").alias(
-            "exact_p50_p95"
-        ),
+    # Scalar columns only: the driver canonicalizes even rows-only
+    # output with a pandas sort that cannot hash list cells, so the
+    # two-quantile sketches are unpacked with element_at.
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.95], acc).alias("_ap"),
+        F.expr("percentile(o_totalprice, array(0.5, 0.95))").alias("_ep"),
         F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        F.element_at("_ap", 1).alias("approx_p50"),
+        F.element_at("_ap", 2).alias("approx_p95"),
+        F.element_at("_ep", 1).alias("exact_p50"),
+        F.element_at("_ep", 2).alias("exact_p95"),
+        "n",
     )
 
 

@@ -89,8 +89,14 @@ def main() -> int:
         )
     qs, osql = e.queries(), e.oracle_sql()
     if only == "FIRST50":
-        only = set(list(qs)[:50])
-    names = sorted(qs) if only is None else sorted(n for n in qs if n in only)
+        # Replicate the real driver's budget: the first 50 entries in
+        # registry iteration order, executed IN that order (sorted()
+        # here would change the run order vs the driver and make
+        # timing/ordering artifacts non-reproducible).
+        names = list(qs)[:50]
+        only = None
+    else:
+        names = sorted(qs) if only is None else sorted(n for n in qs if n in only)
     if only is not None:
         unknown = sorted(only - set(qs))
         if unknown:

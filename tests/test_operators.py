@@ -516,7 +516,7 @@ def test_approx_percentile_rank_error_bound(spark, sf_smoke):
         v = vals[r["o_orderstatus"]]
         n = len(v)
         assert r["n"] == n
-        for q, approx in zip((0.5, 0.95), r["approx_p50_p95"]):
+        for q, approx in zip((0.5, 0.95), (r["approx_p50"], r["approx_p95"])):
             rank = bisect.bisect_left(v, approx)
             assert abs(rank - q * n) <= max(n / 10000, 1) + 1, (
                 r["o_orderstatus"], q, approx, rank, q * n,

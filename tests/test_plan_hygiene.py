@@ -68,15 +68,13 @@ def test_oracle_paired_schemas_are_scalar(spark, sf_smoke, name):
     results with a pandas sort/hash that cannot order top-level
     ArrayType/MapType cells (``TypeError: unhashable type: 'list'`` —
     the round-5 datapipe_embedding_quantize / datapipe_video_frame_decode
-    driver crash). Oracle-paired queries must therefore emit scalar
-    columns only; encode vectors as CSV strings (array_join) or explode
-    them. Rows-only queries are exempt (no value comparison runs)."""
+    driver crash). Round 7 proved the driver canonicalizes rows-only
+    output too (star_approx_percentiles crashed its harness with no
+    oracle attached), so EVERY registered query must emit scalar
+    columns only; encode vectors as CSV strings (array_join), explode
+    them, or unpack with element_at."""
     from pyspark.sql import types as T
 
-    from big_data_backblaze_hard_drive_failure_spark.plans import ORACLE
-
-    if name not in ORACLE:
-        pytest.skip("rows-only query: driver never hashes its values")
     bad = [
         f.name
         for f in QUERIES[name](spark, sf_smoke).schema.fields

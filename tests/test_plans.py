@@ -46,6 +46,28 @@ def test_topk_uses_window_group_limit(spark, sf_smoke):
         assert "WindowGroupLimit" in _formatted(spark, name, sf_smoke), name
 
 
+def test_unpartitioned_rank_windows_are_group_limited(spark, sf_smoke):
+    """The two UNPARTITIONED rank<=k windows (count-min heavy hitters,
+    A-Res weighted sample) are only scale-safe because Catalyst caps
+    the input to the single-partition Window: either WindowGroupLimit
+    (per-partition rank pre-filter) or — the shape Spark 4 actually
+    plans here — LimitPushDownThroughWindow rewriting the filter to a
+    TakeOrderedAndProject feeding the Window, so only k rows ever
+    reach the single task. If a Spark upgrade or expression change
+    drops both, these become full-corpus single-task sorts; fail here
+    instead of at 100 TB."""
+    for name in ("datapipe_countmin_heavy_hitters", "datapipe_weighted_sample"):
+        tree = _formatted(spark, name, sf_smoke).split("\n\n")[0]
+        assert (
+            "WindowGroupLimit" in tree or "TakeOrderedAndProject" in tree
+        ), f"{name} plans an uncapped single-task global sort:\n{tree}"
+        # the cap must sit BELOW the Window (feeding it), not above
+        if "TakeOrderedAndProject" in tree and "Window" in tree:
+            assert tree.index("Window") < tree.index(
+                "TakeOrderedAndProject"
+            ), f"{name}: TakeOrderedAndProject must feed the Window\n{tree}"
+
+
 def test_dimension_joins_are_broadcast(spark, sf_smoke):
     plan = _formatted(spark, "star_revenue_by_nation", sf_smoke)
     assert plan.count("BroadcastExchange") >= 3  # cust, nation, region
