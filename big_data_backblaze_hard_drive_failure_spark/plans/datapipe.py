@@ -5271,3 +5271,194 @@ def datapipe_mmr_diverse_topk(
     return spark.createDataFrame(
         out_rows, "sel_rank int, vec_id bigint, score double"
     )
+
+
+# --------------------------------------------------------------------
+# Substring-level exact dedup, part 1: PARAGRAPH dedup with rewrite.
+# The complement to doc-level datapipe_exact_dedup: documents are cut
+# into fixed 10-word "paragraphs" (the fixture corpus is one line per
+# doc, so the chunk grid stands in for real paragraph breaks), each
+# distinct paragraph keeps its FIRST occurrence corpus-wide
+# (min (doc_id, para_idx)), and every document is REASSEMBLED from its
+# surviving paragraphs — the output is cleaned text, not a dup score
+# (datapipe_ngram_novelty already scores; this one rewrites, which is
+# what a training-data pipeline actually ships).
+#
+# Scale shape: chunking is a pure map (transform over sequence — no
+# explode until the per-paragraph row is genuinely needed); the only
+# shuffles are the hash exchange on the paragraph string (each
+# window group is exactly one paragraph's duplicate set) and the
+# per-doc regroup. Nothing is ever all-pairs, state is O(paragraphs).
+# --------------------------------------------------------------------
+_PARA_W = 10  # words per paragraph
+
+@query(
+    "datapipe_paragraph_dedup",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    paras AS (
+        SELECT doc_id, t.i AS para_idx,
+               array_to_string(
+                   w[CAST(t.i * {_PARA_W} + 1 AS BIGINT)
+                     :CAST(t.i * {_PARA_W} + {_PARA_W} AS BIGINT)], ' ')
+                   AS para
+        FROM d, LATERAL (
+            SELECT unnest(range(0, CAST(ceil(len(w) / {_PARA_W}.0)
+                                        AS BIGINT))) AS i) t
+    ),
+    rn AS (
+        SELECT doc_id, para_idx, para,
+               row_number() OVER (PARTITION BY para
+                                  ORDER BY doc_id, para_idx) AS rn
+        FROM paras
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN para END,
+                               ' ' ORDER BY para_idx), '') AS kept_text
+    FROM rn GROUP BY doc_id
+    """,
+)
+def datapipe_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select("doc_id", "text")
+    )
+    p = _PARA_W
+    # chunk grid built map-side: bind toks once (see ngram_shingles on
+    # why the 1-element transform), then one paragraph per grid cell
+    paras_expr = (
+        f"element_at(transform(array(split(text, ' ')), toks -> "
+        f"transform(sequence(0, CAST(ceil(size(toks) / {p}.0) AS INT) - 1), "
+        f"i -> array_join(slice(toks, i * {p} + 1, {p}), ' '))), 1)"
+    )
+    pe = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(paras_expr)).alias("para_idx", "para"),
+    )
+    w = Window.partitionBy("para").orderBy("doc_id", "para_idx")
+    rn = pe.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct("para_idx", "para")
+    )  # collect_list drops the NULLs (losing paragraphs)
+    return rn.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+
+
+# --------------------------------------------------------------------
+# Substring-level exact dedup, part 2: CONTENT-DEFINED chunking
+# (rsync/LBFS-style anchors). Fixed grids shift every chunk after one
+# inserted word; content-defined boundaries (a word is a boundary
+# when md5(word) mod 8 == 0, expected chunk ~8 words) realign
+# immediately, so shared passages dedup across documents even at
+# different offsets — the suffix-anchor idea from the round-7 verdict
+# expressed as a pure groupBy pipeline.
+#
+# Scale shape: the boundary bit is map-side; chunk ids come from a
+# cumulative sum PARTITIONED BY doc (per-doc window, never global);
+# chunk strings shuffle once for the distinct-doc count. O(words)
+# rows in flight, no pair join anywhere.
+# --------------------------------------------------------------------
+def _cdc_boundary_sql(word_expr: str) -> str:
+    """Portable md5 first-hex-digit mod 8 == 0 boundary test —
+    identical text in Spark SQL and DuckDB (same trick as
+    _cm_bucket_sql)."""
+    return (
+        f"CASE WHEN ((instr('0123456789abcdef', "
+        f"substring(md5({word_expr}), 1, 1)) - 1) % 8) = 0 "
+        f"THEN 1 ELSE 0 END"
+    )
+
+
+@query(
+    "datapipe_cdc_chunk_dedup",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, t.i AS pos, w[t.i + 1] AS word
+        FROM (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents
+              WHERE text IS NOT NULL AND text <> '') d,
+        LATERAL (SELECT unnest(range(0, len(w))) AS i) t
+    ),
+    b AS (
+        SELECT doc_id, pos, word, {_cdc_boundary_sql('word')} AS isb
+        FROM words
+    ),
+    c AS (
+        SELECT doc_id, pos, word,
+               SUM(isb) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS chunk_id
+        FROM b
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_id,
+               string_agg(word, ' ' ORDER BY pos) AS chunk
+        FROM c GROUP BY doc_id, chunk_id
+    ),
+    nd AS (
+        SELECT chunk, COUNT(DISTINCT doc_id) AS ndocs
+        FROM chunks GROUP BY chunk
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           ROUND(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS dup_ratio
+    FROM chunks JOIN nd USING (chunk)
+    GROUP BY doc_id
+    """,
+)
+def datapipe_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select("doc_id", "text")
+    )
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).withColumn("isb", F.expr(_cdc_boundary_sql("word")))
+    wdoc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = words.withColumn("chunk_id", F.sum("isb").over(wdoc))
+    chunks = c.groupBy("doc_id", "chunk_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("chunk")
+    )
+    nd = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    dup = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+    return (
+        chunks.join(nd, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            dup.alias("n_dup_chunks"),
+            F.round(dup * 1.0 / F.count(F.lit(1)), 6).alias("dup_ratio"),
+        )
+    )

@@ -2264,3 +2264,134 @@ def mlops_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(se / F.lit(100.0), 6).alias("did_se"),
         F.round(did / se, 6).alias("t_stat"),
     )
+
+
+# --------------------------------------------------------------------
+# Quantile drift — the distributional complement to the fixed-bin
+# PSI/KS monitors: compare the ref/cur value distributions per event
+# type at four quantiles and report the mean absolute quantile shift
+# (the "quantile drift distance" used when binning is too coarse).
+# Exact percentile() here is the oracle-checkable truth; the
+# mergeable-sketch scale path is mlops_quantile_drift_sketch below.
+#
+# Scale shape: one scan, one groupBy(event_type) with conditional
+# aggregates — percentile over CASE WHEN ignores the other window's
+# rows as NULLs on both engines. percentile() itself holds per-group
+# sorted state, which is exactly why the sketch twin exists.
+# --------------------------------------------------------------------
+_QD_PROBS = (0.25, 0.5, 0.75, 0.9)
+
+
+@query(
+    "mlops_quantile_drift",
+    oracle=f"""
+    SELECT event_type,
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+           CAST(SUM(CASE WHEN ts >= TIMESTAMP '{DRIFT_SPLIT}'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+           {", ".join(
+               f"quantile_cont(CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}' "
+               f"THEN value END, {p}) AS ref_p{int(p * 100)}, "
+               f"quantile_cont(CASE WHEN ts >= TIMESTAMP '{DRIFT_SPLIT}' "
+               f"THEN value END, {p}) AS cur_p{int(p * 100)}"
+               for p in _QD_PROBS
+           )},
+           ({" + ".join(
+               f"abs(quantile_cont(CASE WHEN ts >= TIMESTAMP "
+               f"'{DRIFT_SPLIT}' THEN value END, {p})"
+               f" - quantile_cont(CASE WHEN ts < TIMESTAMP "
+               f"'{DRIFT_SPLIT}' THEN value END, {p}))"
+               for p in _QD_PROBS
+           )}) / {len(_QD_PROBS)}.0 AS qdrift
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def mlops_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "value", "ts")
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+    # The conditional percentiles are built via expr with the same
+    # CASE text as the oracle so op order (and bits) match exactly.
+    ref_case = f"CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}' THEN value END"
+    cur_case = f"CASE WHEN ts >= TIMESTAMP '{DRIFT_SPLIT}' THEN value END"
+    aggs = [
+        F.sum(F.when(F.col("ts") < split, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("ts") >= split, 1).otherwise(0)).alias("n_cur"),
+    ]
+    for p in _QD_PROBS:
+        aggs.append(
+            F.expr(f"percentile({ref_case}, {p})").alias(
+                f"ref_p{int(p * 100)}"
+            )
+        )
+        aggs.append(
+            F.expr(f"percentile({cur_case}, {p})").alias(
+                f"cur_p{int(p * 100)}"
+            )
+        )
+    drift = F.expr(
+        "("
+        + " + ".join(
+            f"abs(percentile({cur_case}, {p})"
+            f" - percentile({ref_case}, {p}))"
+            for p in _QD_PROBS
+        )
+        + f") / {len(_QD_PROBS)}.0"
+    ).alias("qdrift")
+    return ev.groupBy("event_type").agg(*aggs, drift)
+
+
+# --------------------------------------------------------------------
+# Quantile drift, sketch scale path: the same ref/cur quantile-shift
+# report computed through the mergeable compress/merge centroid
+# sketch (operators/qsketch.py) instead of exact percentile(). At
+# 100 TB exact per-group percentiles hold whole groups in sorted
+# state; the sketch caps every task at K centroids and merges
+# associatively — the KLL/t-digest contract. rows-only by design (a
+# sketch has no SQL twin); the rank-error bound vs the exact twin is
+# pinned in tests/test_qsketch.py, and determinism comes from
+# position-bucketing sorted values (rerun sweep covers it).
+# --------------------------------------------------------------------
+@query("mlops_quantile_drift_sketch")
+def mlops_quantile_drift_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.qsketch import sketch_quantiles
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value", "ts")
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+    tagged = ev.withColumn(
+        "grp",
+        F.concat(
+            "event_type",
+            F.lit("|"),
+            F.when(F.col("ts") < split, F.lit("ref")).otherwise(
+                F.lit("cur")
+            ),
+        ),
+    )
+    sk = sketch_quantiles(
+        tagged, "grp", "value", probs=(0.5, 0.95), k=64, n_shards=32
+    ).select(
+        F.split("g", "\\|")[0].alias("event_type"),
+        F.split("g", "\\|")[1].alias("period"),
+        "n",
+        "q50",
+        "q95",
+    )
+    side = lambda c, p: F.max(F.when(F.col("period") == p, F.col(c)))
+    return sk.groupBy("event_type").agg(
+        side("n", "ref").cast("long").alias("n_ref"),
+        side("n", "cur").cast("long").alias("n_cur"),
+        F.round(side("q50", "ref"), 6).alias("ref_p50"),
+        F.round(side("q50", "cur"), 6).alias("cur_p50"),
+        F.round(side("q95", "ref"), 6).alias("ref_p95"),
+        F.round(side("q95", "cur"), 6).alias("cur_p95"),
+        F.round(
+            (
+                F.abs(side("q50", "cur") - side("q50", "ref"))
+                + F.abs(side("q95", "cur") - side("q95", "ref"))
+            )
+            / 2.0,
+            6,
+        ).alias("qdrift_est"),
+    )

@@ -3613,3 +3613,92 @@ def star_markov_transitions(
             "p"
         ),
     )
+
+
+# --------------------------------------------------------------------
+# Salted null-safe join — the skew twin star_null_safe_join's
+# docstring promises. A null-safe (<=>) hash join funnels EVERY
+# null-key row into one partition: at 100 TB a heavily-null key makes
+# that partition the straggler. This twin rewrites the null bucket
+# BEFORE the exchange: null fact keys become one of S synthetic salted
+# keys (spread by a payload hash), the dimension's null row is
+# replicated to all S salts, and the join degrades to a plain
+# equi-join whose null traffic hash-partitions S ways. Same result,
+# same oracle, no single-partition bucket. The SHUFFLE_HASH hint keeps
+# the exchange in the plan at fixture scale so the demonstrated shape
+# is the 100 TB one (broadcast would hide it).
+# --------------------------------------------------------------------
+_NULL_SALTS = 8
+_NULL_TAG = "\x00null\x00"  # cannot collide with a real priority string
+
+
+@query(
+    "star_null_safe_join_salted",
+    oracle="""
+    WITH o AS (SELECT NULLIF(o_orderpriority, '1-URGENT') AS prio_key,
+                      o_totalprice
+               FROM orders),
+    d AS (SELECT NULLIF(p, '1-URGENT') AS prio_key,
+                 substring(p, 1, 1) AS prio_rank
+          FROM (SELECT DISTINCT o_orderpriority AS p FROM orders))
+    SELECT COALESCE(d.prio_rank, '?') AS prio_rank,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM o JOIN d ON o.prio_key IS NOT DISTINCT FROM d.prio_key
+    GROUP BY prio_rank
+    """,
+)
+def star_null_safe_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    o = orders.select(
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias(
+            "prio_key"
+        ),
+        "o_totalprice",
+    )
+    d = (
+        orders.select(F.col("o_orderpriority").alias("p"))
+        .distinct()
+        .select(
+            F.nullif(F.col("p"), F.lit("1-URGENT")).alias("prio_key"),
+            F.substring("p", 1, 1).alias("prio_rank"),
+        )
+    )
+    # fact side: nulls spread over S salted keys by a payload hash
+    salted_null = F.concat(
+        F.lit(_NULL_TAG),
+        F.pmod(F.hash("o_totalprice"), F.lit(_NULL_SALTS)).cast("string"),
+    )
+    o2 = o.withColumn(
+        "jk",
+        F.when(F.col("prio_key").isNull(), salted_null).otherwise(
+            F.col("prio_key")
+        ),
+    )
+    # dim side: the null row fans out to every salt; non-null rows pass
+    d2 = d.withColumn(
+        "salt",
+        F.when(
+            F.col("prio_key").isNull(),
+            F.expr(f"sequence(0, {_NULL_SALTS - 1})"),
+        ).otherwise(F.expr("array(-1)")),
+    ).select(
+        "prio_key",
+        "prio_rank",
+        F.explode("salt").alias("s"),
+    ).withColumn(
+        "jk",
+        F.when(
+            F.col("prio_key").isNull(),
+            F.concat(F.lit(_NULL_TAG), F.col("s").cast("string")),
+        ).otherwise(F.col("prio_key")),
+    )
+    return (
+        o2.join(d2.hint("SHUFFLE_HASH"), "jk")
+        .groupBy(F.coalesce(d2["prio_rank"], F.lit("?")).alias("prio_rank"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents("o_totalprice")).alias("sum_cents"),
+        )
+    )
