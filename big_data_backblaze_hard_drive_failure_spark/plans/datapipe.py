@@ -5462,3 +5462,203 @@ def datapipe_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dup * 1.0 / F.count(F.lit(1)), 6).alias("dup_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Snapshot diff — the read-side complement to the CDC merge
+# (operators/merge.py writes changes; this one DISCOVERS them between
+# two table versions): full-outer join on the key plus a row
+# fingerprint over every non-key column classifies each key as
+# added / removed / changed / unchanged. The "v2" snapshot is derived
+# deterministically from the fixture (drops, in-place edits, inserts)
+# so both engines diff identical inputs.
+#
+# Scale shape: one hash exchange per side on the key, fingerprints
+# are map-side md5 — the diff of two 100 TB snapshots is exactly one
+# co-partitioned join wide. The summary output keeps the driver row
+# bounded; a real pipeline would write the per-key status instead.
+# --------------------------------------------------------------------
+_DIFF_COLS = "CAST(doc_id AS VARCHAR), COALESCE(text, chr(1)), COALESCE(lang, chr(1)), COALESCE(source, chr(1)), COALESCE(CAST(n_chars AS VARCHAR), chr(1))"
+_DIFF_V2_SQL = """
+    SELECT doc_id,
+           text,
+           CASE WHEN doc_id % 13 = 0 THEN upper(lang) ELSE lang END AS lang,
+           source, n_chars
+    FROM documents WHERE doc_id % 17 <> 0
+    UNION ALL
+    SELECT doc_id + 1000000, text, lang, 'reingest', n_chars
+    FROM documents WHERE doc_id % 23 = 0
+"""
+
+
+@query(
+    "datapipe_table_diff",
+    oracle=f"""
+    WITH v1 AS (
+        SELECT doc_id, md5(concat_ws('|', {_DIFF_COLS})) AS fp
+        FROM documents
+    ),
+    v2 AS (
+        SELECT doc_id, md5(concat_ws('|', {_DIFF_COLS})) AS fp
+        FROM ({_DIFF_V2_SQL})
+    ),
+    d AS (
+        SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v2.doc_id IS NULL THEN 'removed'
+                    WHEN v1.fp <> v2.fp THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               COALESCE(v1.doc_id, v2.doc_id) AS k
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(k) AS BIGINT) AS min_key,
+           CAST(MAX(k) AS BIGINT) AS max_key
+    FROM d GROUP BY status
+    """,
+)
+def datapipe_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sentinel = F.lit("\x01")
+
+    def fp(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("doc_id").cast("string"),
+                    F.coalesce("text", sentinel),
+                    F.coalesce("lang", sentinel),
+                    F.coalesce("source", sentinel),
+                    F.coalesce(F.col("n_chars").cast("string"), sentinel),
+                )
+            ).alias("fp"),
+        )
+
+    v2_rows = docs.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 13 == 0, F.upper("lang"))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "source",
+        "n_chars",
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 23 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "text",
+            "lang",
+            F.lit("reingest").alias("source"),
+            "n_chars",
+        )
+    )
+    v1 = fp(docs).alias("v1")
+    v2 = fp(v2_rows).alias("v2")
+    d = v1.join(v2, F.col("v1.doc_id") == F.col("v2.doc_id"), "full_outer")
+    status = (
+        F.when(F.col("v1.doc_id").isNull(), "added")
+        .when(F.col("v2.doc_id").isNull(), "removed")
+        .when(F.col("v1.fp") != F.col("v2.fp"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        d.select(
+            status.alias("status"),
+            F.coalesce(F.col("v1.doc_id"), F.col("v2.doc_id")).alias("k"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Feature hashing (the "hashing trick", Weinberger et al. ICML'09):
+# tokens index into a fixed 1024-bucket space via md5, with a second
+# hash bit choosing the sign so collisions cancel in expectation —
+# the unbounded-vocabulary vectorizer that needs NO fitted vocab and
+# therefore no driver state at any corpus size. Reported corpus-wide:
+# the 20 heaviest buckets by |signed weight| plus collision stats.
+# Map-side explode + one groupBy(bucket); the top-20 is a
+# TakeOrdered, never a global sort.
+# --------------------------------------------------------------------
+_FH_BUCKETS = 1024
+
+
+def _fh_bucket_sql(tok: str) -> str:
+    """md5 hex digits 1-3 -> [0, 4096) folded mod 1024 — portable."""
+    h = f"md5({tok})"
+    d = "instr('0123456789abcdef', substring({h}, {i}, 1)) - 1"
+    return (
+        "(("
+        + d.format(h=h, i=1)
+        + ") * 256 + ("
+        + d.format(h=h, i=2)
+        + ") * 16 + ("
+        + d.format(h=h, i=3)
+        + f")) % {_FH_BUCKETS}"
+    )
+
+
+def _fh_sign_sql(tok: str) -> str:
+    """md5 hex digit 4 parity -> +1 / -1 (independent of the bucket
+    digits, as the hashing trick requires)."""
+    return (
+        f"CASE WHEN (instr('0123456789abcdef', "
+        f"substring(md5({tok}), 4, 1)) - 1) % 2 = 0 THEN 1 ELSE -1 END"
+    )
+
+
+@query(
+    "datapipe_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT t.tok
+        FROM (SELECT string_split(text, ' ') AS w FROM documents
+              WHERE text IS NOT NULL AND text <> '') d,
+        LATERAL (SELECT unnest(d.w) AS tok) t
+    ),
+    h AS (
+        SELECT {_fh_bucket_sql('tok')} AS bucket,
+               {_fh_sign_sql('tok')} AS sign,
+               tok
+        FROM toks
+    ),
+    b AS (
+        SELECT bucket,
+               CAST(SUM(sign) AS BIGINT) AS weight,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_terms
+        FROM h GROUP BY bucket
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, weight, n_tokens,
+           n_distinct_terms
+    FROM b
+    ORDER BY abs(weight) DESC, bucket
+    LIMIT 20
+    """,
+)
+def datapipe_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+    )
+    h = toks.select(
+        F.expr(_fh_bucket_sql("tok")).cast("long").alias("bucket"),
+        F.expr(_fh_sign_sql("tok")).alias("sign"),
+        "tok",
+    )
+    return (
+        h.groupBy("bucket")
+        .agg(
+            F.sum("sign").alias("weight"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("tok").alias("n_distinct_terms"),
+        )
+        .orderBy(F.abs(F.col("weight")).desc(), "bucket")
+        .limit(20)
+    )

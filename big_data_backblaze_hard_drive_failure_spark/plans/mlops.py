@@ -2395,3 +2395,505 @@ def mlops_quantile_drift_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("qdrift_est"),
     )
+
+
+# --------------------------------------------------------------------
+# Cohen's kappa — chance-corrected inter-annotator agreement, the
+# metric quality pipelines use to accept/reject labeling runs (two
+# human raters, or model-vs-heuristic). Two deterministic "raters"
+# over events stand in for label columns: rater A fires on value,
+# rater B on time-of-day. One pass: the four confusion cells are
+# conditional sums, po/pe/kappa are closed-form scalars — at 100 TB
+# this is a single map-side-combinable aggregate, no shuffle wider
+# than one row.
+# --------------------------------------------------------------------
+@query(
+    "mlops_cohens_kappa",
+    oracle="""
+    WITH r AS (
+        SELECT CASE WHEN value > 50 THEN 1 ELSE 0 END AS a,
+               CASE WHEN EXTRACT(hour FROM ts) < 12 THEN 1 ELSE 0 END AS b
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a * b) AS BIGINT) AS n11,
+               CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+               CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+               CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+        FROM r
+    )
+    SELECT n, n11, n10, n01, n00,
+           ROUND((n11 + n00) * 1.0 / n, 6) AS po,
+           ROUND(((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                 + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n), 6)
+               AS pe,
+           ROUND(((n11 + n00) * 1.0 / n
+                  - (((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                     + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n)))
+                 / (1.0
+                    - (((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                       + ((n01 + n00) * 1.0 / n)
+                         * ((n10 + n00) * 1.0 / n))), 6) AS kappa
+    FROM c
+    """,
+)
+def mlops_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.when(F.col("value") > 50, 1).otherwise(0).alias("a"),
+            F.when(F.hour("ts") < 12, 1).otherwise(0).alias("b"),
+        )
+    )
+    c = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a") * F.col("b")).alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("n00"),
+    )
+    n = F.col("n")
+    po = (F.col("n11") + F.col("n00")) * 1.0 / n
+    pe = ((F.col("n11") + F.col("n10")) * 1.0 / n) * (
+        (F.col("n11") + F.col("n01")) * 1.0 / n
+    ) + ((F.col("n01") + F.col("n00")) * 1.0 / n) * (
+        (F.col("n10") + F.col("n00")) * 1.0 / n
+    )
+    return c.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )
+
+
+# --------------------------------------------------------------------
+# Propensity-score matching (nearest-neighbor-below within exact
+# strata) — the causal-inference op next to mlops_diff_in_diff: each
+# treated unit is matched to the control with the LARGEST score <=
+# its own inside the same stratum, then the average treated-minus-
+# matched outcome difference estimates the ATT. "Nearest below in a
+# sorted axis" is exactly the as-of join, applied to the SCORE axis
+# instead of time; the oracle says it natively (DuckDB ASOF JOIN),
+# the engine uses the same union + sort + last_value(ignorenulls)
+# mechanics as star_asof_join — one hash exchange on the stratum, one
+# local sort, no pair join. Controls are deduped to one per (stratum,
+# score) (max outcome, then event_id, wins) so the match is
+# deterministic on both engines.
+# --------------------------------------------------------------------
+@query(
+    "mlops_propensity_match",
+    oracle="""
+    WITH ctr AS (
+        SELECT EXTRACT(hour FROM ts) AS stratum, value AS score,
+               arg_max(length(props),
+                       length(props) * 10000000 + event_id) AS outcome_c
+        FROM events
+        WHERE event_type = 'view' AND value IS NOT NULL
+          AND ts IS NOT NULL AND props IS NOT NULL
+        GROUP BY stratum, score
+    ),
+    trt AS (
+        SELECT EXTRACT(hour FROM ts) AS stratum, value AS score,
+               length(props) AS outcome_t
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+          AND ts IS NOT NULL AND props IS NOT NULL
+    ),
+    m AS (
+        SELECT t.outcome_t, c.outcome_c
+        FROM trt t
+        ASOF LEFT JOIN ctr c
+          ON t.stratum = c.stratum AND t.score >= c.score
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_treated,
+           CAST(COUNT(outcome_c) AS BIGINT) AS n_matched,
+           ROUND(SUM(CASE WHEN outcome_c IS NOT NULL
+                          THEN outcome_t - outcome_c END) * 1.0
+                 / COUNT(outcome_c), 6) AS att
+    FROM m
+    """,
+)
+def mlops_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("props").isNotNull()
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.hour("ts").alias("stratum"),
+            F.col("value").alias("score"),
+            F.length("props").alias("outcome"),
+        )
+    )
+    ctr = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("stratum", "score")
+        .agg(
+            F.max(F.struct("outcome", "event_id"))["outcome"].alias(
+                "outcome_c"
+            )
+        )
+        .select(
+            "stratum", "score",
+            F.lit("c").alias("tag"),
+            F.lit(None).cast("long").alias("eid"),
+            F.col("outcome_c").alias("oc"),
+            F.lit(None).cast("int").alias("ot"),
+        )
+    )
+    trt = ev.filter(F.col("event_type") == "purchase").select(
+        "stratum", "score",
+        F.lit("t").alias("tag"),
+        F.col("event_id").alias("eid"),
+        F.lit(None).cast("int").alias("oc"),
+        F.col("outcome").alias("ot"),
+    )
+    u = ctr.unionByName(trt)
+    # 'c' < 't': an equal-score control sorts before the treated row,
+    # so score >= (closed bound) matches it
+    w = (
+        Window.partitionBy("stratum")
+        .orderBy("score", "tag", "eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        u.withColumn("mc", F.last("oc", ignorenulls=True).over(w))
+        .filter(F.col("tag") == "t")
+        .select("ot", "mc")
+    )
+    return matched.agg(
+        F.count(F.lit(1)).alias("n_treated"),
+        F.count("mc").alias("n_matched"),
+        F.round(
+            F.sum(F.when(F.col("mc").isNotNull(), F.col("ot") - F.col("mc")))
+            * 1.0
+            / F.count("mc"),
+            6,
+        ).alias("att"),
+    )
+
+
+# --------------------------------------------------------------------
+# Leave-one-out target encoding — the standard high-cardinality
+# categorical encoder for tabular models: each row's category is
+# replaced by the target mean of the OTHER rows in that category,
+# (sum - own) / (n - 1), so the encoding never leaks the row's own
+# label. One groupBy to the per-category (sum, n) + one broadcastable
+# join back: at 100 TB the encoder table is O(categories), the fact
+# side never shuffles. Integer sums make the division bit-identical
+# across engines.
+# --------------------------------------------------------------------
+@query(
+    "mlops_target_encoding_loo",
+    oracle="""
+    WITH r AS (
+        SELECT event_id, event_type,
+               CASE WHEN value > 50 THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    enc AS (
+        SELECT event_type, CAST(SUM(y) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM r GROUP BY event_type
+    )
+    SELECT r.event_id, r.event_type, r.y,
+           CASE WHEN enc.n > 1
+                THEN ROUND((enc.s - r.y) * 1.0 / (enc.n - 1), 6) END
+               AS loo_encoding
+    FROM r JOIN enc USING (event_type)
+    """,
+)
+def mlops_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.when(F.col("value") > 50, 1).otherwise(0).alias("y"),
+        )
+    )
+    enc = r.groupBy("event_type").agg(
+        F.sum("y").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return r.join(F.broadcast(enc), "event_type").select(
+        "event_id",
+        "event_type",
+        "y",
+        F.when(
+            F.col("n") > 1,
+            F.round((F.col("s") - F.col("y")) * 1.0 / (F.col("n") - 1), 6),
+        ).alias("loo_encoding"),
+    )
+
+
+# --------------------------------------------------------------------
+# McNemar's test — PAIRED classifier comparison on one eval set (the
+# statistically-correct way to claim "model B beats model A" when
+# both scored the same rows; an unpaired z-test overstates
+# significance because the predictions are correlated). Only the
+# discordant cells matter: b = A right / B wrong, c = A wrong /
+# B right; the continuity-corrected statistic (|b-c|-1)^2/(b+c) is
+# chi-square(1) under H0. Two deterministic rule "models" stand in
+# for scored columns. One conditional-sum pass, map-side combinable.
+# --------------------------------------------------------------------
+@query(
+    "mlops_mcnemar_test",
+    oracle="""
+    WITH r AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+               CASE WHEN value > 100 THEN 1 ELSE 0 END AS pa,
+               CASE WHEN length(props) > 8 THEN 1 ELSE 0 END AS pb
+        FROM events
+        WHERE value IS NOT NULL AND props IS NOT NULL
+          AND event_type IS NOT NULL
+    ),
+    c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_
+        FROM r
+    )
+    SELECT n, b, c_ AS c,
+           ROUND((abs(b - c_) - 1) * (abs(b - c_) - 1) * 1.0
+                 / NULLIF(b + c_, 0), 6) AS mcnemar_chi2
+    FROM c
+    """,
+)
+def mlops_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("props").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("y"),
+            F.when(F.col("value") > 100, 1).otherwise(0).alias("pa"),
+            F.when(F.length("props") > 8, 1).otherwise(0).alias("pb"),
+        )
+    )
+    c = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                (F.col("pa") == F.col("y")) & (F.col("pb") != F.col("y")), 1
+            ).otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when(
+                (F.col("pa") != F.col("y")) & (F.col("pb") == F.col("y")), 1
+            ).otherwise(0)
+        ).alias("c"),
+    )
+    d = F.abs(F.col("b") - F.col("c"))
+    return c.select(
+        "n", "b", "c",
+        F.round(
+            (d - 1) * (d - 1) * 1.0
+            / F.nullif(F.col("b") + F.col("c"), F.lit(0)),
+            6,
+        ).alias("mcnemar_chi2"),
+    )
+
+
+# --------------------------------------------------------------------
+# CUPED variance reduction (Deng/Xu/Kohavi/Walker WSDM'13) — the
+# experimentation-platform staple: adjust each unit's experiment
+# metric Y by its PRE-period covariate X, Y' = Y - theta(X - mean X)
+# with theta = cov(X,Y)/var(X), shrinking metric variance without
+# biasing the treatment effect. Everything reduces to five integer
+# sums (n, Sx, Sy, Sxy, Sxx, Syy) over per-user cent totals — one
+# groupBy(user) + one grand aggregate; theta and the variance
+# reduction are closed-form scalars from exact integers, so both
+# engines agree bitwise. (At petabyte user counts the int64 product
+# sums need DECIMAL headroom — the shape stays one pass.)
+# --------------------------------------------------------------------
+@query(
+    "mlops_cuped_adjustment",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}'
+                        THEN CAST(ROUND(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '{DRIFT_SPLIT}'
+                        THEN CAST(ROUND(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS y
+        FROM events
+        WHERE value IS NOT NULL AND ts IS NOT NULL
+        GROUP BY user_id
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM per_user
+    )
+    SELECT n,
+           ROUND((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
+               AS theta,
+           ROUND((n * syy - sy * sy) * 1.0 / (n * n), 6) AS var_y,
+           ROUND(((n * syy - sy * sy) * 1.0 / (n * n))
+                 - ((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
+                   * ((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
+                   * ((n * sxx - sx * sx) * 1.0 / (n * n)), 6)
+               AS var_y_adj,
+           ROUND(((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
+                 * ((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
+                 * ((n * sxx - sx * sx) * 1.0 / (n * n))
+                 / ((n * syy - sy * sy) * 1.0 / (n * n)), 6)
+               AS var_reduction_frac
+    FROM s
+    """,
+)
+def mlops_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < split, cents).otherwise(0)).alias(
+                "x"
+            ),
+            F.sum(F.when(F.col("ts") >= split, cents).otherwise(0)).alias(
+                "y"
+            ),
+        )
+    )
+    s = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    theta = (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)
+    var_y = (n * syy - sy * sy) * 1.0 / (n * n)
+    var_x = (n * sxx - sx * sx) * 1.0 / (n * n)
+    return s.select(
+        "n",
+        F.round(theta, 6).alias("theta"),
+        F.round(var_y, 6).alias("var_y"),
+        F.round(var_y - theta * theta * var_x, 6).alias("var_y_adj"),
+        F.round(theta * theta * var_x / var_y, 6).alias(
+            "var_reduction_frac"
+        ),
+    )
+
+
+# --------------------------------------------------------------------
+# Qini / uplift curve — the evaluation curve for uplift models
+# (Radcliffe's Qini): units ranked by score into fixed deciles, and
+# per cumulative prefix the incremental responders
+# resp_t - resp_c * (n_t / n_c) — how many conversions the model's
+# targeting earned over random. Treatment assignment is the
+# deterministic user-hash split; fixed VALUE bins (not ntile) keep the
+# ranking map-side at any scale, and the cumulative sums run over the
+# 10-row bin frame — the same K-row-window pattern as the PSI/lift
+# tables, with exact integer ratios.
+# --------------------------------------------------------------------
+@query(
+    "mlops_qini_uplift",
+    oracle="""
+    WITH r AS (
+        SELECT LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9) AS bin,
+               user_id % 2 AS treated,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+        WHERE value IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL
+    ),
+    per_bin AS (
+        SELECT bin,
+               CAST(SUM(treated) AS BIGINT) AS n_t,
+               CAST(SUM(1 - treated) AS BIGINT) AS n_c,
+               CAST(SUM(treated * y) AS BIGINT) AS resp_t,
+               CAST(SUM((1 - treated) * y) AS BIGINT) AS resp_c
+        FROM r GROUP BY bin
+    ),
+    cum AS (
+        SELECT bin,
+               SUM(n_t) OVER w AS c_nt, SUM(n_c) OVER w AS c_nc,
+               SUM(resp_t) OVER w AS c_rt, SUM(resp_c) OVER w AS c_rc
+        FROM per_bin
+        WINDOW w AS (ORDER BY bin DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT bin,
+           CAST(c_nt AS BIGINT) AS cum_treated,
+           CAST(c_nc AS BIGINT) AS cum_control,
+           CAST(c_rt AS BIGINT) AS cum_resp_t,
+           CAST(c_rc AS BIGINT) AS cum_resp_c,
+           ROUND(c_rt - c_rc * 1.0 * c_nt / NULLIF(c_nc, 0), 6)
+               AS qini
+    FROM cum
+    """,
+)
+def mlops_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            F.least(F.floor(F.col("value") / 50), F.lit(9))
+            .cast("long")
+            .alias("bin"),
+            (F.col("user_id") % 2).alias("treated"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+    )
+    per_bin = r.groupBy("bin").agg(
+        F.sum("treated").alias("n_t"),
+        F.sum(1 - F.col("treated")).alias("n_c"),
+        F.sum(F.col("treated") * F.col("y")).alias("resp_t"),
+        F.sum((1 - F.col("treated")) * F.col("y")).alias("resp_c"),
+    )
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_bin.select(
+        "bin",
+        F.sum("n_t").over(w).alias("c_nt"),
+        F.sum("n_c").over(w).alias("c_nc"),
+        F.sum("resp_t").over(w).alias("c_rt"),
+        F.sum("resp_c").over(w).alias("c_rc"),
+    )
+    return cum.select(
+        "bin",
+        F.col("c_nt").cast("long").alias("cum_treated"),
+        F.col("c_nc").cast("long").alias("cum_control"),
+        F.col("c_rt").cast("long").alias("cum_resp_t"),
+        F.col("c_rc").cast("long").alias("cum_resp_c"),
+        F.round(
+            F.col("c_rt")
+            - F.col("c_rc") * 1.0 * F.col("c_nt")
+            / F.nullif(F.col("c_nc"), F.lit(0)),
+            6,
+        ).alias("qini"),
+    )

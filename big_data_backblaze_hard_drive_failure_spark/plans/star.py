@@ -3702,3 +3702,469 @@ def star_null_safe_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_cents("o_totalprice")).alias("sum_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Triangle counting + global clustering coefficient — the graph
+# primitive beyond star_pagerank_nations / neardup components. Graph:
+# parts are nodes, an edge connects two parts co-purchased in the same
+# order. Triangle enumeration uses the DEGREE-ORDERED orientation
+# (compact-forward / Schank-Wagner): every edge points from its
+# lower-(degree, id) endpoint to the higher one, so each triangle has
+# exactly ONE apex with two out-edges and the wedge join's fan-out is
+# bounded by the max ORIENTED out-degree (~sqrt(2|E|)) instead of the
+# max raw degree — the difference between a skew-safe join and a
+# hub-node blow-up at 100 TB. Each triangle is counted exactly once:
+# of a wedge's two orderings only the one whose closing edge matches
+# the orientation survives the final join.
+# --------------------------------------------------------------------
+@query(
+    "star_triangle_count",
+    oracle="""
+    WITH e0 AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1
+        JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+                        AND l1.l_partkey < l2.l_partkey
+    ),
+    deg AS (
+        SELECT v, COUNT(*) AS d
+        FROM (SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0)
+        GROUP BY v
+    ),
+    o AS (
+        SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+                    THEN e0.a ELSE e0.b END AS u,
+               CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+                    THEN e0.b ELSE e0.a END AS v
+        FROM e0
+        JOIN deg da ON da.v = e0.a
+        JOIN deg db ON db.v = e0.b
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_tri
+        FROM o o1
+        JOIN o o2 ON o1.u = o2.u AND o1.v <> o2.v
+        JOIN o o3 ON o3.u = o1.v AND o3.v = o2.v
+    ),
+    w AS (SELECT SUM(d * (d - 1) / 2) AS n_wedges FROM deg)
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_edges,
+           CAST(tri.n_tri AS BIGINT) AS n_triangles,
+           ROUND(3.0 * tri.n_tri / w.n_wedges, 6) AS clustering_coeff
+    FROM tri, w
+    """,
+)
+def star_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    e0 = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(
+            F.col("l1.l_partkey").alias("a"),
+            F.col("l2.l_partkey").alias("b"),
+        )
+        .distinct()
+    )
+    from ..operators.staging import stage_boundary
+
+    e0 = stage_boundary(e0, materialize=False)  # consumed by 4 branches
+    deg = (
+        e0.select(F.col("a").alias("v"))
+        .unionAll(e0.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    deg = stage_boundary(deg, materialize=False)
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        e0.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    o = stage_boundary(o, materialize=False)  # 3-way self-join below
+    o1 = o.select(F.col("u"), F.col("v").alias("x"))
+    o2 = o.select(F.col("u"), F.col("v").alias("y"))
+    o3 = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = (
+        o1.join(o2, "u")
+        .filter(F.col("x") != F.col("y"))
+        .join(o3, ["x", "y"])
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("n_wedges")
+    )
+    counts = e0.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    return (
+        tri.crossJoin(wedges)
+        .crossJoin(counts)
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_tri").cast("long").alias("n_triangles"),
+            F.round(
+                3.0 * F.col("n_tri") / F.col("n_wedges"), 6
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Interval concurrency (sweep-line aggregation): how many orders are
+# "open" (ordered but not yet fully shipped) on each day, reported as
+# the monthly peak + the first day it was hit. The interval-algebra
+# primitive behind max-concurrent-sessions / resource-occupancy
+# queries, expressed as the classic +1/-1 boundary sweep: intervals
+# become two delta events, a per-day groupBy collapses them to
+# O(distinct days) rows, and the running sum over the DAY SPINE gives
+# concurrency. The unpartitioned cumulative window runs over a
+# calendar-bounded frame (~2.4k rows for the 6.5-year fixture — fixed
+# by the calendar, not the data volume); were the spine itself huge,
+# operators/prefix.py's two-level prefix sum is the drop-in
+# replacement, as with the rank statistics.
+# --------------------------------------------------------------------
+@query(
+    "star_concurrent_intervals",
+    oracle="""
+    WITH iv AS (
+        SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS s,
+               MAX(CAST(l.l_shipdate AS DATE)) AS e
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    d AS (
+        SELECT s AS day, 1 AS delta FROM iv
+        UNION ALL
+        SELECT e + 1 AS day, -1 AS delta FROM iv
+    ),
+    per_day AS (SELECT day, SUM(delta) AS delta FROM d GROUP BY day),
+    run AS (
+        SELECT day,
+               SUM(delta) OVER (ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS open_orders
+        FROM per_day
+    ),
+    m AS (
+        SELECT strftime(day, '%Y-%m') AS month, day, open_orders,
+               MAX(open_orders) OVER (PARTITION BY strftime(day, '%Y-%m'))
+                   AS peak
+        FROM run
+    )
+    SELECT month,
+           CAST(peak AS BIGINT) AS peak_open_orders,
+           MIN(day) AS first_peak_day
+    FROM m WHERE open_orders = peak
+    GROUP BY month, peak
+    """,
+)
+def star_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    iv = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("e"))
+        .select(F.col("o_orderdate").cast("date").alias("s"), "e")
+    )
+    d = iv.select(F.col("s").alias("day"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.date_add("e", 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    per_day = d.groupBy("day").agg(F.sum("delta").alias("delta"))
+    wrun = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = per_day.select(
+        "day", F.sum("delta").over(wrun).alias("open_orders")
+    )
+    m = run.select(
+        F.date_format("day", "yyyy-MM").alias("month"),
+        "day",
+        "open_orders",
+    ).withColumn(
+        "peak", F.max("open_orders").over(Window.partitionBy("month"))
+    )
+    return (
+        m.filter(F.col("open_orders") == F.col("peak"))
+        .groupBy("month", "peak")
+        .agg(F.min("day").alias("first_peak_day"))
+        .select(
+            "month",
+            F.col("peak").cast("long").alias("peak_open_orders"),
+            "first_peak_day",
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Pareto frontier (the SKYLINE operator, Borzsony/Kossmann/Stocker
+# ICDE'01): per brand, the parts no other same-brand part dominates
+# (lower-or-equal price AND greater-or-equal size, strictly better in
+# at least one). The naive form is a quadratic NOT-EXISTS self-join;
+# for a 2-D skyline it collapses to two windows — max(size) over
+# strictly-cheaper rows (RANGE to -1 on integer cents) and max(size)
+# among equal-price rows — so the whole operator is one hash exchange
+# on brand + one sort, skew-bounded by brand group size at any scale.
+# The oracle states the dominance definition directly as NOT EXISTS;
+# the engine plan never materializes a pair.
+# --------------------------------------------------------------------
+@query(
+    "star_pareto_frontier",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey, p_brand, p_size,
+               CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c
+        FROM part
+        WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+    )
+    SELECT a.p_partkey, a.p_brand, a.p_size, a.price_c
+    FROM p a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.p_brand = a.p_brand
+          AND b.price_c <= a.price_c
+          AND b.p_size >= a.p_size
+          AND (b.price_c < a.price_c OR b.p_size > a.p_size)
+    )
+    """,
+)
+def star_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(
+            F.col("p_size").isNotNull() & F.col("p_retailprice").isNotNull()
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_size",
+            _cents("p_retailprice").alias("price_c"),
+        )
+    )
+    w_cheaper = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_equal = Window.partitionBy("p_brand", "price_c")
+    dominated = (
+        F.coalesce(F.max("p_size").over(w_cheaper), F.lit(-1))
+        >= F.col("p_size")
+    ) | (F.max("p_size").over(w_equal) > F.col("p_size"))
+    return (
+        p.withColumn("dom", dominated)
+        .filter(~F.col("dom"))
+        .select("p_partkey", "p_brand", "p_size", "price_c")
+    )
+
+
+# --------------------------------------------------------------------
+# Hypothetical-set rank functions (SQL:2016 RANK(x) WITHIN GROUP):
+# "what rank WOULD this value get" — the aggregate family Spark has
+# no native form of, rebuilt from its definitions as conditional
+# counts: rank = 1 + count(v < x), dense_rank = 1 + count(distinct
+# v < x), percent_rank = (rank-1)/n, cume_dist = count(v <= x)/(n+1).
+# Three probe prices fan out via a broadcast 3-row literal table, so
+# the whole thing is one pass over orders with map-side-combinable
+# aggregates per (status, probe).
+# --------------------------------------------------------------------
+@query(
+    "star_hypothetical_rank",
+    oracle="""
+    SELECT o_orderstatus, probe,
+           CAST(1 + SUM(CASE WHEN o_totalprice < probe THEN 1 ELSE 0 END)
+                AS BIGINT) AS hyp_rank,
+           CAST(1 + COUNT(DISTINCT CASE WHEN o_totalprice < probe
+                                        THEN o_totalprice END)
+                AS BIGINT) AS hyp_dense_rank,
+           ROUND(SUM(CASE WHEN o_totalprice < probe THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS hyp_percent_rank,
+           ROUND(SUM(CASE WHEN o_totalprice <= probe THEN 1 ELSE 0 END)
+                 * 1.0 / (COUNT(*) + 1), 6) AS hyp_cume_dist
+    FROM orders
+    CROSS JOIN (SELECT unnest([50000.0, 150000.0, 300000.0]) AS probe) p
+    GROUP BY o_orderstatus, probe
+    """,
+)
+def star_hypothetical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    probes = orders.sparkSession.createDataFrame(
+        [(50000.0,), (150000.0,), (300000.0,)], "probe double"
+    )
+    below = F.sum(
+        F.when(F.col("o_totalprice") < F.col("probe"), 1).otherwise(0)
+    )
+    at_or_below = F.sum(
+        F.when(F.col("o_totalprice") <= F.col("probe"), 1).otherwise(0)
+    )
+    return (
+        orders.join(F.broadcast(probes))
+        .groupBy("o_orderstatus", "probe")
+        .agg(
+            (1 + below).cast("long").alias("hyp_rank"),
+            (
+                1
+                + F.countDistinct(
+                    F.when(
+                        F.col("o_totalprice") < F.col("probe"),
+                        F.col("o_totalprice"),
+                    )
+                )
+            ).cast("long").alias("hyp_dense_rank"),
+            F.round(below * 1.0 / F.count(F.lit(1)), 6).alias(
+                "hyp_percent_rank"
+            ),
+            F.round(at_or_below * 1.0 / (F.count(F.lit(1)) + 1), 6).alias(
+                "hyp_cume_dist"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Sequential-pattern support (PrefixSpan's unit step): for every
+# ordered event-type pair (a ->...-> b, ANY gap), the number and share
+# of users whose history contains some a-event strictly before some
+# b-event. star_markov_transitions counts ADJACENT steps; any-gap
+# containment is the sequence-mining primitive and reduces to pure
+# per-group min/max: user u supports (a, b) iff min_ts(a) < max_ts(b)
+# — so the whole pattern table is one groupBy(user, type) for
+# (min_ts, max_ts) plus a per-user 5x5 pair join of 5-row sides,
+# never a scan of raw event pairs. Ties on the boundary timestamps
+# break by event_id (strictly-before means a's earliest fires before
+# b's latest by (ts, event_id) order), keeping both engines exact.
+# --------------------------------------------------------------------
+@query(
+    "star_sequential_pattern",
+    oracle="""
+    WITH b AS (
+        SELECT user_id, event_type,
+               MIN(ROW(ts, event_id)) AS min_k,
+               MAX(ROW(ts, event_id)) AS max_k
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY user_id, event_type
+    ),
+    u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM b),
+    pairs AS (
+        SELECT a.event_type AS type_a, c.event_type AS type_b,
+               COUNT(*) AS n_support
+        FROM b a JOIN b c ON a.user_id = c.user_id
+                         AND a.event_type <> c.event_type
+        WHERE a.min_k < c.max_k
+        GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, CAST(n_support AS BIGINT) AS n_support,
+           ROUND(n_support * 1.0 / u.n_users, 6) AS support
+    FROM pairs, u
+    """,
+)
+def star_sequential_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    b = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.struct("ts", "event_id")).alias("min_k"),
+        F.max(F.struct("ts", "event_id")).alias("max_k"),
+    )
+    from ..operators.staging import stage_boundary
+
+    b = stage_boundary(b, materialize=False)  # pair join + user count
+    n_users = b.agg(F.countDistinct("user_id").alias("n_users"))
+    a, c = b.alias("a"), b.alias("c")
+    before = F.col("a.min_k") < F.col("c.max_k")  # lexicographic
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.user_id") == F.col("c.user_id"))
+            & (F.col("a.event_type") != F.col("c.event_type")),
+        )
+        .filter(before)
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("c.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_support"))
+    )
+    return pairs.crossJoin(F.broadcast(n_users)).select(
+        "type_a",
+        "type_b",
+        F.col("n_support").cast("long").alias("n_support"),
+        F.round(F.col("n_support") * 1.0 / F.col("n_users"), 6).alias(
+            "support"
+        ),
+    )
+
+
+# --------------------------------------------------------------------
+# Time-decay (recency-weighted) aggregation — the "decayed count /
+# decayed revenue" profile feature: recent activity counts more, old
+# activity fades hyperbolically (weight = 1 / (1 + age_days)).
+# Exponential decay is the textbook form but exp() bit-parity across
+# engines is not guaranteed; hyperbolic decay keeps every term a
+# RATIONAL of integers, and each term is rounded to integer
+# micro-units BEFORE the sum, so the aggregate is an exact BIGINT sum
+# — commutative, partial-agg safe, bit-identical under any shuffle
+# order at any scale. One scan, one groupBy(user), map-side
+# combinable.
+# --------------------------------------------------------------------
+@query(
+    "star_decayed_recency_agg",
+    oracle="""
+    WITH t AS (
+        SELECT user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               datediff('day', CAST(ts AS DATE), DATE '2024-02-01')
+                   AS age_days
+        FROM events
+        WHERE value IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(cents * 1000000.0 / (1 + age_days))
+                         AS BIGINT)) AS BIGINT) AS decayed_micro,
+           CAST(SUM(CAST(ROUND(1000000.0 / (1 + age_days)) AS BIGINT))
+                AS BIGINT) AS decayed_count_micro
+    FROM t GROUP BY user_id
+    """,
+)
+def star_decayed_recency_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.datediff(
+                F.lit("2024-02-01").cast("date"), F.col("ts").cast("date")
+            ).alias("age_days"),
+        )
+    )
+    w = 1 + F.col("age_days")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.round(F.col("cents") * 1000000.0 / w).cast("long")
+        ).alias("decayed_micro"),
+        F.sum(F.round(1000000.0 / w).cast("long")).alias(
+            "decayed_count_micro"
+        ),
+    )

@@ -43,6 +43,16 @@ SF_DIRS = [
     ("/root/testdata/sf0.1", 0.1),
 ]
 
+# One more decade when scripts/gen_sf1.py has been run (10x key-shifted
+# replication of sf0.1 into the git-ignored scratch dir) — the round-8
+# ask: measure, not argue, that the heavy families survive sf1.
+_SF1 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "_scratch", "sf1",
+)
+if os.path.isdir(_SF1):
+    SF_DIRS.append((_SF1, 1.0))
+
 
 def main() -> int:
     from big_data_backblaze_hard_drive_failure_spark.plans import QUERIES
@@ -69,17 +79,22 @@ def main() -> int:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    print("| query | sf0.001 | sf0.01 | sf0.1 | x(0.001→0.01) | x(0.01→0.1) |")
-    print("|---|---|---|---|---|---|")
+    hdr_sf = " | ".join(f"sf{sf:g}" for _, sf in SF_DIRS)
+    hdr_rx = " | ".join(
+        f"x(sf{SF_DIRS[i - 1][1]:g}→sf{SF_DIRS[i][1]:g})"
+        for i in range(1, len(SF_DIRS))
+    )
+    print(f"| query | {hdr_sf} | {hdr_rx} |")
+    print("|---" * (1 + len(SF_DIRS) + len(SF_DIRS) - 1) + "|")
     for name in names:
         ts = [run(name, d) for d, _ in SF_DIRS]
-        r1 = ts[1] / ts[0] if ts[0] > 0 else float("nan")
-        r2 = ts[2] / ts[1] if ts[1] > 0 else float("nan")
-        print(
-            f"| {name} | {ts[0]:.2f}s | {ts[1]:.2f}s | {ts[2]:.2f}s "
-            f"| {r1:.1f}x | {r2:.1f}x |",
-            flush=True,
-        )
+        ratios = [
+            ts[i] / ts[i - 1] if ts[i - 1] > 0 else float("nan")
+            for i in range(1, len(ts))
+        ]
+        cells = " | ".join(f"{t:.2f}s" for t in ts)
+        rcells = " | ".join(f"{r:.1f}x" for r in ratios)
+        print(f"| {name} | {cells} | {rcells} |", flush=True)
     return 0
 
 
