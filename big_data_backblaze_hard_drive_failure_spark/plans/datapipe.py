@@ -5662,3 +5662,185 @@ def datapipe_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("weight")).desc(), "bucket")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------
+# Temperature-scaled mixture weights (the multilingual/multi-source
+# resampling rule from GPT-3/PaLM data recipes): source sampling
+# probability proportional to p_i^T with T < 1, upweighting rare
+# sources. T = 0.5 on purpose: p^0.5 = sqrt(p), and IEEE 754 sqrt is
+# CORRECTLY ROUNDED by spec — the only power that is bit-identical
+# across Spark's JVM and DuckDB without an epsilon (general pow/exp
+# carry no such guarantee; see the decayed-recency query for the
+# rational-weights alternative). O(sources) aggregate; the epochs
+# column is what a sampler multiplies into each source's plan.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_temperature_mixture",
+    oracle="""
+    WITH s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM documents WHERE source IS NOT NULL
+        GROUP BY source
+    ),
+    t AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+               SUM(sqrt(n_docs * 1.0)) AS z
+        FROM s
+    )
+    SELECT s.source, s.n_docs, s.n_chars,
+           ROUND(s.n_docs * 1.0 / t.total, 6) AS p_raw,
+           ROUND(sqrt(s.n_docs * 1.0) / t.z, 6) AS p_temp,
+           ROUND((sqrt(s.n_docs * 1.0) / t.z)
+                 / (s.n_docs * 1.0 / t.total), 6) AS epochs
+    FROM s, t
+    """,
+)
+def datapipe_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+    t = s.agg(
+        F.sum("n_docs").alias("total"),
+        F.sum(F.sqrt(F.col("n_docs") * 1.0)).alias("z"),
+    )
+    p_raw = F.col("n_docs") * 1.0 / F.col("total")
+    p_temp = F.sqrt(F.col("n_docs") * 1.0) / F.col("z")
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round(p_raw, 6).alias("p_raw"),
+        F.round(p_temp, 6).alias("p_temp"),
+        F.round(p_temp / p_raw, 6).alias("epochs"),
+    )
+
+
+# --------------------------------------------------------------------
+# Span-corruption example synthesis (the T5 denoising objective's
+# data prep): deterministically mask ~1-in-4 word spans (3-word
+# spans whose grid cell hashes to 0 mod 4), emitting per document the
+# corrupted input (spans replaced by <extra_id_K> sentinels) and the
+# target sequence (sentinels + the dropped spans). A REWRITE op like
+# the paragraph dedup: the output is training text, not a score.
+# Pure map over the chunk grid + two ordered reassemblies per doc —
+# no shuffle beyond the per-doc regroup, deterministic via md5 so
+# both engines build byte-identical pairs.
+# --------------------------------------------------------------------
+_SPAN_W = 3  # words per maskable span
+
+
+@query(
+    "datapipe_span_corruption",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    spans AS (
+        SELECT doc_id, t.i AS span_idx,
+               array_to_string(
+                   w[CAST(t.i * {_SPAN_W} + 1 AS BIGINT)
+                     :CAST(t.i * {_SPAN_W} + {_SPAN_W} AS BIGINT)], ' ')
+                   AS span,
+               CASE WHEN ((instr('0123456789abcdef',
+                                 substring(md5(concat(CAST(doc_id AS
+                                 VARCHAR), ':', CAST(t.i AS VARCHAR))),
+                                 1, 1)) - 1) % 4) = 0
+                    THEN 1 ELSE 0 END AS masked
+        FROM d, LATERAL (
+            SELECT unnest(range(0, CAST(ceil(len(w) / {_SPAN_W}.0)
+                                        AS BIGINT))) AS i) t
+    ),
+    numbered AS (
+        SELECT doc_id, span_idx, span, masked,
+               SUM(masked) OVER (PARTITION BY doc_id ORDER BY span_idx
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - masked AS k
+        FROM spans
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(masked) AS BIGINT) AS n_masked,
+           string_agg(CASE WHEN masked = 1
+                           THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+                           ELSE span END, ' ' ORDER BY span_idx)
+               AS corrupted,
+           COALESCE(string_agg(CASE WHEN masked = 1
+                           THEN '<extra_id_' || CAST(k AS VARCHAR)
+                                || '> ' || span END,
+                           ' ' ORDER BY span_idx), '') AS target
+    FROM numbered GROUP BY doc_id
+    """,
+)
+def datapipe_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select("doc_id", "text")
+    )
+    sw = _SPAN_W
+    spans_expr = (
+        f"element_at(transform(array(split(text, ' ')), toks -> "
+        f"transform(sequence(0, CAST(ceil(size(toks) / {sw}.0) AS INT) - 1), "
+        f"i -> array_join(slice(toks, i * {sw} + 1, {sw}), ' '))), 1)"
+    )
+    pe = docs.select(
+        "doc_id", F.posexplode(F.expr(spans_expr)).alias("span_idx", "span")
+    )
+    mask_expr = (
+        "CASE WHEN ((instr('0123456789abcdef', substring(md5(concat("
+        "CAST(doc_id AS STRING), ':', CAST(span_idx AS STRING))), 1, 1))"
+        " - 1) % 4) = 0 THEN 1 ELSE 0 END"
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("span_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = pe.withColumn("masked", F.expr(mask_expr)).withColumn(
+        "k", F.sum("masked").over(w_run) - F.col("masked")
+    )
+    sentinel = F.concat(
+        F.lit("<extra_id_"), F.col("k").cast("string"), F.lit(">")
+    )
+    corrupted_piece = F.when(F.col("masked") == 1, sentinel).otherwise(
+        F.col("span")
+    )
+    target_piece = F.when(
+        F.col("masked") == 1, F.concat(sentinel, F.lit(" "), F.col("span"))
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("span_idx", "piece", "tpiece"))
+    )
+    return (
+        numbered.select(
+            "doc_id",
+            "span_idx",
+            "masked",
+            corrupted_piece.alias("piece"),
+            target_piece.alias("tpiece"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("masked").alias("n_masked"),
+            F.array_join(
+                F.transform(ordered, lambda s: s["piece"]), " "
+            ).alias("corrupted"),
+            F.array_join(
+                F.filter(
+                    F.transform(ordered, lambda s: s["tpiece"]),
+                    lambda x: x.isNotNull(),
+                ),
+                " ",
+            ).alias("target"),
+        )
+    )

@@ -549,3 +549,94 @@ def io_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
         F.countDistinct("day").cast("long").alias("n_days"),
         F.sum("cents").cast("long").alias("total_cents"),
     )
+
+
+# --------------------------------------------------------------------
+# Malformed-record quarantine (the PERMISSIVE + _corrupt_record
+# ingestion pattern): real JSONL feeds always carry broken lines, and
+# the at-scale discipline is route-and-count, never fail-the-job
+# (FAILFAST dies on line one of 100 TB) and never silent drop
+# (DROPMALFORMED hides upstream rot). The fixture's JSONL is written
+# with DETERMINISTIC corruption (every doc_id % 7 == 0 line is
+# truncated mid-record), read back PERMISSIVE with the corrupt
+# column, and summarized per source: clean vs quarantined counts.
+# The oracle recomputes the same partition arithmetic from the clean
+# table — if the engine misroutes a single line either way, counts
+# mismatch.
+# --------------------------------------------------------------------
+@query(
+    "io_jsonl_quarantine",
+    oracle="""
+    SELECT source,
+           CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clean,
+           CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quarantined,
+           CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS clean_chars
+    FROM documents
+    WHERE source IS NOT NULL
+    GROUP BY source
+    """,
+)
+def io_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull())
+        .select("doc_id", "source", "n_chars", "text")
+    )
+    path = scratch_dir("jsonl_quarantine")
+    # Build the corrupted feed with the SAME engine (one map, one text
+    # write): corrupt lines are truncated mid-JSON — unparseable, not
+    # just schema-mismatched.
+    # truncation drops the tail (never the head) so the early fields
+    # (doc_id, source) survive in the fragment for quarantine
+    # attribution, while the JSON is guaranteed unparseable
+    line = F.to_json(F.struct("doc_id", "source", "n_chars", "text"))
+    feed = docs.select(
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            line.substr(F.lit(1), F.length(line) - 5),
+        )
+        .otherwise(line)
+        .alias("value")
+    )
+    feed.coalesce(1).write.mode("overwrite").text(path)
+    schema = (
+        "doc_id bigint, source string, n_chars bigint, text string, "
+        "_corrupt_record string"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    # Quarantined rows surface via _corrupt_record; sources for them
+    # are recovered from the raw fragment so the report can still
+    # bucket rot by feed (tail-truncation preserves the early
+    # `"source":"s"` field) — regexp pulls it back out. One select
+    # referencing BOTH data and corrupt columns (Spark refuses plans
+    # whose JSON scan references only the internal corrupt column),
+    # then one aggregate — no split/union, single pass.
+    rows = back.select(
+        F.coalesce(
+            "source",
+            F.regexp_extract(
+                F.col("_corrupt_record"), '"source":"([^"]*)', 1
+            ),
+        ).alias("source"),
+        F.when(F.col("_corrupt_record").isNull(), 1)
+        .otherwise(0)
+        .alias("clean"),
+        "n_chars",
+    )
+    return rows.groupBy("source").agg(
+        F.sum("clean").alias("n_clean"),
+        F.sum(1 - F.col("clean")).alias("n_quarantined"),
+        F.sum(
+            F.when(F.col("clean") == 1, F.col("n_chars")).otherwise(0)
+        ).alias("clean_chars"),
+    )

@@ -4168,3 +4168,143 @@ def star_decayed_recency_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decayed_count_micro"
         ),
     )
+
+
+# --------------------------------------------------------------------
+# Interval merge (union of overlapping intervals — "gaps and islands"
+# with real spans): per customer, coalesce overlapping order-activity
+# intervals (order date -> last shipment) into islands, reporting the
+# island count and total covered days. The classic sweep: sort a
+# customer's intervals by start, an island BREAKS where the start
+# exceeds the running max end so far (cumulative max over the
+# preceding frame), island id = running count of breaks, then one
+# group-by. Two windows + one aggregate, all partitioned by customer
+# — no self-join, no pair blow-up, skew bounded by one customer's
+# order count at any scale.
+# --------------------------------------------------------------------
+@query(
+    "star_interval_merge",
+    oracle="""
+    WITH iv AS (
+        SELECT o.o_custkey AS custkey,
+               CAST(o.o_orderdate AS DATE) AS s,
+               MAX(CAST(l.l_shipdate AS DATE)) AS e
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_custkey, o.o_orderkey, o.o_orderdate
+    ),
+    flagged AS (
+        SELECT custkey, s, e,
+               CASE WHEN s > MAX(e) OVER (
+                        PARTITION BY custkey ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS brk
+        FROM iv
+    ),
+    islands AS (
+        SELECT custkey, s, e,
+               SUM(brk) OVER (PARTITION BY custkey ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS island
+        FROM flagged
+    ),
+    merged AS (
+        SELECT custkey, island,
+               MIN(s) AS m_start, MAX(e) AS m_end
+        FROM islands GROUP BY custkey, island
+    )
+    SELECT custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(datediff('day', m_start, m_end) + 1) AS BIGINT)
+               AS covered_days
+    FROM merged GROUP BY custkey
+    """,
+)
+def star_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    iv = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("e"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").cast("date").alias("s"),
+            "e",
+        )
+    )
+    w_prev = (
+        Window.partitionBy("custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = iv.withColumn(
+        "brk",
+        F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0),
+    )
+    islands = flagged.withColumn("island", F.sum("brk").over(w_run))
+    merged = islands.groupBy("custkey", "island").agg(
+        F.min("s").alias("m_start"), F.max("e").alias("m_end")
+    )
+    return merged.groupBy("custkey").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.datediff("m_end", "m_start") + 1).alias("covered_days"),
+    )
+
+
+# --------------------------------------------------------------------
+# Deterministic MODE aggregate — most frequent value per group with
+# an EXPLICIT tie-break (highest count, then smallest value). Spark
+# 3.4+ and DuckDB both ship mode(), but neither documents tie order,
+# so cross-engine parity (and rerun stability at scale, where
+# partial-agg merge order varies) requires spelling the tie-break:
+# count per (group, value), then one rank window per group. Two
+# map-side-combinable shuffles, group cardinality bounded.
+# --------------------------------------------------------------------
+@query(
+    "star_mode_aggregate",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL
+        GROUP BY o_orderstatus, o_orderpriority
+    ),
+    r AS (
+        SELECT o_orderstatus, o_orderpriority, n,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY n DESC, o_orderpriority) AS rn
+        FROM c
+    )
+    SELECT o_orderstatus,
+           o_orderpriority AS mode_priority,
+           CAST(n AS BIGINT) AS mode_count
+    FROM r WHERE rn = 1
+    """,
+)
+def star_mode_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isNotNull())
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").cast("long").alias("mode_count"),
+        )
+    )
