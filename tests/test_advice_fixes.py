@@ -185,3 +185,70 @@ def test_document_queries_survive_empty_input(spark, tmp_path, name):
         first = rows[0].asDict()
         counts = [v for k, v in first.items() if k.startswith("n_")]
         assert all((v or 0) == 0 for v in counts), first
+
+
+# ------------------------------------------------------------------
+# Round-7 ADVICE regressions (fixed in round 8)
+# ------------------------------------------------------------------
+
+
+def test_stage_boundary_lru_refreshes_recency(spark):
+    """The staged-frame cache is a true LRU: re-staging a live frame
+    moves it to the most-recent slot, so a hot frame survives
+    evictions that drop colder ones (the advisor found FIFO behavior:
+    re-staging kept the original insertion slot)."""
+    from big_data_backblaze_hard_drive_failure_spark.operators import staging
+
+    staging.release_stage_boundaries()
+    hot = spark.range(5)
+    hot_staged = staging.stage_boundary(hot, materialize=False)
+    cold = [
+        staging.stage_boundary(spark.range(10 + i), materialize=False)
+        for i in range(staging._MAX_LIVE_STAGED - 1)
+    ]
+    # cache is now exactly full, hot is the OLDEST entry; touch it
+    staging.stage_boundary(hot_staged, materialize=False)
+    # one more insert must evict the oldest COLD frame, not hot
+    staging.stage_boundary(spark.range(999), materialize=False)
+    assert id(hot_staged) in staging._LIVE_STAGED or any(
+        v is hot_staged for v in staging._LIVE_STAGED.values()
+    ), "re-staged hot frame was evicted — LRU recency not refreshed"
+    staging.release_stage_boundaries()
+
+
+def test_fit_empty_probe_failure_does_not_mask_fit_error(spark):
+    """If the emptiness probe itself dies, the ORIGINAL fit exception
+    must surface, not the probe's (advisor: a dead session made
+    vec.isEmpty() raise a second error that replaced the first)."""
+    from big_data_backblaze_hard_drive_failure_spark.ml.training import (
+        _fit_or_explain_empty,
+    )
+
+    class BoomEstimator:
+        def fit(self, df):
+            raise RuntimeError("original fit failure")
+
+    class BoomFrame:
+        def isEmpty(self):
+            raise ValueError("probe failure: session dead")
+
+    with pytest.raises(RuntimeError, match="original fit failure"):
+        _fit_or_explain_empty(BoomEstimator(), BoomFrame(), "test_op")
+
+
+def test_score_with_model_handle_invalid_keep_keeps_rows(spark):
+    """score_with_model's row-drop contract is caller-controllable:
+    handle_invalid='keep' scores every input row (NaN-padded vector),
+    while the default 'skip' silently drops null-feature rows — the
+    advisor asked for the choice to be explicit per call site."""
+    from big_data_backblaze_hard_drive_failure_spark.ml.training import (
+        assemble_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 2.0), (2, None, 3.0)], "id int, f1 double, f2 double"
+    )
+    kept = assemble_features(df, ["f1", "f2"], handle_invalid="keep")
+    skipped = assemble_features(df, ["f1", "f2"])  # default skip
+    assert kept.count() == 2
+    assert skipped.count() == 1

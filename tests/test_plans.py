@@ -327,3 +327,36 @@ def test_random_projection_is_shuffle_free(spark, sf_smoke):
     plan = _formatted(spark, "datapipe_random_projection", sf_smoke)
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_salted_null_safe_join_shape(spark, sf_smoke):
+    """The salted twin must demonstrate the at-scale shape its
+    docstring promises: a plain equi-join over hash exchanges on the
+    SALTED key (ShuffledHashJoin via the hint), with NO null-safe
+    (EqualNullSafe) comparison left anywhere — a <=> hash join is the
+    single-partition null bucket the twin exists to avoid."""
+    plan = _formatted(spark, "star_null_safe_join_salted", sf_smoke)
+    tree = plan.split("\n\n")[0]
+    assert "ShuffledHashJoin" in tree, tree
+    assert "EqualNullSafe" not in plan
+
+
+def test_pareto_frontier_is_windows_not_pairs(spark, sf_smoke):
+    """The skyline must be the two-window rewrite, not the quadratic
+    NOT-EXISTS the oracle states: no join of part against itself."""
+    plan = _formatted(spark, "star_pareto_frontier", sf_smoke)
+    tree = plan.split("\n\n")[0]
+    assert "Window" in tree
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin"):
+        assert j not in tree, f"skyline planned a pair join: {tree}"
+
+
+def test_triangle_count_reuses_staged_edges(spark, sf_smoke):
+    """Triangle counting consumes the edge list and oriented edges
+    from stage boundaries: the lineitem self-join that BUILDS edges
+    must appear once (InMemoryRelation reuse), not once per wedge
+    branch."""
+    plan = _formatted(spark, "star_triangle_count", sf_smoke)
+    tree = plan.split("\n\n")[0]
+    assert "InMemoryTableScan" in tree or "TableCacheQueryStage" in tree, tree
