@@ -3707,8 +3707,14 @@ def star_null_safe_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 # Triangle counting + global clustering coefficient — the graph
 # primitive beyond star_pagerank_nations / neardup components. Graph:
-# parts are nodes, an edge connects two parts co-purchased in the same
-# order. Triangle enumeration uses the DEGREE-ORDERED orientation
+# parts are nodes, an edge connects two parts co-purchased in >= 2
+# DISTINCT orders (the market-basket support threshold — a projection
+# of a random bipartite graph is otherwise dense, ~1.2M spurious
+# single-co-occurrence edges over 20k parts at sf0.1, whose wedge
+# space OOM'd the 8g envelope; support pruning is how co-occurrence
+# graphs are ALWAYS built before triangle analytics, and it is the
+# same linear groupBy that produced the edges). Triangle enumeration
+# then uses the DEGREE-ORDERED orientation
 # (compact-forward / Schank-Wagner): every edge points from its
 # lower-(degree, id) endpoint to the higher one, so each triangle has
 # exactly ONE apex with two out-edges and the wedge join's fan-out is
@@ -3722,10 +3728,12 @@ def star_null_safe_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "star_triangle_count",
     oracle="""
     WITH e0 AS (
-        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        SELECT l1.l_partkey AS a, l2.l_partkey AS b
         FROM lineitem l1
         JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
                         AND l1.l_partkey < l2.l_partkey
+        GROUP BY a, b
+        HAVING COUNT(DISTINCT l1.l_orderkey) >= 2
     ),
     deg AS (
         SELECT v, COUNT(*) AS d
@@ -3764,11 +3772,13 @@ def star_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
             & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
         )
-        .select(
+        .groupBy(
             F.col("l1.l_partkey").alias("a"),
             F.col("l2.l_partkey").alias("b"),
         )
-        .distinct()
+        .agg(F.countDistinct("l1.l_orderkey").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("a", "b")
     )
     from ..operators.staging import stage_boundary
 
