@@ -2746,18 +2746,24 @@ def mlops_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_user
     )
     SELECT n,
-           ROUND((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
-               AS theta,
-           ROUND((n * syy - sy * sy) * 1.0 / (n * n), 6) AS var_y,
-           ROUND(((n * syy - sy * sy) * 1.0 / (n * n))
-                 - ((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
-                   * ((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
-                   * ((n * sxx - sx * sx) * 1.0 / (n * n)), 6)
+           ROUND((n * sxy - sx * sy) * 1.0
+                 / NULLIF(n * sxx - sx * sx, 0), 6) AS theta,
+           ROUND((n * syy - sy * sy) * 1.0 / NULLIF(n * n, 0), 6)
+               AS var_y,
+           ROUND(((n * syy - sy * sy) * 1.0 / NULLIF(n * n, 0))
+                 - ((n * sxy - sx * sy) * 1.0
+                    / NULLIF(n * sxx - sx * sx, 0))
+                   * ((n * sxy - sx * sy) * 1.0
+                      / NULLIF(n * sxx - sx * sx, 0))
+                   * ((n * sxx - sx * sx) * 1.0 / NULLIF(n * n, 0)), 6)
                AS var_y_adj,
-           ROUND(((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
-                 * ((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
-                 * ((n * sxx - sx * sx) * 1.0 / (n * n))
-                 / ((n * syy - sy * sy) * 1.0 / (n * n)), 6)
+           ROUND(((n * sxy - sx * sy) * 1.0
+                  / NULLIF(n * sxx - sx * sx, 0))
+                 * ((n * sxy - sx * sy) * 1.0
+                    / NULLIF(n * sxx - sx * sx, 0))
+                 * ((n * sxx - sx * sx) * 1.0 / NULLIF(n * n, 0))
+                 / NULLIF((n * syy - sy * sy) * 1.0
+                          / NULLIF(n * n, 0), 0), 6)
                AS var_reduction_frac
     FROM s
     """,
@@ -2788,17 +2794,23 @@ def mlops_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    theta = (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)
-    var_y = (n * syy - sy * sy) * 1.0 / (n * n)
-    var_x = (n * sxx - sx * sx) * 1.0 / (n * n)
+    # NULLIF guards: a degenerate corpus (zero covariate variance —
+    # every user's pre-period X identical, e.g. all activity in one
+    # instant — or zero rows) makes CUPED undefined; emit NULL rather
+    # than an ANSI divide-by-zero abort. Same NULLIFs in the oracle.
+    theta = (n * sxy - sx * sy) * 1.0 / F.nullif(
+        n * sxx - sx * sx, F.lit(0)
+    )
+    var_y = (n * syy - sy * sy) * 1.0 / F.nullif(n * n, F.lit(0))
+    var_x = (n * sxx - sx * sx) * 1.0 / F.nullif(n * n, F.lit(0))
     return s.select(
         "n",
         F.round(theta, 6).alias("theta"),
         F.round(var_y, 6).alias("var_y"),
         F.round(var_y - theta * theta * var_x, 6).alias("var_y_adj"),
-        F.round(theta * theta * var_x / var_y, 6).alias(
-            "var_reduction_frac"
-        ),
+        F.round(
+            theta * theta * var_x / F.nullif(var_y, F.lit(0.0)), 6
+        ).alias("var_reduction_frac"),
     )
 
 
