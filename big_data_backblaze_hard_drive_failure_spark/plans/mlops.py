@@ -2424,17 +2424,22 @@ def mlops_quantile_drift_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM r
     )
     SELECT n, n11, n10, n01, n00,
-           ROUND((n11 + n00) * 1.0 / n, 6) AS po,
-           ROUND(((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
-                 + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n), 6)
-               AS pe,
-           ROUND(((n11 + n00) * 1.0 / n
-                  - (((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
-                     + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n)))
-                 / (1.0
-                    - (((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
-                       + ((n01 + n00) * 1.0 / n)
-                         * ((n10 + n00) * 1.0 / n))), 6) AS kappa
+           ROUND((n11 + n00) * 1.0 / NULLIF(n, 0), 6) AS po,
+           ROUND(((n11 + n10) * 1.0 / NULLIF(n, 0))
+                   * ((n11 + n01) * 1.0 / NULLIF(n, 0))
+                 + ((n01 + n00) * 1.0 / NULLIF(n, 0))
+                   * ((n10 + n00) * 1.0 / NULLIF(n, 0)), 6) AS pe,
+           ROUND(((n11 + n00) * 1.0 / NULLIF(n, 0)
+                  - (((n11 + n10) * 1.0 / NULLIF(n, 0))
+                       * ((n11 + n01) * 1.0 / NULLIF(n, 0))
+                     + ((n01 + n00) * 1.0 / NULLIF(n, 0))
+                       * ((n10 + n00) * 1.0 / NULLIF(n, 0))))
+                 / NULLIF(1.0
+                    - (((n11 + n10) * 1.0 / NULLIF(n, 0))
+                         * ((n11 + n01) * 1.0 / NULLIF(n, 0))
+                       + ((n01 + n00) * 1.0 / NULLIF(n, 0))
+                         * ((n10 + n00) * 1.0 / NULLIF(n, 0))), 0), 6)
+               AS kappa
     FROM c
     """,
 )
@@ -2454,7 +2459,11 @@ def mlops_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((1 - F.col("a")) * F.col("b")).alias("n01"),
         F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("n00"),
     )
-    n = F.col("n")
+    # NULLIF guards (mirrored in the oracle): zero usable rows makes
+    # every rate undefined, and pe == 1 (a constant rater on a tiny /
+    # degenerate corpus — the fuzz shrank to a single event) makes
+    # kappa's 1-pe denominator zero. NULL, not an ANSI abort.
+    n = F.nullif(F.col("n"), F.lit(0))
     po = (F.col("n11") + F.col("n00")) * 1.0 / n
     pe = ((F.col("n11") + F.col("n10")) * 1.0 / n) * (
         (F.col("n11") + F.col("n01")) * 1.0 / n
@@ -2465,7 +2474,9 @@ def mlops_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", "n11", "n10", "n01", "n00",
         F.round(po, 6).alias("po"),
         F.round(pe, 6).alias("pe"),
-        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+        F.round(
+            (po - pe) / F.nullif(1.0 - pe, F.lit(0.0)), 6
+        ).alias("kappa"),
     )
 
 
@@ -2512,7 +2523,7 @@ def mlops_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(outcome_c) AS BIGINT) AS n_matched,
            ROUND(SUM(CASE WHEN outcome_c IS NOT NULL
                           THEN outcome_t - outcome_c END) * 1.0
-                 / COUNT(outcome_c), 6) AS att
+                 / NULLIF(COUNT(outcome_c), 0), 6) AS att
     FROM m
     """,
 )
@@ -2574,7 +2585,7 @@ def mlops_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.when(F.col("mc").isNotNull(), F.col("ot") - F.col("mc")))
             * 1.0
-            / F.count("mc"),
+            / F.nullif(F.count("mc"), F.lit(0)),  # zero matches -> NULL
             6,
         ).alias("att"),
     )

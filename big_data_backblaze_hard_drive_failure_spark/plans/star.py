@@ -3759,7 +3759,8 @@ def star_null_safe_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
            CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_edges,
            CAST(tri.n_tri AS BIGINT) AS n_triangles,
-           ROUND(3.0 * tri.n_tri / w.n_wedges, 6) AS clustering_coeff
+           ROUND(3.0 * tri.n_tri / NULLIF(w.n_wedges, 0), 6)
+               AS clustering_coeff
     FROM tri, w
     """,
 )
@@ -3827,7 +3828,9 @@ def star_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_edges").cast("long").alias("n_edges"),
             F.col("n_tri").cast("long").alias("n_triangles"),
             F.round(
-                3.0 * F.col("n_tri") / F.col("n_wedges"), 6
+                3.0 * F.col("n_tri")
+                / F.nullif(F.col("n_wedges"), F.lit(0.0)),
+                6,
             ).alias("clustering_coeff"),
         )
     )
@@ -4149,9 +4152,11 @@ def star_sequential_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(ROUND(cents * 1000000.0 / (1 + age_days))
+           CAST(SUM(CAST(ROUND(cents * 1000000.0
+                               / (1 + GREATEST(age_days, 0)))
                          AS BIGINT)) AS BIGINT) AS decayed_micro,
-           CAST(SUM(CAST(ROUND(1000000.0 / (1 + age_days)) AS BIGINT))
+           CAST(SUM(CAST(ROUND(1000000.0 / (1 + GREATEST(age_days, 0)))
+                         AS BIGINT))
                 AS BIGINT) AS decayed_count_micro
     FROM t GROUP BY user_id
     """,
@@ -4168,7 +4173,9 @@ def star_decayed_recency_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("age_days"),
         )
     )
-    w = 1 + F.col("age_days")
+    # clamp: events at/after the reference date (possible on fuzz or
+    # late-arriving data) weigh 1, never a zero/negative denominator
+    w = 1 + F.greatest(F.col("age_days"), F.lit(0))
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(

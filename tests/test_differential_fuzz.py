@@ -70,12 +70,25 @@ _DOC_QUERIES = [
     "datapipe_doc_fingerprint",
     "datapipe_token_count_regex",
     "datapipe_lang_id",
+    # round-8 rewrite ops: chunk-grid arithmetic + window survivorship
+    # + ordered reassembly are exactly what fuzz corpora stress
+    # (regex metachars inside tokens, multibyte unicode, space runs)
+    "datapipe_paragraph_dedup",
+    "datapipe_cdc_chunk_dedup",
+    "datapipe_span_corruption",
+    "datapipe_feature_hashing",
 ]
 _EVENT_QUERIES = [
     "ref_label_lead",
     "ref_alerts_daily",
     "ref_when_otherwise",
     "datapipe_props_json",
+    # round-8: agreement/test statistics (exact integer ratios) and
+    # the struct-key sequence-pattern join under tie-heavy timestamps
+    "mlops_cohens_kappa",
+    "mlops_mcnemar_test",
+    "star_sequential_pattern",
+    "star_decayed_recency_agg",
 ]
 
 
