@@ -5844,3 +5844,66 @@ def datapipe_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("target"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Hash-based Bernoulli sampling — the ORACLE-PAIRED sampler. Seeded
+# rand() sampling is engine-specific (our X1/O2 queries are rows-only
+# by design); hashing the KEY into [0,100) and keeping < rate makes
+# the sample a pure function of the data — reproducible across
+# engines, runs, and cluster layouts, and stable under re-partitioning
+# (the property that makes hash-sampling the production standard for
+# holdout carve-outs: a row's membership never flips when the job is
+# re-run or the input re-split). Map-side filter, zero shuffle before
+# the summary aggregate.
+# --------------------------------------------------------------------
+def _hash_pct_sql(key_expr: str) -> str:
+    """Portable md5 -> [0, 100) bucket (same idiom as _cm_bucket_sql:
+    two hex digits = [0,256), folded mod 100 keeps it 1-expression)."""
+    h = f"md5(concat('smp', {key_expr}))"
+    return (
+        f"(((instr('0123456789abcdef', substring({h}, 1, 1)) - 1) * 16"
+        f" + instr('0123456789abcdef', substring({h}, 2, 1)) - 1) % 100)"
+    )
+
+
+@query(
+    "datapipe_hash_sample",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, source, n_chars,
+               {_hash_pct_sql("CAST(doc_id AS VARCHAR)")} AS pct
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN pct < 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+           CAST(SUM(CASE WHEN pct < 10 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS sampled_chars,
+           CAST(MIN(CASE WHEN pct < 10 THEN doc_id END) AS BIGINT)
+               AS first_sampled_doc
+    FROM s
+    WHERE source IS NOT NULL
+    GROUP BY source
+    """,
+)
+def datapipe_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull())
+        .withColumn(
+            "pct", F.expr(_hash_pct_sql("CAST(doc_id AS STRING)"))
+        )
+    )
+    sampled = F.col("pct") < 10
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(sampled, 1).otherwise(0)).alias("n_sampled"),
+        F.sum(F.when(sampled, F.col("n_chars")).otherwise(0)).alias(
+            "sampled_chars"
+        ),
+        F.min(F.when(sampled, F.col("doc_id"))).alias(
+            "first_sampled_doc"
+        ),
+    )

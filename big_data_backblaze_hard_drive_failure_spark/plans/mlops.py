@@ -2920,3 +2920,60 @@ def mlops_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("qini"),
     )
+
+
+# --------------------------------------------------------------------
+# Group-aware k-fold assignment — the split that PREVENTS entity
+# leakage: every event of a user lands in the SAME fold (fold =
+# hash(user) % 5), so cross-validation never trains on one half of a
+# user's history and evaluates on the other (the leakage class the
+# reference's chronological split also guards against, reference
+# 04:29-70). Deterministic hash assignment = reproducible without a
+# stored assignment table at any scale; the output audits fold
+# balance AND proves the no-straddle property (each user appears in
+# exactly one fold) as a checkable aggregate: sum of per-fold
+# distinct users == global distinct users.
+# --------------------------------------------------------------------
+def _fold_sql(key_expr: str) -> str:
+    h = f"md5(concat('fold', {key_expr}))"
+    return (
+        f"(((instr('0123456789abcdef', substring({h}, 1, 1)) - 1) * 16"
+        f" + instr('0123456789abcdef', substring({h}, 2, 1)) - 1) % 5)"
+    )
+
+
+@query(
+    "mlops_group_kfold",
+    oracle=f"""
+    WITH t AS (
+        SELECT {_fold_sql("CAST(user_id AS VARCHAR)")} AS fold,
+               user_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           ROUND(SUM(y) * 1.0 / COUNT(*), 6) AS pos_rate
+    FROM t GROUP BY fold
+    """,
+)
+def mlops_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.expr(_fold_sql("CAST(user_id AS STRING)")).alias("fold"),
+            "user_id",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+    )
+    return ev.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("y").alias("n_pos"),
+        F.round(F.sum("y") * 1.0 / F.count(F.lit(1)), 6).alias("pos_rate"),
+    ).select(F.col("fold").cast("long").alias("fold"), "n_rows", "n_users", "n_pos", "pos_rate")

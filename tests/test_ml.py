@@ -384,3 +384,30 @@ def test_isotonic_calibration_monotone_and_pav_exact(spark, sf_oracle):
         flat.extend([s_ / w_] * int(w_))
     got = [float(model.predict(x)) for x, _ in pts]
     assert all(abs(a - b) < 1e-9 for a, b in zip(got, flat)), (got, flat)
+
+
+def test_group_kfold_no_user_straddles_folds(spark, sf_smoke):
+    """The leakage guarantee behind mlops_group_kfold: hash assignment
+    puts every user in exactly one fold, so the per-fold distinct-user
+    counts sum to the global distinct-user count (any straddle would
+    double-count)."""
+    from pyspark.sql import functions as F
+
+    from big_data_backblaze_hard_drive_failure_spark.plans import QUERIES
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import (
+        load,
+    )
+
+    folds = QUERIES["mlops_group_kfold"](spark, sf_smoke).collect()
+    per_fold_users = sum(r["n_users"] for r in folds)
+    global_users = (
+        load(spark, sf_smoke, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert per_fold_users == global_users
+    assert sum(r["n_rows"] for r in folds) == load(
+        spark, sf_smoke, "events"
+    ).filter(F.col("user_id").isNotNull()).count()
