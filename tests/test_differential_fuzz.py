@@ -110,7 +110,9 @@ def _write(dirpath: str, name: str, cols: dict, src_schema_of: str):
 
 
 _SETTINGS = dict(
-    max_examples=6,
+    # 6 examples in-suite; deep runs override via env (round-7/8
+    # convention: a 40-example pass before each round closes)
+    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "6")),
     deadline=None,
     suppress_health_check=[
         HealthCheck.function_scoped_fixture,
