@@ -38,12 +38,20 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _compress(values: np.ndarray, weights: np.ndarray, k: int):
     """Sort (value, weight) pairs and re-bucket into <= k centroids of
-    near-equal weight. Returns (means, weights) arrays."""
-    order = np.argsort(values, kind="stable")
+    near-equal weight. Returns (means, weights) arrays.
+
+    The sort key is the TOTAL order (value, weight) — np.lexsort's
+    last key is primary — not value alone: two centroids with equal
+    mean but different weights (distinct shard value sets averaging
+    to the same mean) would otherwise keep their nondeterministic
+    shuffle arrival order, shifting band edges between reruns and
+    breaking the determinism the rerun sweep pins."""
+    order = np.lexsort((weights, values))
     v = values[order]
     w = weights[order]
     total = float(w.sum())
@@ -97,6 +105,9 @@ def sketch_quantiles(
         F.col(value_col).cast("double").alias("v"),
         F.pmod(F.hash(key), F.lit(n_shards)).alias("shard"),
     ).filter(F.col("v").isNotNull())
+    # group column keeps its INPUT type through the sketch — hardcoding
+    # "g string" silently miscast int/date group keys
+    g_type = shards.schema["g"].dataType
 
     def compress_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         m, w = _compress(
@@ -108,22 +119,42 @@ def sketch_quantiles(
             {"g": pdf["g"].iloc[0], "mean": m, "weight": w}
         )
 
+    partial_schema = T.StructType(
+        [
+            T.StructField("g", g_type),
+            T.StructField("mean", T.DoubleType()),
+            T.StructField("weight", T.DoubleType()),
+        ]
+    )
     partials = shards.groupBy("g", "shard").applyInPandas(
-        compress_shard, "g string, mean double, weight double"
+        compress_shard, partial_schema
     )
 
     plist = list(probs)
+    # permille naming (q500, q950, q999): int(p*100) truncates AND
+    # collides — 0.999 and 0.99 both mapped to q99, int(0.29*100)==28
+    qcols = [_qcol(p) for p in plist]
+    if len(set(qcols)) != len(qcols):
+        raise ValueError(f"probs collide at permille precision: {plist}")
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         m, w = _compress(
             pdf["mean"].to_numpy(float), pdf["weight"].to_numpy(float), k
         )
         row = {"g": pdf["g"].iloc[0], "n": float(w.sum())}
-        for p in plist:
-            row[f"q{int(p * 100)}"] = _quantile_from_centroids(m, w, p)
+        for p, c in zip(plist, qcols):
+            row[c] = _quantile_from_centroids(m, w, p)
         return pd.DataFrame([row])
 
-    out_schema = "g string, n double, " + ", ".join(
-        f"q{int(p * 100)} double" for p in plist
+    out_schema = T.StructType(
+        [T.StructField("g", g_type), T.StructField("n", T.DoubleType())]
+        + [T.StructField(c, T.DoubleType()) for c in qcols]
     )
     return partials.groupBy("g").applyInPandas(merge_group, out_schema)
+
+
+def _qcol(p: float) -> str:
+    """Column name for quantile p at permille precision: q500, q950,
+    q999. round() not int() so 0.29 -> q290, not the float-truncation
+    q28x artifact."""
+    return f"q{round(p * 1000)}"

@@ -3016,6 +3016,58 @@ def datapipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Stratified A-ES weighted sampling — the per-stratum scale twin of
+# datapipe_weighted_sample: k docs per language, weight-proportional
+# without replacement via the same Efraimidis-Spirakis exponential
+# keys (ln(u)/w order == u^(1/w) order) with md5-derived uniforms, so
+# both engines draw identical samples. Where the global sample leans
+# on LimitPushDownThroughWindow to stay single-reducer-safe, the
+# stratified form is scale-native: the rank window partitions by the
+# stratum, Catalyst plans WindowGroupLimit (per-partition top-k
+# pre-filter before the exchange), and no task ever holds more than a
+# stratum's local candidates. This is how a 100 TB curation pipeline
+# draws per-language training quotas in one pass.
+# --------------------------------------------------------------------
+_WSS_U16 = _hex16_sql("'wss|' || CAST(doc_id AS VARCHAR)")
+_WSS_KEY_SQL = (
+    "ROUND(ln(({u16} + 1) / CAST(65537 AS DOUBLE)) / n_chars, 9)".format(
+        u16=_WSS_U16
+    )
+)
+
+
+@query(
+    "datapipe_weighted_sample_stratified",
+    oracle=f"""
+    SELECT lang, doc_id, n_chars, rank
+    FROM (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_WSS_KEY_SQL} DESC, doc_id) AS rank
+        FROM documents WHERE n_chars > 0 AND lang IS NOT NULL
+    )
+    WHERE rank <= 5
+    """,
+)
+def datapipe_weighted_sample_stratified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("lang", "doc_id", "n_chars")
+        .filter((F.col("n_chars") > 0) & F.col("lang").isNotNull())
+    )
+    key = F.expr(_WSS_KEY_SQL.replace("AS VARCHAR", "AS STRING"))
+    w = Window.partitionBy("lang").orderBy(key.desc(), "doc_id")
+    return (
+        docs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "doc_id", "n_chars", "rank")
+    )
+
+
+# --------------------------------------------------------------------
 # Semantic dedup (SemDeDup-style, Abbas et al. 2023): cluster the
 # corpus in EMBEDDING space (orthant-sign LSH buckets — the same
 # bucketing datapipe_cosine_neardup uses), then keep one best

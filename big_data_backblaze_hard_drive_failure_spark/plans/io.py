@@ -640,3 +640,94 @@ def io_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("clean") == 1, F.col("n_chars")).otherwise(0)
         ).alias("clean_chars"),
     )
+
+
+# --------------------------------------------------------------------
+# Globally range-partitioned sorted write (the terasort layout) + a
+# per-file min/max audit — the classic distributed-sort primitive:
+# repartitionByRange samples split points and hash-exchanges rows
+# into disjoint key ranges, sortWithinPartitions sorts each range
+# locally (no single-reducer global sort anywhere), and the written
+# files form one globally sorted run. That layout is what makes
+# downstream range predicates prune entire files via parquet
+# min/max footers at 100 TB. The audit re-reads the output and
+# verifies the contract the layout promises, as data:
+#   * per-file key ranges are pairwise DISJOINT (file i's min above
+#     file i-1's max) — checked with a lag window over the tiny
+#     O(files) stats frame;
+#   * rows are sorted INSIDE each file — monotonically_increasing_id
+#     ascends in read order within a file, so a lag window per file
+#     catches any (price, orderkey) inversion;
+#   * the file count stays at the requested width (8), not an
+#     explosion of tiny files.
+# Only the invariants (violations == 0, width ok) plus data-level
+# totals (count / min / max, bit-exact raw doubles) are emitted, so
+# the oracle pairs exactly despite range boundaries being
+# implementation-defined.
+# --------------------------------------------------------------------
+@query(
+    "io_sorted_write_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_totalprice) AS min_key,
+           MAX(o_totalprice) AS max_key,
+           1 AS width_ok,
+           CAST(0 AS BIGINT) AS boundary_overlaps,
+           CAST(0 AS BIGINT) AS intra_file_inversions
+    FROM orders
+    """,
+)
+def io_sorted_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    path = scratch_dir("sorted_write")
+    (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .repartitionByRange(8, "o_totalprice", "o_orderkey")
+        .sortWithinPartitions("o_totalprice", "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).select(
+        "o_totalprice",
+        "o_orderkey",
+        F.input_file_name().alias("f"),
+        # ascends in read order inside every file (files are read
+        # sequentially within a split, so per-file order is preserved
+        # even when several small files pack into one split)
+        F.monotonically_increasing_id().alias("mid"),
+    )
+    w_file = Window.partitionBy("f").orderBy("mid")
+    cur = F.struct("o_totalprice", "o_orderkey")
+    inversions = back.select(
+        F.when(F.lag(cur).over(w_file) > cur, 1).otherwise(0).alias("inv"),
+        "o_totalprice",
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_totalprice").alias("min_key"),
+        F.max("o_totalprice").alias("max_key"),
+        F.sum("inv").alias("intra_file_inversions"),
+    )
+    stats = back.groupBy("f").agg(
+        F.min("o_totalprice").alias("minp"),
+        F.max("o_totalprice").alias("maxp"),
+    )
+    # O(files) frame: the global lag window holds <= 8 rows
+    w_files = Window.orderBy("minp", "f")
+    overlaps = stats.select(
+        F.when(F.lag("maxp").over(w_files) > F.col("minp"), 1)
+        .otherwise(0)
+        .alias("ov")
+    ).agg(
+        F.sum("ov").alias("boundary_overlaps"),
+        (F.count(F.lit(1)) <= 8).cast("int").alias("width_ok"),
+    )
+    return inversions.crossJoin(overlaps).select(
+        "n_rows",
+        "min_key",
+        "max_key",
+        "width_ok",
+        "boundary_overlaps",
+        "intra_file_inversions",
+    )

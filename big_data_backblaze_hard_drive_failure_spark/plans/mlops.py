@@ -2375,21 +2375,21 @@ def mlops_quantile_drift_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("g", "\\|")[0].alias("event_type"),
         F.split("g", "\\|")[1].alias("period"),
         "n",
-        "q50",
-        "q95",
+        "q500",
+        "q950",
     )
     side = lambda c, p: F.max(F.when(F.col("period") == p, F.col(c)))
     return sk.groupBy("event_type").agg(
         side("n", "ref").cast("long").alias("n_ref"),
         side("n", "cur").cast("long").alias("n_cur"),
-        F.round(side("q50", "ref"), 6).alias("ref_p50"),
-        F.round(side("q50", "cur"), 6).alias("cur_p50"),
-        F.round(side("q95", "ref"), 6).alias("ref_p95"),
-        F.round(side("q95", "cur"), 6).alias("cur_p95"),
+        F.round(side("q500", "ref"), 6).alias("ref_p50"),
+        F.round(side("q500", "cur"), 6).alias("cur_p50"),
+        F.round(side("q950", "ref"), 6).alias("ref_p95"),
+        F.round(side("q950", "cur"), 6).alias("cur_p95"),
         F.round(
             (
-                F.abs(side("q50", "cur") - side("q50", "ref"))
-                + F.abs(side("q95", "cur") - side("q95", "ref"))
+                F.abs(side("q500", "cur") - side("q500", "ref"))
+                + F.abs(side("q950", "cur") - side("q950", "ref"))
             )
             / 2.0,
             6,
@@ -2489,18 +2489,35 @@ def mlops_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sorted axis" is exactly the as-of join, applied to the SCORE axis
 # instead of time; the oracle says it natively (DuckDB ASOF JOIN),
 # the engine uses the same union + sort + last_value(ignorenulls)
-# mechanics as star_asof_join — one hash exchange on the stratum, one
-# local sort, no pair join. Controls are deduped to one per (stratum,
-# score) (max outcome, then event_id, wins) so the match is
-# deterministic on both engines.
+# mechanics as star_asof_join. Controls are deduped to one per
+# (stratum, score) (max (outcome, event_id) struct wins — the same
+# composite ordering on both engines, never packed-integer arithmetic
+# that could cross outcome boundaries at large event_ids) so the
+# match is deterministic on both engines.
+#
+# Scale shape — the round-8 parallelism cliff, fixed: stratum =
+# hour(ts) has 24 values forever, so Window.partitionBy("stratum")
+# sorts every hour's whole population in ONE task at any data size.
+# The engine now runs the two-level boundary hand-off pattern
+# (operators/prefix.py's trick applied to windows): partition the
+# running last-control window by (stratum, score-range bucket) —
+# floor(score / 2.0), literal width, cardinality grows with the score
+# domain — then compute each bucket's LAST control in a tiny
+# O(strata x buckets) aggregate, carry it across bucket edges with a
+# window over that tiny frame, and coalesce. Identical answer (floor
+# is monotone in score: every prior-bucket control scores strictly
+# below every current-bucket row, and within-bucket order is the old
+# (score, tag, eid) order), but the big sort now spreads over
+# hundreds of (stratum, bucket) tasks; pinned >24-way by
+# tests/test_plans.py::test_propensity_match_parallelism.
 # --------------------------------------------------------------------
 @query(
     "mlops_propensity_match",
     oracle="""
     WITH ctr AS (
         SELECT EXTRACT(hour FROM ts) AS stratum, value AS score,
-               arg_max(length(props),
-                       length(props) * 10000000 + event_id) AS outcome_c
+               (MAX(struct_pack(o := length(props), e := event_id))).o
+                   AS outcome_c
         FROM events
         WHERE event_type = 'view' AND value IS NOT NULL
           AND ts IS NOT NULL AND props IS NOT NULL
@@ -2566,18 +2583,48 @@ def mlops_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("oc"),
         F.col("outcome").alias("ot"),
     )
-    u = ctr.unionByName(trt)
+    # score-range sub-buckets: the literal width keeps floor() a pure
+    # map-side expression, and (stratum, bucket) cardinality grows
+    # with the score domain instead of freezing at 24 strata
+    u = ctr.unionByName(trt).withColumn(
+        "bucket", F.floor(F.col("score") / F.lit(2.0))
+    )
     # 'c' < 't': an equal-score control sorts before the treated row,
     # so score >= (closed bound) matches it
-    w = (
-        Window.partitionBy("stratum")
+    w_local = (
+        Window.partitionBy("stratum", "bucket")
         .orderBy("score", "tag", "eid")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    u = u.withColumn("mc_local", F.last("oc", ignorenulls=True).over(w_local))
+    # staged: both the bucket-frame aggregate and the join-back read
+    # u — without the boundary each branch re-runs the union + window
+    from ..operators.staging import stage_boundary
+
+    u = stage_boundary(u, materialize=False)
+    # boundary hand-off: each bucket's LAST control (controls are
+    # unique per (stratum, score), so max score among controls is the
+    # last one) -> carried forward across bucket edges by a window
+    # over the O(strata x buckets) bucket frame, never the row frame
+    bucket_last = u.groupBy("stratum", "bucket").agg(
+        F.max(
+            F.when(F.col("tag") == "c", F.struct("score", "oc"))
+        )["oc"].alias("blast")
+    )
+    w_carry = (
+        Window.partitionBy("stratum")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = bucket_last.select(
+        "stratum",
+        "bucket",
+        F.last("blast", ignorenulls=True).over(w_carry).alias("carry"),
+    )
     matched = (
-        u.withColumn("mc", F.last("oc", ignorenulls=True).over(w))
+        u.join(F.broadcast(carries), ["stratum", "bucket"], "left")
         .filter(F.col("tag") == "t")
-        .select("ot", "mc")
+        .select("ot", F.coalesce("mc_local", "carry").alias("mc"))
     )
     return matched.agg(
         F.count(F.lit(1)).alias("n_treated"),

@@ -930,6 +930,86 @@ def ref_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Sessionized funnel conversion [beyond-reference]: ref_funnel over
+# SESSIONS instead of whole user histories — the metric product teams
+# actually report ("did this visit convert", not "did this user ever
+# convert"). Composes the two existing primitives: per-user 30-minute
+# session_window grouping (ref_session_windows) carries the
+# conditional first-step timestamps of ref_funnel in the SAME
+# aggregate, so sessionize + funnel is still one exchange on user_id
+# and one rollup — no join between a session table and an event
+# table, the session IS the group. Oracle: the gaps-and-islands
+# rewrite (lag -> flag -> running sum, <= gap merges exactly like
+# Spark's session_window) feeding identical conditional mins.
+# --------------------------------------------------------------------
+@query(
+    "ref_session_funnel",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events WHERE ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_type, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    firsts AS (
+        SELECT user_id, session_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS t_purchase
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_viewed,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clicked_after_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                              AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchased_after_click
+    FROM firsts
+    """,
+)
+def ref_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    et = F.col("event_type")
+    firsts = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.min(F.when(et == "view", F.col("ts"))).alias("t_view"),
+            F.min(F.when(et == "click", F.col("ts"))).alias("t_click"),
+            F.min(F.when(et == "purchase", F.col("ts"))).alias(
+                "t_purchase"
+            ),
+        )
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    as_int = lambda c: F.sum(F.when(c, 1).otherwise(0))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        as_int(s1).alias("n_viewed"),
+        as_int(s2).alias("n_clicked_after_view"),
+        as_int(s3).alias("n_purchased_after_click"),
+    )
+
+
+# --------------------------------------------------------------------
 # Telemetry gap detection [beyond-reference]: the reference's row
 # frames assume contiguous daily rows (03:86-88); real fleets have
 # gaps. Per-entity lag + epoch arithmetic finds them — exact integer

@@ -4006,7 +4006,9 @@ def star_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "what rank WOULD this value get" — the aggregate family Spark has
 # no native form of, rebuilt from its definitions as conditional
 # counts: rank = 1 + count(v < x), dense_rank = 1 + count(distinct
-# v < x), percent_rank = (rank-1)/n, cume_dist = count(v <= x)/(n+1).
+# v < x), percent_rank = (rank-1)/n, cume_dist = (count(v <= x)+1)
+# /(n+1) — the inserted row counts itself in the <=-set, per the
+# SQL:2016 hypothetical-set definition.
 # Three probe prices fan out via a broadcast 3-row literal table, so
 # the whole thing is one pass over orders with map-side-combinable
 # aggregates per (status, probe).
@@ -4022,7 +4024,8 @@ def star_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS hyp_dense_rank,
            ROUND(SUM(CASE WHEN o_totalprice < probe THEN 1 ELSE 0 END)
                  * 1.0 / COUNT(*), 6) AS hyp_percent_rank,
-           ROUND(SUM(CASE WHEN o_totalprice <= probe THEN 1 ELSE 0 END)
+           ROUND((SUM(CASE WHEN o_totalprice <= probe THEN 1 ELSE 0 END)
+                  + 1)
                  * 1.0 / (COUNT(*) + 1), 6) AS hyp_cume_dist
     FROM orders
     CROSS JOIN (SELECT unnest([50000.0, 150000.0, 300000.0]) AS probe) p
@@ -4059,9 +4062,9 @@ def star_hypothetical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(below * 1.0 / F.count(F.lit(1)), 6).alias(
                 "hyp_percent_rank"
             ),
-            F.round(at_or_below * 1.0 / (F.count(F.lit(1)) + 1), 6).alias(
-                "hyp_cume_dist"
-            ),
+            F.round(
+                (at_or_below + 1) * 1.0 / (F.count(F.lit(1)) + 1), 6
+            ).alias("hyp_cume_dist"),
         )
     )
 

@@ -28,21 +28,44 @@ DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "_scratch", "sf1")
 N_COPIES = 10
 
-# key columns to offset per copy, per table; offsets use the source
-# table's max+1 so copies never collide
+# key columns to offset per copy, per table; offsets are computed
+# ONCE PER KEY DOMAIN from the domain's PRIMARY table (customer for
+# custkeys, orders for orderkeys, documents for doc ids), then used
+# on BOTH sides of each FK. A per-table max(key)+1 only preserves
+# referential integrity when the referencing side happens to reach
+# the referenced max (true of the current fixture, by luck) —
+# domain-shared offsets make copy-i joins correct for any fixture.
+# embeddings.vec_id lives in the doc_id domain (the semantic-dedup
+# queries join vec_id = doc_id), so it shifts by the documents
+# offset, not its own subset's max.
 PLANS = {
-    "documents": {"keys": ["doc_id"], "tag_text": True},
-    "events": {"keys": ["event_id", "user_id"]},
-    "orders": {"keys": ["o_orderkey", "o_custkey"]},
-    "customer": {"keys": ["c_custkey"]},
-    "lineitem": {"keys": ["l_orderkey"]},
-    "embeddings": {"keys": ["vec_id"]},
+    "documents": {"keys": {"doc_id": "docid"}, "tag_text": True},
+    "events": {"keys": {"event_id": "eventid", "user_id": "userid"}},
+    "orders": {"keys": {"o_orderkey": "orderkey", "o_custkey": "custkey"}},
+    "customer": {"keys": {"c_custkey": "custkey"}},
+    "lineitem": {"keys": {"l_orderkey": "orderkey"}},
+    "embeddings": {"keys": {"vec_id": "docid"}},
+}
+
+# domain -> (primary table, primary key column)
+DOMAINS = {
+    "custkey": ("customer", "c_custkey"),
+    "orderkey": ("orders", "o_orderkey"),
+    "docid": ("documents", "doc_id"),
+    "eventid": ("events", "event_id"),
+    "userid": ("events", "user_id"),
 }
 
 
 def main() -> int:
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
+    domain_offs = {
+        d: con.execute(
+            f"SELECT MAX({pk}) + 1 FROM read_parquet('{SRC}/{t}.parquet')"
+        ).fetchone()[0]
+        for d, (t, pk) in DOMAINS.items()
+    }
     for table, plan in PLANS.items():
         src = f"{SRC}/{table}.parquet"
         dst = f"{DST}/{table}.parquet"
@@ -55,12 +78,7 @@ def main() -> int:
                 f"DESCRIBE SELECT * FROM read_parquet('{src}')"
             ).fetchall()
         ]
-        offs = {
-            k: con.execute(
-                f"SELECT MAX({k}) + 1 FROM read_parquet('{src}')"
-            ).fetchone()[0]
-            for k in plan["keys"]
-        }
+        offs = {k: domain_offs[d] for k, d in plan["keys"].items()}
         sel = []
         for c in cols:
             if c in offs:

