@@ -244,6 +244,49 @@ def datapipe_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# LSH banding, xxhash64 scale twin — the production hash for the same
+# candidate generation. The round-9 A/B at sf1 (SCALE.md) decomposed
+# datapipe_lsh_buckets' growth: ALL of it is the per-token md5 map
+# (2.78s of the 2.99s at sf1; banding group-by is flat 1.3x with a
+# 10x bigger max bucket), and md5 exists on both engines only for
+# oracle parity. Swapping the permutation hash to Spark's JVM-native
+# xxhash64 (any uniform 64-bit hash is a valid MinHash permutation)
+# measured 0.92s for the same signatures — ~3x end-to-end — so this
+# twin is what a 100 TB run should call. rows-only by design: DuckDB
+# has no xxhash64, so there is no cross-engine oracle; determinism
+# comes from the hash itself (seedless, content-only) and is covered
+# by the rows-only rerun sweep.
+# --------------------------------------------------------------------
+@query("datapipe_lsh_buckets_xxhash64")
+def datapipe_lsh_buckets_xxhash64(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(unique_tokens("text")).alias("tok")
+    )
+    sig = docs.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.concat(F.lit(f"s{i}|"), F.col("tok"))))
+            .alias(f"mh{i}")
+            for i in range(4)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.expr(
+            "stack(2, 0, concat(cast(mh0 as string), '|', "
+            "cast(mh1 as string)), 1, concat(cast(mh2 as string), '|', "
+            "cast(mh3 as string))) AS (band_id, band_key)"
+        ),
+    )
+    return (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 _PAIR_BUCKET_CAP = 16  # pairwise verify only inside small buckets
 
 
