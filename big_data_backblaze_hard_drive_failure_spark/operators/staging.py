@@ -48,16 +48,31 @@ def stage_boundary(
 
     Every staged frame is tracked in a bounded LRU; beyond
     ``_MAX_LIVE_STAGED`` the oldest cache is dropped so repeated
-    query builds over new inputs can't leak executor storage."""
+    query builds over new inputs can't leak executor storage.
+
+    The LRU is keyed by the frame's SEMANTIC hash, not object
+    identity: Spark's CacheManager deduplicates by plan, so two
+    builds of the same query yield distinct Python objects sharing
+    ONE cache entry — under id() keys the older twin's eviction
+    unpersisted that shared entry out from under the newer build
+    (observed as an order-dependent rescan-budget failure: the
+    staged frame silently fell back to raw scans mid-session, with
+    'Asked to cache already cached data' as the tell). Re-staging an
+    equal plan now refreshes recency instead of planting a second
+    entry whose eviction kills the cache."""
     out = df.persist(storage_level)
     if materialize:
         out.count()
+    try:
+        key = out.semanticHash()
+    except Exception:  # pragma: no cover - fallback for exotic frames
+        key = id(out)
     evicted = []
     with _STAGED_LOCK:
-        _LIVE_STAGED[id(out)] = out
+        _LIVE_STAGED[key] = out
         # True LRU: refresh recency on re-stage of a live frame
         # (OrderedDict assignment to an existing key keeps its slot).
-        _LIVE_STAGED.move_to_end(id(out))
+        _LIVE_STAGED.move_to_end(key)
         while len(_LIVE_STAGED) > _MAX_LIVE_STAGED:
             _, oldest = _LIVE_STAGED.popitem(last=False)
             evicted.append(oldest)

@@ -6002,3 +6002,163 @@ def datapipe_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_sampled_doc"
         ),
     )
+
+
+# --------------------------------------------------------------------
+# Sequence packing layout (GPT-style concat-and-chunk): training
+# pipelines concatenate the token stream and cut it every C tokens,
+# so each document occupies the half-open token interval
+# [offset, offset + n_tok) of the global stream and spans chunks
+# floor(offset/C) .. floor((offset+n_tok-1)/C). The layout statistics
+# that drive packing decisions — total chunks, how many documents
+# straddle a chunk boundary (and would need attention-mask surgery),
+# and stream utilization — all derive from a GLOBAL PREFIX SUM of
+# per-doc token counts over the doc_id order. The engine uses the
+# two-level literal-boundary scan (operators/prefix.py) so no
+# unpartitioned window ever forms; the oracle states the same thing
+# as a plain SUM OVER (ORDER BY). Integer token counts make every
+# derived number exact cross-engine; utilization is one double
+# division of identical integers (bit-identical, no rounding).
+# --------------------------------------------------------------------
+_PACK_C = 512  # chunk capacity in tokens
+
+
+@query(
+    "datapipe_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    d AS (
+        SELECT doc_id, n_tok,
+               COALESCE(SUM(n_tok) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS off
+        FROM t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(CEIL(SUM(n_tok) / {_PACK_C}.0) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN CAST(FLOOR(off / {_PACK_C}.0) AS BIGINT)
+                          <> CAST(FLOOR((off + n_tok - 1) / {_PACK_C}.0)
+                                  AS BIGINT)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+           SUM(n_tok) * 1.0
+               / (NULLIF(CAST(CEIL(SUM(n_tok) / {_PACK_C}.0) AS BIGINT), 0)
+                  * {_PACK_C}) AS utilization
+    FROM d
+    """,
+)
+def datapipe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import global_prefix_sum
+
+    t = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.size(tokens("text")).alias("n_tok"))
+    )
+    d = global_prefix_sum(t, ["doc_id"], "n_tok", "off", exclusive=True)
+    c = float(_PACK_C)
+    first = F.floor(F.col("off") / c).cast("long")
+    last = F.floor((F.col("off") + F.col("n_tok") - 1) / c).cast("long")
+    n_chunks = F.ceil(F.sum("n_tok") / c).cast("long")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        n_chunks.alias("n_chunks"),
+        F.sum(F.when(first != last, 1).otherwise(0)).alias("n_straddling"),
+        (
+            F.sum("n_tok")
+            * 1.0
+            / (F.nullif(n_chunks, F.lit(0)) * _PACK_C)
+        ).alias("utilization"),
+    )
+
+
+# --------------------------------------------------------------------
+# Near-dup-cluster-safe train/val split — the dedup-then-split
+# discipline: assigning splits per DOCUMENT leaks near-duplicates of
+# training docs into validation (the classic C4/Pile evaluation bug).
+# The split key must be the CLUSTER representative, so every member
+# of a near-dup cluster lands on the same side by construction. Reuse
+# of the MinHash/LSH machinery: rep_id per doc exactly as
+# datapipe_neardup_clusters (bucket minima via window, never a pair
+# join), split = md5-hash of rep_id under 80/20 (the oracle-paired
+# hash-Bernoulli idiom), then ONE per-cluster aggregate carries the
+# whole audit — doc counts per side, cluster count, and the
+# straddling-clusters invariant (clusters whose members disagree on
+# the split; 0 by construction, asserted as DATA cross-engine like
+# the group-k-fold no-straddle audit). At 100 TB: the band window and
+# two group-bys are all O(docs); nothing new materializes beyond the
+# cluster frame.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_cluster_safe_split",
+    oracle=f"""
+    WITH sig AS ({_SIG_SQL}),
+    bands AS ({_BANDS_FROM_SIG_SQL}),
+    bucket_min AS (
+        SELECT band_id, band_key, MIN(doc_id) AS bucket_rep
+        FROM bands GROUP BY band_id, band_key
+    ),
+    reps AS (
+        SELECT b.doc_id, MIN(m.bucket_rep) AS rep_id
+        FROM bands b
+        JOIN bucket_min m
+          ON m.band_id = b.band_id AND m.band_key = b.band_key
+        GROUP BY b.doc_id
+    ),
+    assigned AS (
+        SELECT doc_id, rep_id,
+               CASE WHEN {_hex16_sql("'split|' || CAST(rep_id AS VARCHAR)")}
+                         < 52429
+                    THEN 'train' ELSE 'val' END AS split
+        FROM reps
+    ),
+    per_cluster AS (
+        SELECT rep_id,
+               COUNT(*) AS n,
+               SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS tr,
+               COUNT(DISTINCT split) AS ns
+        FROM assigned GROUP BY rep_id
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(tr) AS BIGINT) AS train_docs,
+           CAST(SUM(n - tr) AS BIGINT) AS val_docs,
+           CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS straddling_clusters
+    FROM per_cluster
+    """,
+)
+def datapipe_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _bands(_signatures(spark, sf_dir))
+    w = Window.partitionBy("band_id", "band_key")
+    reps = (
+        bands.withColumn("bucket_rep", F.min("doc_id").over(w))
+        .groupBy("doc_id")
+        .agg(F.min("bucket_rep").alias("rep_id"))
+    )
+    split_hex = _hex16_sql("'split|' || CAST(rep_id AS STRING)")
+    assigned = reps.withColumn(
+        "split",
+        F.when(F.expr(split_hex) < 52429, F.lit("train")).otherwise(
+            F.lit("val")
+        ),
+    )
+    per_cluster = assigned.groupBy("rep_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("tr"),
+        F.countDistinct("split").alias("ns"),
+    )
+    return per_cluster.agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("tr").alias("train_docs"),
+        F.sum(F.col("n") - F.col("tr")).alias("val_docs"),
+        F.sum(F.when(F.col("ns") > 1, 1).otherwise(0)).alias(
+            "straddling_clusters"
+        ),
+    )

@@ -29,9 +29,41 @@ _SCRATCH = os.path.join(
 )
 
 
+_SCRATCH_SWEPT = False
+
+
 def scratch_dir(name: str) -> str:
-    path = os.path.join(_SCRATCH, name)
-    os.makedirs(_SCRATCH, exist_ok=True)
+    """Per-PROCESS scratch path for write-then-read-back queries.
+
+    The pid component isolates concurrent harnesses (pytest + a bench
+    or parity run in another process): every roundtrip query writes
+    eagerly inside its build and reads the path lazily at execution,
+    so two processes sharing one path can clobber each other's files
+    mid-read (observed as FileNotFoundException on a part file).
+    Within a process the path is stable, so repeat builds still
+    overwrite in place instead of accumulating. Dead processes'
+    ``run_<pid>`` dirs are swept once per process (pid liveness via
+    kill -0), so scratch stays bounded across sessions."""
+    global _SCRATCH_SWEPT
+    base = os.path.join(_SCRATCH, f"run_{os.getpid()}")
+    path = os.path.join(base, name)
+    os.makedirs(base, exist_ok=True)
+    if not _SCRATCH_SWEPT:
+        _SCRATCH_SWEPT = True
+        import shutil
+
+        for entry in os.listdir(_SCRATCH):
+            if not entry.startswith("run_") or entry == f"run_{os.getpid()}":
+                continue
+            try:
+                pid = int(entry[4:])
+                os.kill(pid, 0)  # raises if the owner is gone
+            except (ValueError, ProcessLookupError):
+                shutil.rmtree(
+                    os.path.join(_SCRATCH, entry), ignore_errors=True
+                )
+            except PermissionError:
+                pass  # live process owned by someone else: leave it
     return path
 
 

@@ -216,6 +216,27 @@ def test_stage_boundary_lru_refreshes_recency(spark):
     staging.release_stage_boundaries()
 
 
+def test_stage_boundary_dedups_semantically_equal_frames(spark):
+    """Round-9 regression: Spark's CacheManager dedups by PLAN, so two
+    builds of the same query share one cache entry. With the LRU
+    keyed by object identity, both builds occupied LRU slots and the
+    OLDER twin's eviction unpersisted the shared entry out from under
+    the newer build (order-dependent rescan-budget failure, 'Asked to
+    cache already cached data' in the log). Semantic-hash keys make a
+    re-stage of an equal plan a recency refresh, not a second entry."""
+    from big_data_backblaze_hard_drive_failure_spark.operators import staging
+
+    staging.release_stage_boundaries()
+    a = staging.stage_boundary(spark.range(7), materialize=False)
+    b = staging.stage_boundary(spark.range(7), materialize=False)
+    assert len(staging._LIVE_STAGED) == 1, (
+        "semantically equal staged frames must share one LRU slot — "
+        "duplicate slots reintroduce the shared-cache eviction bug"
+    )
+    assert a.is_cached and b.is_cached
+    staging.release_stage_boundaries()
+
+
 def test_fit_empty_probe_failure_does_not_mask_fit_error(spark):
     """If the emptiness probe itself dies, the ORIGINAL fit exception
     must surface, not the probe's (advisor: a dead session made

@@ -77,6 +77,11 @@ _DOC_QUERIES = [
     "datapipe_cdc_chunk_dedup",
     "datapipe_span_corruption",
     "datapipe_feature_hashing",
+    # round-9: A-ES ranking under degenerate weights (n_chars 0/short)
+    # and tiny strata; prefix-sum chunk arithmetic over empty/space-run
+    # token counts
+    "datapipe_weighted_sample_stratified",
+    "datapipe_sequence_packing",
 ]
 _EVENT_QUERIES = [
     "ref_label_lead",
@@ -89,6 +94,11 @@ _EVENT_QUERIES = [
     "mlops_mcnemar_test",
     "star_sequential_pattern",
     "star_decayed_recency_agg",
+    # round-9: the two-level as-of hand-off under tie-heavy
+    # (stratum, score) and empty treated/control sides; session
+    # merges on exactly-equal timestamps
+    "mlops_propensity_match",
+    "ref_session_funnel",
 ]
 
 
