@@ -6162,3 +6162,73 @@ def datapipe_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "straddling_clusters"
         ),
     )
+
+
+# --------------------------------------------------------------------
+# Unigram LM quality score (CCNet-style): per-document cross-entropy
+# under the corpus's own unigram model, -(1/n) * sum ln p(token) —
+# THE classic LM-based quality filter (Wenzek et al., "CCNet", 2020
+# filters by LM perplexity; the unigram model is its distributable
+# first rung). High score = improbable tokens = gibberish/noise;
+# low = boilerplate. Shape at 100 TB: one explode + groupBy builds
+# the vocab (O(tokens) map-side-combinable), per-token ln p is
+# computed ON the vocab frame (O(vocab), not O(tokens)), and the
+# token stream joins the vocab co-partitioned on the token key —
+# never a broadcast assumption on an unbounded vocab. Cross-engine
+# exactness: ln of identical doubles is bit-identical (the A-ES
+# precedent), each token's log-prob is rounded to integer MICRO-nats
+# BEFORE summation (exact commutative BIGINT aggregation — the
+# decayed-recency discipline), and the final divide is one double
+# division of identical integers.
+# --------------------------------------------------------------------
+@query(
+    "datapipe_unigram_logprob_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    vocab AS (
+        SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ),
+    n AS (SELECT SUM(c) AS total FROM vocab),
+    logp AS (
+        SELECT tok,
+               CAST(ROUND(ln(c * 1.0 / n.total) * 1000000) AS BIGINT)
+                   AS lp_micro
+        FROM vocab, n
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           -SUM(l.lp_micro) * 1.0 / (COUNT(*) * 1000000.0) AS xent_nats
+    FROM toks t JOIN logp l USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def datapipe_unigram_logprob_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    toks = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(tokens("text")).alias("tok"))
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n = vocab.agg(F.sum("c").alias("total"))
+    logp = vocab.crossJoin(F.broadcast(n)).select(
+        "tok",
+        F.round(F.log(F.col("c") * 1.0 / F.col("total")) * 1000000)
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    return (
+        toks.join(logp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            (
+                -F.sum("lp_micro") * 1.0
+                / (F.count(F.lit(1)) * 1000000.0)
+            ).alias("xent_nats"),
+        )
+    )

@@ -82,6 +82,8 @@ _DOC_QUERIES = [
     # token counts
     "datapipe_weighted_sample_stratified",
     "datapipe_sequence_packing",
+    # micro-nat rounding + vocab join under duplicate/empty tokens
+    "datapipe_unigram_logprob_score",
 ]
 _EVENT_QUERIES = [
     "ref_label_lead",
