@@ -407,3 +407,35 @@ def test_propensity_match_parallelism(spark, sf_smoke):
         .count()
     )
     assert n > 24, f"(stratum, bucket) cardinality {n} <= 24 strata"
+
+
+def test_sorted_write_is_range_exchange_plus_local_sort(spark, sf_smoke):
+    """The terasort layout behind io_sorted_write_audit: ONE range
+    exchange (sampled split points, disjoint key ranges) feeding a
+    NON-GLOBAL sort (the Sort node's global flag is false) — never a
+    single-reducer global ORDER BY. The audit query verifies the
+    written invariants as data; this pins the write-side plan."""
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import (
+        load,
+    )
+
+    df = (
+        load(spark, sf_smoke, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .repartitionByRange(8, "o_totalprice", "o_orderkey")
+        .sortWithinPartitions("o_totalprice", "o_orderkey")
+    )
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = je.explainString(mode)
+    assert "rangepartitioning(o_totalprice" in plan, plan
+    # the sort is per-partition: 'Arguments: [...ASC NULLS FIRST], false, 0'
+    sort_args = [
+        l for l in plan.split("\n")
+        if "Arguments: [o_totalprice" in l and "ASC" in l
+    ]
+    assert sort_args and all(", false, 0" in l for l in sort_args), (
+        "sortWithinPartitions planned a GLOBAL sort:\n" + plan
+    )
