@@ -2621,8 +2621,13 @@ def mlops_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.last("blast", ignorenulls=True).over(w_carry).alias("carry"),
     )
+    # no broadcast hint on purpose: carries is O(strata x buckets),
+    # tiny for bounded score domains (AQE broadcasts it from runtime
+    # stats), but a pathological score domain could inflate the
+    # bucket count past broadcast limits — the co-partitioned shuffle
+    # join on (stratum, bucket) is the safe default either way
     matched = (
-        u.join(F.broadcast(carries), ["stratum", "bucket"], "left")
+        u.join(carries, ["stratum", "bucket"], "left")
         .filter(F.col("tag") == "t")
         .select("ot", F.coalesce("mc_local", "carry").alias("mc"))
     )
