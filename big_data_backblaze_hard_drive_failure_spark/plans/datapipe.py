@@ -6232,3 +6232,84 @@ def datapipe_unigram_logprob_score(
             ).alias("xent_nats"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# RAG-style document chunking: fixed-size token windows with overlap
+# (chunk = 64 tokens, stride = 48, i.e. 16-token overlap) — the
+# retrieval-corpus preparation step every RAG pipeline runs before
+# embedding. Pure map-side at any scale: chunk starts are a
+# compile-time `sequence()` over the token count (no explode of raw
+# tokens, no shuffle until the caller groups), each chunk is a
+# 1-based `slice` of the token array (both engines clamp
+# out-of-range identically — pinned in the verify notes), and the
+# chunk fingerprint is md5 of the re-joined tokens so the oracle
+# compares content without shipping chunk text. A doc shorter than
+# one stride still yields exactly one chunk (GREATEST guard on the
+# sequence upper bound).
+# --------------------------------------------------------------------
+_CHUNK_TOKS = 64
+_CHUNK_STRIDE = 48
+
+
+@query(
+    "datapipe_doc_chunking",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+        SELECT doc_id,
+               i.k AS chunk_idx,
+               1 + {_CHUNK_STRIDE} * i.k AS chunk_start,
+               toks[1 + {_CHUNK_STRIDE} * i.k :
+                    {_CHUNK_TOKS} + {_CHUNK_STRIDE} * i.k] AS ctoks
+        FROM t, LATERAL (
+            SELECT unnest(range(0,
+                CAST(CEIL(GREATEST(len(toks) - {_CHUNK_TOKS}, 0)
+                          * 1.0 / {_CHUNK_STRIDE}) AS BIGINT) + 1)) AS k
+        ) i
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(chunk_start AS INT) AS chunk_start,
+           CAST(len(ctoks) AS INT) AS chunk_toks,
+           md5(array_to_string(ctoks, ' ')) AS chunk_md5
+    FROM c
+    """,
+)
+def datapipe_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", tokens("text").alias("toks"))
+    )
+    n_chunks = (
+        F.ceil(
+            F.greatest(F.size("toks") - _CHUNK_TOKS, F.lit(0))
+            * 1.0
+            / _CHUNK_STRIDE
+        ).cast("int")
+        + 1
+    )
+    c = t.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        (1 + _CHUNK_STRIDE * F.col("chunk_idx")).alias("chunk_start"),
+        F.slice(
+            "toks",
+            1 + _CHUNK_STRIDE * F.col("chunk_idx"),
+            F.lit(_CHUNK_TOKS),
+        ).alias("ctoks"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("chunk_start").cast("int").alias("chunk_start"),
+        F.size("ctoks").alias("chunk_toks"),
+        F.md5(F.array_join("ctoks", " ")).alias("chunk_md5"),
+    )

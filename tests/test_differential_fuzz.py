@@ -84,6 +84,8 @@ _DOC_QUERIES = [
     "datapipe_sequence_packing",
     # micro-nat rounding + vocab join under duplicate/empty tokens
     "datapipe_unigram_logprob_score",
+    # slice clamping + chunk-count arithmetic on boundary-length docs
+    "datapipe_doc_chunking",
 ]
 _EVENT_QUERIES = [
     "ref_label_lead",
