@@ -3029,3 +3029,90 @@ def mlops_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").alias("n_pos"),
         F.round(F.sum("y") * 1.0 / F.count(F.lit(1)), 6).alias("pos_rate"),
     ).select(F.col("fold").cast("long").alias("fold"), "n_rows", "n_users", "n_pos", "pos_rate")
+
+
+# --------------------------------------------------------------------
+# Weight-of-evidence (WoE) binning + information value — the credit-
+# scoring standard for encoding a binned numeric feature against a
+# binary target: WoE(bin) = ln((good_share)/(bad_share)), IV =
+# sum (good_share - bad_share) * WoE. Complements the LOO target
+# encoder: LOO encodes categories row-wise, WoE encodes BINS with a
+# likelihood-ratio scale and gives the feature-screening IV for
+# free. Exactness: shares are integer-count divisions (bit-identical
+# doubles), ln of identical doubles is bit-identical (the A-ES
+# precedent), WoE is shipped in integer micro-nats, and degenerate
+# bins (no goods or no bads anywhere, or an empty class) NULL out
+# through NULLIF instead of producing infinities. One grand
+# aggregate for the class totals (broadcast scalar) + one bounded
+# group-by: two map-side passes at any scale.
+# --------------------------------------------------------------------
+@query(
+    "mlops_woe_binning",
+    oracle="""
+    WITH r AS (
+        SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bin,
+               CASE WHEN event_type IN ('purchase', 'signup')
+                    THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    tot AS (
+        SELECT CAST(SUM(y) AS BIGINT) AS g,
+               CAST(SUM(1 - y) AS BIGINT) AS b
+        FROM r
+    ),
+    bins AS (
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS good,
+               CAST(SUM(1 - y) AS BIGINT) AS bad
+        FROM r GROUP BY bin
+    )
+    SELECT bin, n, good, bad,
+           CAST(ROUND(ln((NULLIF(good, 0) * 1.0 / NULLIF(tot.g, 0))
+                         / NULLIF(bad * 1.0 / NULLIF(tot.b, 0), 0))
+                      * 1000000) AS BIGINT) AS woe_micro,
+           (good * 1.0 / NULLIF(tot.g, 0)
+            - bad * 1.0 / NULLIF(tot.b, 0))
+               * ln((NULLIF(good, 0) * 1.0 / NULLIF(tot.g, 0))
+                    / NULLIF(bad * 1.0 / NULLIF(tot.b, 0), 0))
+               AS iv_term
+    FROM bins, tot
+    """,
+)
+def mlops_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.floor(F.col("value") / 10.0).cast("long").alias("bin"),
+            F.when(
+                F.col("event_type").isin("purchase", "signup"), 1
+            )
+            .otherwise(0)
+            .alias("y"),
+        )
+    )
+    tot = r.agg(
+        F.sum("y").alias("g"), F.sum(1 - F.col("y")).alias("b")
+    )
+    bins = r.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("good"),
+        F.sum(1 - F.col("y")).alias("bad"),
+    )
+    # NULLIF on the zero-good numerator too: DuckDB ln(0) ABORTS the
+    # query (Spark's log(0) quietly NULLs) — a bin with no goods or no
+    # bads has undefined WoE on both engines, as NULL
+    gs = F.nullif(F.col("good"), F.lit(0)) * 1.0 / F.nullif(
+        F.col("g"), F.lit(0)
+    )
+    bs = F.col("bad") * 1.0 / F.nullif(F.col("b"), F.lit(0))
+    lr = F.log(gs / F.nullif(bs, F.lit(0.0)))
+    return bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "good",
+        "bad",
+        F.round(lr * 1000000).cast("long").alias("woe_micro"),
+        ((gs - bs) * lr).alias("iv_term"),
+    )

@@ -103,6 +103,9 @@ _EVENT_QUERIES = [
     # merges on exactly-equal timestamps
     "mlops_propensity_match",
     "ref_session_funnel",
+    # WoE under degenerate classes (all-good / all-bad / empty bins —
+    # DuckDB ln(0) aborts where Spark NULLs; NULLIF guards pinned)
+    "mlops_woe_binning",
 ]
 
 
