@@ -207,3 +207,59 @@ def test_oracle_paired_schemas_are_scalar(spark, sf_smoke, name):
         f"{name} emits non-scalar top-level column(s) {bad}: the driver's "
         "pandas canonicalizer crashes on them — array_join/explode instead"
     )
+
+
+def test_window_partition_sweep_catches_planted_offender(spark, sf_smoke):
+    """Meta-test: the constant-cardinality sweep must FLAG a window
+    partitioned by hour(ts) alone and PASS one that adds a
+    data-dependent key — otherwise the sweep can silently weaken into
+    a no-op (e.g. if alias resolution breaks on a Spark upgrade)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import (
+        load,
+    )
+
+    ev = load(spark, sf_smoke, "events")
+
+    def offenders_of(df):
+        plan = df._jdf.queryExecution().analyzed()
+        aliases = _collect_aliases(plan)
+        found = []
+        for n in _walk_plan(plan):
+            if n.getClass().getSimpleName() != "Window":
+                continue
+            ps = n.partitionSpec()
+            keys = []
+            for i in range(ps.size()):
+                e = ps.apply(i)
+                keys.append(
+                    (
+                        e.sql(),
+                        e.dataType().simpleString(),
+                        e.getClass().getSimpleName(),
+                        e.exprId().id()
+                        if e.getClass().getSimpleName()
+                        == "AttributeReference"
+                        else None,
+                    )
+                )
+            if keys and all(
+                _is_bounded(s, d, c, aliases, eid)
+                for (s, d, c, eid) in keys
+            ):
+                found.append([s for (s, d, c, eid) in keys])
+        return found
+
+    bad = ev.withColumn("h", F.hour("ts")).withColumn(
+        "r", F.sum("value").over(Window.partitionBy("h").orderBy("event_id"))
+    )
+    assert offenders_of(bad) == [["h"]], "sweep failed to flag hour(ts)"
+    ok = ev.withColumn("h", F.hour("ts")).withColumn(
+        "r",
+        F.sum("value").over(
+            Window.partitionBy("h", "user_id").orderBy("event_id")
+        ),
+    )
+    assert offenders_of(ok) == [], "sweep flagged a mixed-key window"
