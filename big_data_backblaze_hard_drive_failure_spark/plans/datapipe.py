@@ -6005,82 +6005,14 @@ def datapipe_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# Sequence packing layout (GPT-style concat-and-chunk): training
-# pipelines concatenate the token stream and cut it every C tokens,
-# so each document occupies the half-open token interval
-# [offset, offset + n_tok) of the global stream and spans chunks
-# floor(offset/C) .. floor((offset+n_tok-1)/C). The layout statistics
-# that drive packing decisions — total chunks, how many documents
-# straddle a chunk boundary (and would need attention-mask surgery),
-# and stream utilization — all derive from a GLOBAL PREFIX SUM of
-# per-doc token counts over the doc_id order. The engine uses the
-# two-level literal-boundary scan (operators/prefix.py) so no
-# unpartitioned window ever forms; the oracle states the same thing
-# as a plain SUM OVER (ORDER BY). Integer token counts make every
-# derived number exact cross-engine; utilization is one double
-# division of identical integers (bit-identical, no rounding).
-# --------------------------------------------------------------------
-_PACK_C = 512  # chunk capacity in tokens
-
-
-@query(
-    "datapipe_sequence_packing",
-    oracle=f"""
-    WITH t AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS n_tok
-        FROM documents WHERE text IS NOT NULL
-    ),
-    d AS (
-        SELECT doc_id, n_tok,
-               COALESCE(SUM(n_tok) OVER (
-                   ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                 0) AS off
-        FROM t
-    )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-           CAST(CEIL(SUM(n_tok) / {_PACK_C}.0) AS BIGINT) AS n_chunks,
-           CAST(SUM(CASE WHEN CAST(FLOOR(off / {_PACK_C}.0) AS BIGINT)
-                          <> CAST(FLOOR((off + n_tok - 1) / {_PACK_C}.0)
-                                  AS BIGINT)
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
-           SUM(n_tok) * 1.0
-               / (NULLIF(CAST(CEIL(SUM(n_tok) / {_PACK_C}.0) AS BIGINT), 0)
-                  * {_PACK_C}) AS utilization
-    FROM d
-    """,
-)
-def datapipe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.prefix import global_prefix_sum
-
-    t = (
-        load(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .select("doc_id", F.size(tokens("text")).alias("n_tok"))
-    )
-    d = global_prefix_sum(t, ["doc_id"], "n_tok", "off", exclusive=True)
-    c = float(_PACK_C)
-    first = F.floor(F.col("off") / c).cast("long")
-    last = F.floor((F.col("off") + F.col("n_tok") - 1) / c).cast("long")
-    n_chunks = F.ceil(F.sum("n_tok") / c).cast("long")
-    return d.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tok").alias("total_tokens"),
-        n_chunks.alias("n_chunks"),
-        F.sum(F.when(first != last, 1).otherwise(0)).alias("n_straddling"),
-        (
-            F.sum("n_tok")
-            * 1.0
-            / (F.nullif(n_chunks, F.lit(0)) * _PACK_C)
-        ).alias("utilization"),
-    )
-
-
-# --------------------------------------------------------------------
 # Near-dup-cluster-safe train/val split — the dedup-then-split
 # discipline: assigning splits per DOCUMENT leaks near-duplicates of
 # training docs into validation (the classic C4/Pile evaluation bug).
+# The constructive twin of datapipe_split_leakage_audit: the audit
+# MEASURES how much a naive doc_id-keyed split leaks through band
+# collisions; this query BUILDS the split that cannot leak (keyed by
+# cluster representative) and asserts the no-straddle invariant as
+# data.
 # The split key must be the CLUSTER representative, so every member
 # of a near-dup cluster lands on the same side by construction. Reuse
 # of the MinHash/LSH machinery: rep_id per doc exactly as
@@ -6165,80 +6097,15 @@ def datapipe_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# Unigram LM quality score (CCNet-style): per-document cross-entropy
-# under the corpus's own unigram model, -(1/n) * sum ln p(token) —
-# THE classic LM-based quality filter (Wenzek et al., "CCNet", 2020
-# filters by LM perplexity; the unigram model is its distributable
-# first rung). High score = improbable tokens = gibberish/noise;
-# low = boilerplate. Shape at 100 TB: one explode + groupBy builds
-# the vocab (O(tokens) map-side-combinable), per-token ln p is
-# computed ON the vocab frame (O(vocab), not O(tokens)), and the
-# token stream joins the vocab co-partitioned on the token key —
-# never a broadcast assumption on an unbounded vocab. Cross-engine
-# exactness: ln of identical doubles is bit-identical (the A-ES
-# precedent), each token's log-prob is rounded to integer MICRO-nats
-# BEFORE summation (exact commutative BIGINT aggregation — the
-# decayed-recency discipline), and the final divide is one double
-# division of identical integers.
-# --------------------------------------------------------------------
-@query(
-    "datapipe_unigram_logprob_score",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        FROM documents WHERE text IS NOT NULL
-    ),
-    vocab AS (
-        SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
-    ),
-    n AS (SELECT SUM(c) AS total FROM vocab),
-    logp AS (
-        SELECT tok,
-               CAST(ROUND(ln(c * 1.0 / n.total) * 1000000) AS BIGINT)
-                   AS lp_micro
-        FROM vocab, n
-    )
-    SELECT t.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_tok,
-           -SUM(l.lp_micro) * 1.0 / (COUNT(*) * 1000000.0) AS xent_nats
-    FROM toks t JOIN logp l USING (tok)
-    GROUP BY t.doc_id
-    """,
-)
-def datapipe_unigram_logprob_score(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    toks = (
-        load(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .select("doc_id", F.explode(tokens("text")).alias("tok"))
-    )
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    n = vocab.agg(F.sum("c").alias("total"))
-    logp = vocab.crossJoin(F.broadcast(n)).select(
-        "tok",
-        F.round(F.log(F.col("c") * 1.0 / F.col("total")) * 1000000)
-        .cast("long")
-        .alias("lp_micro"),
-    )
-    return (
-        toks.join(logp, "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            (
-                -F.sum("lp_micro") * 1.0
-                / (F.count(F.lit(1)) * 1000000.0)
-            ).alias("xent_nats"),
-        )
-    )
-
-
-# --------------------------------------------------------------------
-# RAG-style document chunking: fixed-size token windows with overlap
+# RAG-style document chunking: fixed-size token windows with OVERLAP
 # (chunk = 64 tokens, stride = 48, i.e. 16-token overlap) — the
 # retrieval-corpus preparation step every RAG pipeline runs before
-# embedding. Pure map-side at any scale: chunk starts are a
+# embedding. Complements, not duplicates, its two neighbors:
+# datapipe_chunk_udtf cuts NON-overlapping 50-token chunks and exists
+# as the SS2.11 Python-UDTF demonstration (Arrow lateral join);
+# datapipe_pack_sequences packs the TRAINING stream (docs straddle
+# chunk edges, per-shard offsets). Overlapping retrieval windows are
+# a third semantic, and this plan stays entirely JVM-side. Pure map-side at any scale: chunk starts are a
 # compile-time `sequence()` over the token count (no explode of raw
 # tokens, no shuffle until the caller groups), each chunk is a
 # 1-based `slice` of the token array (both engines clamp

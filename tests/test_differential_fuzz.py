@@ -78,12 +78,8 @@ _DOC_QUERIES = [
     "datapipe_span_corruption",
     "datapipe_feature_hashing",
     # round-9: A-ES ranking under degenerate weights (n_chars 0/short)
-    # and tiny strata; prefix-sum chunk arithmetic over empty/space-run
-    # token counts
+    # and tiny strata
     "datapipe_weighted_sample_stratified",
-    "datapipe_sequence_packing",
-    # micro-nat rounding + vocab join under duplicate/empty tokens
-    "datapipe_unigram_logprob_score",
     # slice clamping + chunk-count arithmetic on boundary-length docs
     "datapipe_doc_chunking",
 ]
