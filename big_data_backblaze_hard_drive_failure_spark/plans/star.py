@@ -4344,3 +4344,90 @@ def star_mode_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("mode_count"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Sample autocorrelation function (ACF, lags 1..7) of daily revenue —
+# the seasonality diagnostic that decides whether ref_mase_seasonal_eval's
+# weekly-naive forecast is even worth running: r_k is the Pearson
+# correlation between the daily series and itself shifted k days.
+# Shape at scale: orders collapse to the O(days) daily frame first
+# (one agg, calendar-bounded forever), the 7 lags fan out via a
+# broadcast literal table, and each lag pairs the daily frame with
+# itself through ONE date-arithmetic equi-join — never a window over
+# the raw orders. Exactness: daily revenue is integer dollars, all
+# five correlation sums are exact integers (Spark DECIMAL(38,0) ==
+# DuckDB HUGEINT — BIGINT products would overflow past sf1), and the
+# final Pearson formula is one double expression over identical
+# integers (sqrt is correctly rounded, so bit-identical).
+# --------------------------------------------------------------------
+@query(
+    "star_autocorrelation",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(ROUND(SUM(o_totalprice)) AS BIGINT) AS rev
+        FROM orders WHERE o_orderdate IS NOT NULL
+        GROUP BY day
+    ),
+    lags AS (SELECT unnest(range(1, 8)) AS lag),
+    pairs AS (
+        SELECT l.lag, a.rev AS x, b.rev AS y
+        FROM daily a
+        JOIN lags l ON TRUE
+        JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)
+    ),
+    s AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, n AS n_pairs,
+           (n * sxy - sx * sy)
+               / NULLIF(sqrt((n * sxx - sx * sx)
+                             * (n * syy - sy * sy)), 0) AS acf
+    FROM s
+    """,
+)
+def star_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice")).cast("long").alias("rev"))
+    )
+    lags = daily.sparkSession.range(1, 8).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.select(F.col("day").alias("d"), F.col("rev").alias("x"))
+    b = daily.select(F.col("day").alias("d2"), F.col("rev").alias("y"))
+    pairs = (
+        a.join(F.broadcast(lags))
+        .join(b, F.expr("d2 = date_add(d, lag)"))
+        .select("lag", "x", "y")
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "lag",
+        n.alias("n_pairs"),
+        (num / F.nullif(den, F.lit(0.0))).alias("acf"),
+    )
