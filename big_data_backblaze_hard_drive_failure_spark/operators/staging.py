@@ -69,6 +69,20 @@ def stage_boundary(
         key = id(out)
     evicted = []
     with _STAGED_LOCK:
+        # semanticHash is 32-bit: on a collision between two genuinely
+        # different plans, silently replacing the dict value would
+        # strand the displaced frame's cache outside both LRU eviction
+        # and release_stage_boundaries — the exact leak this LRU
+        # exists to prevent. Detect the collision with sameSemantics
+        # and unpersist the displaced frame.
+        displaced = _LIVE_STAGED.get(key)
+        if displaced is not None:
+            try:
+                collision = not displaced.sameSemantics(out)
+            except Exception:  # pragma: no cover - exotic frames
+                collision = False  # can't compare: keep prior behavior
+            if collision:
+                evicted.append(displaced)
         _LIVE_STAGED[key] = out
         # True LRU: refresh recency on re-stage of a live frame
         # (OrderedDict assignment to an existing key keeps its slot).

@@ -6010,9 +6010,19 @@ def datapipe_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training docs into validation (the classic C4/Pile evaluation bug).
 # The constructive twin of datapipe_split_leakage_audit: the audit
 # MEASURES how much a naive doc_id-keyed split leaks through band
-# collisions; this query BUILDS the split that cannot leak (keyed by
-# cluster representative) and asserts the no-straddle invariant as
-# data.
+# collisions; this query BUILDS a split keyed by the cluster
+# representative and asserts the no-straddle invariant as data.
+# SCOPE of the guarantee — single-hop, same as datapipe_neardup_clusters:
+# rep_id is ONE round of min-over-shared-buckets, not connected
+# components, so docs that share a band bucket DIRECTLY always land on
+# the same side, but a transitive chain A~B~C (where C shares a bucket
+# only with B) can give A,B rep A while C gets rep B — C may then split
+# opposite its 2-hop near-dup. The straddling_clusters audit is grouped
+# by rep_id, so it verifies the single-hop invariant (0 by
+# construction), NOT transitive-closure safety. For full transitive
+# safety, key the split by datapipe_neardup_components' converged
+# component_id instead (iterated min-propagation to fixpoint; rows-only
+# there because the iteration count is data-dependent).
 # The split key must be the CLUSTER representative, so every member
 # of a near-dup cluster lands on the same side by construction. Reuse
 # of the MinHash/LSH machinery: rep_id per doc exactly as

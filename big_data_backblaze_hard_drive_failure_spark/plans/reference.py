@@ -828,7 +828,7 @@ def ref_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ref_session_windows",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                -- <= on purpose: Spark's session_window MERGES an event
                -- arriving EXACTLY gap after the previous one (window
                -- end is inclusive for the merge test; only gap+epsilon
@@ -840,9 +840,15 @@ def ref_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
+        -- the running sum must repeat the flag window's (ts, event_id)
+        -- total order: with ts alone, peer order among equal-ts rows
+        -- is unspecified, so a tie row can be summed BEFORE its
+        -- flag=1 peer and land in the previous session — a
+        -- nondeterministic oracle diverging from Spark's
+        -- session_window, which merges all equal-ts events.
         SELECT user_id, ts,
                SUM(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     )
@@ -946,16 +952,19 @@ def ref_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ref_session_funnel",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts, event_type,
+        SELECT user_id, ts, event_id, event_type,
                CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
                     THEN 0 ELSE 1 END AS new_session
         FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
+        -- (ts, event_id) repeats the flag window's total order so the
+        -- running sum is deterministic on equal-ts ties (see
+        -- ref_session_windows for the failure mode with ts alone)
         SELECT user_id, event_type, ts,
                SUM(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     ),

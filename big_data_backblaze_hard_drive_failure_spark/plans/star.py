@@ -4378,13 +4378,16 @@ def star_mode_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)
     ),
     s AS (
+        -- operands widened BEFORE the multiply: a BIGINT*BIGINT
+        -- product overflows 64 bits once daily revenue passes ~3e9
+        -- (~sf30) — DuckDB would abort, non-ANSI Spark would wrap
         SELECT lag,
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(x) AS DOUBLE) AS sx,
                CAST(SUM(y) AS DOUBLE) AS sy,
-               CAST(SUM(x * y) AS DOUBLE) AS sxy,
-               CAST(SUM(x * x) AS DOUBLE) AS sxx,
-               CAST(SUM(y * y) AS DOUBLE) AS syy
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
         FROM pairs GROUP BY lag
     )
     SELECT CAST(lag AS INT) AS lag, n AS n_pairs,
@@ -4411,14 +4414,20 @@ def star_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, F.expr("d2 = date_add(d, lag)"))
         .select("lag", "x", "y")
     )
-    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")
+    # widen operands BEFORE multiplying: (x*y) in 64-bit long wraps
+    # silently once daily revenue passes ~3e9 (~sf30); decimal(38,0)
+    # products stay exact (Spark keeps 38-digit precision, matching
+    # DuckDB's HUGEINT product in the oracle)
+    dec = lambda c: F.sum(c).cast("double")
+    dx = F.col("x").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
     s = pairs.groupBy("lag").agg(
         F.count(F.lit(1)).alias("n"),
-        dec(F.col("x")).alias("sx"),
-        dec(F.col("y")).alias("sy"),
-        dec(F.col("x") * F.col("y")).alias("sxy"),
-        dec(F.col("x") * F.col("x")).alias("sxx"),
-        dec(F.col("y") * F.col("y")).alias("syy"),
+        dec(dx).alias("sx"),
+        dec(dy).alias("sy"),
+        dec(dx * F.col("y")).alias("sxy"),
+        dec(dx * F.col("x")).alias("sxx"),
+        dec(dy * F.col("y")).alias("syy"),
     )
     n = F.col("n")
     num = n * F.col("sxy") - F.col("sx") * F.col("sy")

@@ -237,6 +237,32 @@ def test_stage_boundary_dedups_semantically_equal_frames(spark):
     staging.release_stage_boundaries()
 
 
+def test_stage_boundary_hash_collision_unpersists_displaced(spark):
+    """Round-10 ADVICE regression: semanticHash() is 32-bit, so two
+    genuinely DIFFERENT plans can share a key. Silently overwriting
+    the dict value stranded the displaced frame's cache outside both
+    LRU eviction and release_stage_boundaries — a session-long
+    executor-storage leak. stage_boundary must detect the collision
+    (sameSemantics) and unpersist the displaced frame. A real 32-bit
+    collision can't be manufactured from two small plans, so plant
+    one: pre-insert frame A under the key frame B will hash to."""
+    from big_data_backblaze_hard_drive_failure_spark.operators import staging
+
+    staging.release_stage_boundaries()
+    a = spark.range(3).persist()
+    a.count()
+    b = spark.range(1000, 2000)
+    with staging._STAGED_LOCK:
+        staging._LIVE_STAGED[b.semanticHash()] = a  # planted collision
+    staged_b = staging.stage_boundary(b, materialize=False)
+    assert staged_b.is_cached
+    assert not a.is_cached, (
+        "hash-collision displacement must unpersist the displaced "
+        "frame — otherwise its cache leaks for the session"
+    )
+    staging.release_stage_boundaries()
+
+
 def test_fit_empty_probe_failure_does_not_mask_fit_error(spark):
     """If the emptiness probe itself dies, the ORIGINAL fit exception
     must surface, not the probe's (advisor: a dead session made
