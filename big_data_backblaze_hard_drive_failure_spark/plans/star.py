@@ -4398,11 +4398,17 @@ def star_mode_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def star_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = (
+    from ..operators.staging import stage_boundary
+
+    # staged: the daily frame feeds BOTH sides of the lag self-join —
+    # unstaged, Catalyst re-derives it twice, i.e. two full scans of
+    # orders at 100 TB for an O(days) calendar-bounded frame
+    daily = stage_boundary(
         load(spark, sf_dir, "orders")
         .filter(F.col("o_orderdate").isNotNull())
         .groupBy(F.to_date("o_orderdate").alias("day"))
-        .agg(F.round(F.sum("o_totalprice")).cast("long").alias("rev"))
+        .agg(F.round(F.sum("o_totalprice")).cast("long").alias("rev")),
+        materialize=False,
     )
     lags = daily.sparkSession.range(1, 8).select(
         F.col("id").cast("int").alias("lag")

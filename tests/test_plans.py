@@ -439,3 +439,81 @@ def test_sorted_write_is_range_exchange_plus_local_sort(spark, sf_smoke):
     assert sort_args and all(", false, 0" in l for l in sort_args), (
         "sortWithinPartitions planned a GLOBAL sort:\n" + plan
     )
+
+
+def test_doc_chunking_is_pure_map(spark, sf_smoke):
+    """RAG chunking (64-token windows, 48 stride) is compile-time
+    sequence() + clamped slice over each doc: pure map-side at any
+    scale — no Exchange may appear, and the chunk fan-out is one
+    Generate (the explode of chunk starts), never a join or window."""
+    plan = _formatted(spark, "datapipe_doc_chunking", sf_smoke)
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree, tree
+    assert "Generate" in tree, tree
+    assert "Join" not in tree and "Window" not in tree, tree
+
+
+def test_autocorrelation_scans_orders_once(spark, sf_smoke):
+    """The ACF's lag self-join must consume ONE staged daily frame
+    (InMemoryRelation reuse) — unstaged, Catalyst re-derives the
+    daily aggregate per side, i.e. two full scans of orders at
+    100 TB for an O(days) calendar-bounded frame. The 7-row lag
+    table must arrive broadcast (BroadcastExchange under the
+    fan-out join), never shuffled."""
+    from big_data_backblaze_hard_drive_failure_spark.operators.staging import (
+        release_stage_boundaries,
+    )
+
+    import re
+
+    release_stage_boundaries()
+    try:
+        plan = _formatted(spark, "star_autocorrelation", sf_smoke)
+        tree = plan.split("\n\n")[0]
+        # formatted mode prints the cached subtree under EACH
+        # InMemoryTableScan, so count DISTINCT scan node ids: one id
+        # repeated = one shared cache build; two ids = two real scans
+        scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
+        assert len(scan_ids) == 1, (
+            f"daily frame not shared — {len(scan_ids)} distinct "
+            f"parquet scans of orders:\n{tree}"
+        )
+        assert (
+            "InMemoryTableScan" in tree or "TableCacheQueryStage" in tree
+        ), tree
+        assert "BroadcastExchange" in tree, tree
+    finally:
+        release_stage_boundaries()
+
+
+def test_unigram_vocab_join_survives_without_broadcast(spark, sf_smoke):
+    """The unbounded-vocab contract: the token-stream ⋈ vocab join is
+    deliberately UNHINTED so AQE sizes it — broadcast while the vocab
+    fits, shuffle join at web-scale vocab. Pin the contract by
+    planning under autoBroadcastJoinThreshold=-1: the vocab join must
+    fall back to a shuffle join (SortMergeJoin/ShuffledHashJoin),
+    while the 1-row corpus-total side stays broadcast (its explicit
+    F.broadcast hint survives the threshold). If someone 'optimizes'
+    the vocab join with a broadcast hint, this fails — that hint OOMs
+    the driver on a real web corpus's vocabulary."""
+    from big_data_backblaze_hard_drive_failure_spark.operators.staging import (
+        release_stage_boundaries,
+    )
+
+    release_stage_boundaries()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _formatted(spark, "datapipe_unigram_logprob", sf_smoke)
+        tree = plan.split("\n\n")[0]
+        assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree, (
+            "vocab join did not fall back to a shuffle join under "
+            "threshold=-1 — an explicit broadcast hint crept in:\n" + tree
+        )
+        assert "BroadcastNestedLoopJoin" in tree, (
+            "the 1-row corpus-total crossJoin lost its explicit "
+            "broadcast hint:\n" + tree
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        release_stage_boundaries()
