@@ -20,9 +20,16 @@ from ..ml.scorer import LinearModel, score_column
 from ..sources.catalog import schema_for
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
     """File-source stream over the events fixture directory with the
     catalog's explicit schema (never inferSchema on a stream).
+
+    ``glob`` widens the watched file set for replay harnesses (e.g.
+    ``events*.parquet`` to pick up a watermark-advancing tail file
+    alongside the fixture — the streaming-equals-batch parity test);
+    every matched file must share the events physical schema.
 
     The fixture has shipped two physical layouts for ``ts``:
     TIMESTAMP(NANOS) (surfaces as bigint under ``nanosAsLong``) and
@@ -34,7 +41,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    probe = (
+        spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
+        if glob != "events.parquet"
+        else spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    )
     ts_dtype = dict(probe.dtypes).get("ts", "timestamp")
     schema = schema_for("events")
     raw_schema = ", ".join(
@@ -46,7 +57,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = (
         spark.readStream.schema(raw_schema)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .load(sf_dir)
     )
     # watermarks want TIMESTAMP (an instant) — build/convert to the

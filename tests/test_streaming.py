@@ -1044,3 +1044,86 @@ def test_streaming_foreachbatch_snapshot_sink(spark, sf_smoke, tmp_path):
     # through the sink is a no-op (exactly-once via the txn ledger)
     inner(load(spark, sf_smoke, "events"), seen_ids[-1])
     assert read_snapshot_version(tdir) == n_versions
+
+
+def test_streaming_replay_equals_registered_batch_query(
+    spark, sf_smoke, tmp_path
+):
+    """The round-10 equivalence harness: the streaming sessionization
+    stage, replayed over a file copy of the SAME fixture, must equal
+    the REGISTERED batch query ref_session_windows EXACTLY — not just
+    on a finalized prefix. A sentinel tail file (one event 30 days
+    past max(ts) for a user outside the fixture's id space) advances
+    the watermark beyond every real session's close, so append mode
+    flushes ALL real sessions; the sentinel's own still-open session
+    is never emitted. This upgrades the streaming suite from 'the
+    stream runs and matches an inline twin' to 'the stream reproduces
+    a registry query byte-for-byte'."""
+    import datetime as dt
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_backblaze_hard_drive_failure_spark.plans import QUERIES
+    from big_data_backblaze_hard_drive_failure_spark.streaming.pipeline import (
+        session_count_stream,
+    )
+
+    src = f"{sf_smoke}/events.parquet"
+    replay = tmp_path / "replay"
+    replay.mkdir()
+    shutil.copy(src, replay / "events.parquet")
+
+    # sentinel tail: identical physical schema, ts = max + 30 days,
+    # user_id = -1 (outside the fixture id space)
+    t = pq.read_table(src)
+    one = t.slice(0, 1)
+    ts_f = t.schema.field("ts")
+    mx = pa.compute.max(t["ts"]).as_py()
+    far = (
+        mx + 30 * 86400 * 10**9
+        if pa.types.is_integer(ts_f.type)
+        else mx + dt.timedelta(days=30)
+    )
+    one = one.set_column(
+        one.schema.get_field_index("ts"),
+        ts_f,
+        pa.array([far], type=ts_f.type),
+    )
+    uid_f = t.schema.field("user_id")
+    one = one.set_column(
+        one.schema.get_field_index("user_id"),
+        uid_f,
+        pa.array([-1], type=uid_f.type),
+    )
+    pq.write_table(one, replay / "events_tail.parquet")
+
+    sessions = session_count_stream(
+        read_events_stream(spark, str(replay), glob="events*.parquet")
+    )
+    sink = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_replay"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.sql(f"SELECT * FROM {sink}").collect()
+        if r["user_id"] != -1
+    }
+
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in QUERIES["ref_session_windows"](spark, sf_smoke).collect()
+    }
+    assert got == want, (
+        f"stream != registered batch query: {len(got)} vs {len(want)} "
+        f"sessions; only-stream={sorted(got - want)[:3]}, "
+        f"only-batch={sorted(want - got)[:3]}"
+    )
