@@ -768,9 +768,13 @@ def mlops_train_early_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identical int64s, then perform the identical double arithmetic, so
 # the correlation is bit-reproducible — unlike naive corr()/covar(),
 # whose fp accumulation order differs across engines. One pass,
-# map-side combinable. (int64 bound: n * sum(cents^2) must stay under
-# 2^63 — holds through sf1; shard the sums for bigger corpora.)
-# F.corr agreement is pinned by tests/test_ml.py.
+# map-side combinable. The n*sxx / sx*sx cross-products are widened
+# to decimal(38,0) == HUGEINT BEFORE multiplying — in 64-bit long,
+# n * sum(cents^2) overflows already at sf1 (~5.6e23 vs 2^63 ~
+# 9.2e18; caught by the round-10 sf1 parity rotation, where ANSI
+# Spark aborted loudly). The int64 SUMs themselves hold to ~sf100
+# (sum(cents^2) ~ 3.75e18 at sf100); the decimal casts on the sums
+# keep even that safe. F.corr agreement is pinned by tests/test_ml.py.
 # --------------------------------------------------------------------
 @query(
     "mlops_value_error_corr",
@@ -799,19 +803,30 @@ def mlops_train_early_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mlops_value_error_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(F.col("value") * 100).cast("long")
     err = F.when(F.col("event_type") == "error", 1).otherwise(0).cast("long")
+    # product-sums accumulate as decimal(38,0) (DuckDB SUM(BIGINT) is
+    # HUGEINT natively); per-row products stay in long (cents^2 ~
+    # 2.5e9, exact)
+    d = lambda c: c.cast("decimal(38,0)")
     s = load(spark, sf_dir, "events").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(cents).alias("sx"),
-        F.sum(cents * cents).alias("sxx"),
+        F.sum(d(cents * cents)).alias("sxx"),
         F.sum(err).alias("sy"),
         F.sum(err * err).alias("syy"),
-        F.sum(cents * err).alias("sxy"),
+        F.sum(d(cents * err)).alias("sxy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    # widen BEFORE the cross-products: n * sxx overflows long at sf1
+    num = (d(F.col("n")) * F.col("sxy") - d(F.col("sx")) * F.col("sy")).cast(
+        "double"
+    )
     den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        (d(F.col("n")) * F.col("sxx") - d(F.col("sx")) * F.col("sx")).cast(
+            "double"
+        )
     ) * F.sqrt(
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        (d(F.col("n")) * F.col("syy") - d(F.col("sy")) * F.col("sy")).cast(
+            "double"
+        )
     )
     return s.select("n", (num / den).alias("corr_value_error"))
 

@@ -106,12 +106,27 @@ def main() -> int:
         raise SystemExit("no queries selected — refusing to print a green run")
     fails = []
     for name in names:
-        sdf = qs[name](spark, sf_dir)
-        srows = [tuple(r) for r in sdf.collect()]
+        # one query crashing (e.g. an ANSI overflow the small-sf gate
+        # can't see) must not mask the rest of the run: record the
+        # error like the real driver does and keep going
+        try:
+            sdf = qs[name](spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            msg = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
+            print(f"{name}: ERROR ({type(e).__name__}: {msg})")
+            fails.append(name)
+            continue
         if name not in osql:
             print(f"{name}: rows-only, {len(srows)} rows")
             continue
-        cur = con.execute(osql[name])
+        try:
+            cur = con.execute(osql[name])
+        except Exception as e:  # noqa: BLE001 - e.g. DuckDB overflow abort
+            msg = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
+            print(f"{name}: ORACLE-ERROR ({type(e).__name__}: {msg})")
+            fails.append(name)
+            continue
         dcols = [d[0] for d in cur.description]
         drows = cur.fetchall()
         scols = sdf.columns
