@@ -4911,7 +4911,11 @@ def datapipe_ngram_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(MIN(nt) AS BIGINT) AS n_docs,
            ROUND(SUM(t), 6) AS chi2,
-           ROUND(sqrt(SUM(t) / (MIN(nt)
+           -- nt * (min(r,c)-1) computed in DOUBLE: the BIGINT product
+           -- overflows once docs x categories passes 2^63 (both
+           -- engines compute the identical double, and the value
+           -- feeds a sqrt-ratio where 2^-52 relative error is noise)
+           ROUND(sqrt(SUM(t) / (CAST(MIN(nt) AS DOUBLE)
                  * (CASE WHEN MIN(r) < MIN(c) THEN MIN(r)
                          ELSE MIN(c) END - 1))), 6) AS cramers_v
     FROM terms
@@ -4952,8 +4956,13 @@ def datapipe_chi_square_assoc(
     return j.select(t.alias("t"), "nt", "r", "c").agg(
         F.min("nt").alias("n_docs"),
         F.round(F.sum("t"), 6).alias("chi2"),
+        # nt * (min(r,c)-1) in DOUBLE (== oracle): the long product
+        # wraps once docs x categories passes 2^63
         F.round(
-            F.sqrt(F.sum("t") / (F.min("nt") * (mindim - 1))), 6
+            F.sqrt(
+                F.sum("t") / (F.min("nt").cast("double") * (mindim - 1))
+            ),
+            6,
         ).alias("cramers_v"),
     )
 

@@ -1087,10 +1087,13 @@ def mlops_lift_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM by_score
     ),
     tot AS (
+        -- wins2 ~ 2*P*N outgrows BIGINT around 3e9 positives at
+        -- 100 TB: widen the products to HUGEINT BEFORE multiplying
+        -- (Spark side mirrors with decimal(38,0))
         SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
                CAST(SUM(n_neg) AS BIGINT) AS n_neg,
-               CAST(SUM(2 * n_pos * neg_below + n_pos * n_neg) AS BIGINT)
-                   AS wins2
+               SUM(2 * CAST(n_pos AS HUGEINT) * neg_below
+                   + CAST(n_pos AS HUGEINT) * n_neg) AS wins2
         FROM cum
     )
     SELECT n_pos, n_neg,
@@ -1120,12 +1123,14 @@ def mlops_roc_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="neg_below",
         exclusive=True,
     )
+    # wins2 ~ 2*P*N wraps long around 3e9 positives: widen to
+    # decimal(38,0) before the multiply (== oracle HUGEINT)
+    dp = F.col("n_pos").cast("decimal(38,0)")
     tot = cum.agg(
         F.sum("n_pos").alias("n_pos"),
         F.sum("n_neg").alias("n_neg"),
         F.sum(
-            2 * F.col("n_pos") * F.col("neg_below")
-            + F.col("n_pos") * F.col("n_neg")
+            2 * dp * F.col("neg_below") + dp * F.col("n_neg")
         ).alias("wins2"),
     )
     return tot.select(
@@ -1193,7 +1198,13 @@ def mlops_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    dev = F.abs(F.col("cum") * F.col("n") - F.col("rn") * F.col("total"))
+    # cum*n and rn*total widen to decimal(38,0) before the multiply —
+    # a heavy entity (bot/service account) can push total*n past 2^63;
+    # the oracle is already safe (DuckDB window SUMs are HUGEINT)
+    dd = lambda c: c.cast("decimal(38,0)")
+    dev = F.abs(
+        dd(F.col("cum")) * F.col("n") - dd(F.col("rn")) * F.col("total")
+    )
     return e.groupBy("user_id").agg(
         F.max("n").cast("long").alias("n_events"),
         F.round(
@@ -1400,16 +1411,27 @@ def mlops_ab_proportion_ztest(
         FROM g
     ),
     s AS (
+        -- rank-sum and tie products widened to HUGEINT BEFORE the
+        -- multiply (r2_a ~ 2N^2 and tie3 ~ N^3 pass 2^63 around 3e9
+        -- ranked rows — reachable at 100 TB); Spark mirrors with
+        -- decimal(38,0)
         SELECT CAST(SUM(na) AS BIGINT) AS n_a,
                CAST(SUM(nb) AS BIGINT) AS n_b,
-               CAST(SUM(na * (2 * cum_before + t + 1)) AS BIGINT)
-                   AS r2_a,
-               CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+               SUM(CAST(na AS HUGEINT)
+                   * (2 * CAST(cum_before AS HUGEINT) + t + 1)) AS r2_a,
+               SUM(CAST(t AS HUGEINT) * t * t - t) AS tie3
         FROM p
     )
     SELECT n_a, n_b,
-           CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
-           ROUND(((CAST(r2_a AS DOUBLE) - n_a * (n_a + 1)) / 2.0
+           -- the U STATISTIC itself outgrows BIGINT only past ~6e9
+           -- rows; this cast then aborts loudly on both engines
+           -- (HUGEINT->BIGINT error / ANSI decimal->long error)
+           -- instead of wrapping
+           CAST(r2_a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT)
+               AS u2_a,
+           ROUND(((CAST(r2_a AS DOUBLE)
+                   - CAST(CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE))
+                      / 2.0
                   - CAST(n_a AS DOUBLE) * n_b / 2.0)
                  / sqrt((CAST(n_a AS DOUBLE) * n_b / 12.0)
                         * ((n_a + n_b + 1)
@@ -1437,18 +1459,24 @@ def mlops_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = global_prefix_sum(
         g, ["v"], "t", "cum_before", exclusive=True
     )
+    # rank-sum / tie products widen to decimal(38,0) BEFORE the
+    # multiply (== oracle HUGEINT): r2_a ~ 2N^2 and tie3 ~ N^3 wrap
+    # long around 3e9 ranked rows
+    dd = lambda c: c.cast("decimal(38,0)")
     s = p.agg(
         F.sum("na").alias("n_a"),
         F.sum("nb").alias("n_b"),
         F.sum(
-            F.col("na") * (2 * F.col("cum_before") + F.col("t") + 1)
+            dd(F.col("na"))
+            * (2 * dd(F.col("cum_before")) + F.col("t") + 1)
         ).alias("r2_a"),
         F.sum(
-            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            dd(F.col("t")) * F.col("t") * F.col("t") - F.col("t")
         ).alias("tie3"),
     )
     n_a, n_b = F.col("n_a"), F.col("n_b")
-    u_a = (F.col("r2_a").cast("double") - n_a * (n_a + 1)) / F.lit(2.0)
+    prod = dd(n_a) * (n_a + 1)
+    u_a = (F.col("r2_a").cast("double") - prod.cast("double")) / F.lit(2.0)
     var = (n_a.cast("double") * n_b / F.lit(12.0)) * (
         (n_a + n_b + 1)
         - F.col("tie3").cast("double")
@@ -1457,7 +1485,9 @@ def mlops_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "n_a",
         "n_b",
-        (F.col("r2_a") - n_a * (n_a + 1)).alias("u2_a"),
+        # the U statistic outgrows long only past ~6e9 rows; ANSI
+        # decimal->long then aborts loudly instead of wrapping
+        (F.col("r2_a") - prod).cast("long").alias("u2_a"),
         F.round(
             (u_a - n_a.cast("double") * n_b / F.lit(2.0)) / F.sqrt(var), 6
         ).alias("z_stat"),
@@ -2742,8 +2772,11 @@ def mlops_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM r
     )
     SELECT n, b, c_ AS c,
-           ROUND((abs(b - c_) - 1) * (abs(b - c_) - 1) * 1.0
-                 / NULLIF(b + c_, 0), 6) AS mcnemar_chi2
+           -- (|b-c|-1)^2 widened to HUGEINT before the square: the
+           -- discordant counts are O(rows), so the square passes 2^63
+           -- around 3e9 discordant pairs (Spark: decimal(38,0))
+           ROUND(CAST(abs(b - c_) - 1 AS HUGEINT) * (abs(b - c_) - 1)
+                 * 1.0 / NULLIF(b + c_, 0), 6) AS mcnemar_chi2
     FROM c
     """,
 )
@@ -2777,10 +2810,13 @@ def mlops_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c"),
     )
     d = F.abs(F.col("b") - F.col("c"))
+    # (|b-c|-1)^2 widens to decimal(38,0) before the square (== oracle
+    # HUGEINT): discordant counts are O(rows), the square wraps long
+    # around 3e9 discordant pairs
     return c.select(
         "n", "b", "c",
         F.round(
-            (d - 1) * (d - 1) * 1.0
+            (d - 1).cast("decimal(38,0)") * (d - 1) * 1.0
             / F.nullif(F.col("b") + F.col("c"), F.lit(0)),
             6,
         ).alias("mcnemar_chi2"),
@@ -2815,35 +2851,41 @@ def mlops_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY user_id
     ),
     s AS (
+        -- per-user products and every cross-product widened to
+        -- HUGEINT BEFORE multiplying: x*y in BIGINT aborts once a
+        -- power user's cent totals square past 2^63 (the round-10
+        -- agg-product hygiene sweep's class; Spark side matches with
+        -- decimal(38,0))
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(x) AS BIGINT) AS sx,
                CAST(SUM(y) AS BIGINT) AS sy,
-               CAST(SUM(x * y) AS BIGINT) AS sxy,
-               CAST(SUM(x * x) AS BIGINT) AS sxx,
-               CAST(SUM(y * y) AS BIGINT) AS syy
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy
         FROM per_user
+    ),
+    c AS (
+        SELECT n,
+               CAST(CAST(n AS HUGEINT) * sxy
+                    - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS cxy,
+               CAST(NULLIF(CAST(n AS HUGEINT) * sxx
+                           - CAST(sx AS HUGEINT) * sx, 0) AS DOUBLE)
+                   AS cxx,
+               CAST(CAST(n AS HUGEINT) * syy
+                    - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS cyy,
+               CAST(NULLIF(CAST(n AS HUGEINT) * n, 0) AS DOUBLE) AS nn
+        FROM s
     )
     SELECT n,
-           ROUND((n * sxy - sx * sy) * 1.0
-                 / NULLIF(n * sxx - sx * sx, 0), 6) AS theta,
-           ROUND((n * syy - sy * sy) * 1.0 / NULLIF(n * n, 0), 6)
-               AS var_y,
-           ROUND(((n * syy - sy * sy) * 1.0 / NULLIF(n * n, 0))
-                 - ((n * sxy - sx * sy) * 1.0
-                    / NULLIF(n * sxx - sx * sx, 0))
-                   * ((n * sxy - sx * sy) * 1.0
-                      / NULLIF(n * sxx - sx * sx, 0))
-                   * ((n * sxx - sx * sx) * 1.0 / NULLIF(n * n, 0)), 6)
+           ROUND(cxy / cxx, 6) AS theta,
+           ROUND(cyy / nn, 6) AS var_y,
+           ROUND((cyy / nn)
+                 - (cxy / cxx) * (cxy / cxx) * (cxx / nn), 6)
                AS var_y_adj,
-           ROUND(((n * sxy - sx * sy) * 1.0
-                  / NULLIF(n * sxx - sx * sx, 0))
-                 * ((n * sxy - sx * sy) * 1.0
-                    / NULLIF(n * sxx - sx * sx, 0))
-                 * ((n * sxx - sx * sx) * 1.0 / NULLIF(n * n, 0))
-                 / NULLIF((n * syy - sy * sy) * 1.0
-                          / NULLIF(n * n, 0), 0), 6)
+           ROUND((cxy / cxx) * (cxy / cxx) * (cxx / nn)
+                 / NULLIF(cyy / nn, 0), 6)
                AS var_reduction_frac
-    FROM s
+    FROM c
     """,
 )
 def mlops_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2862,25 +2904,33 @@ def mlops_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # per-user products and every cross-product widen to decimal(38,0)
+    # BEFORE multiplying (== DuckDB HUGEINT): x*y wraps silently in
+    # long once a power user's cent totals square past 2^63 — the
+    # round-10 agg-product hygiene sweep's class
+    d = lambda c: c.cast("decimal(38,0)")
     s = per_user.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(d(F.col("x")) * F.col("y")).alias("sxy"),
+        F.sum(d(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(d(F.col("y")) * F.col("y")).alias("syy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    zero = F.lit(0).cast("decimal(38,0)")
     # NULLIF guards: a degenerate corpus (zero covariate variance —
     # every user's pre-period X identical, e.g. all activity in one
     # instant — or zero rows) makes CUPED undefined; emit NULL rather
     # than an ANSI divide-by-zero abort. Same NULLIFs in the oracle.
-    theta = (n * sxy - sx * sy) * 1.0 / F.nullif(
-        n * sxx - sx * sx, F.lit(0)
-    )
-    var_y = (n * syy - sy * sy) * 1.0 / F.nullif(n * n, F.lit(0))
-    var_x = (n * sxx - sx * sx) * 1.0 / F.nullif(n * n, F.lit(0))
+    cxy = (d(n) * sxy - d(sx) * sy).cast("double")
+    cxx = F.nullif(d(n) * sxx - d(sx) * sx, zero).cast("double")
+    cyy = (d(n) * syy - d(sy) * sy).cast("double")
+    nn = F.nullif(d(n) * n, zero).cast("double")
+    theta = cxy / cxx
+    var_y = cyy / nn
+    var_x = cxx / nn
     return s.select(
         "n",
         F.round(theta, 6).alias("theta"),

@@ -671,10 +671,16 @@ _GROUPED_ZSCORE_SQL = """
         WINDOW w AS (PARTITION BY user_id)
     )
     SELECT event_id, user_id,
+           -- n*sxx / sx*sx / n*(n-1) widened before multiplying
+           -- (DuckDB window SUMs are HUGEINT already; sx*sx is the
+           -- BIGINT product that aborts once a power user's summed
+           -- cents square past 2^63 — Spark mirrors in decimal(38,0))
            CASE WHEN value IS NULL THEN NULL
-                WHEN n > 1 AND (n * sxx - sx * sx) > 0
+                WHEN n > 1
+                     AND (n * sxx - CAST(sx AS HUGEINT) * sx) > 0
                 THEN (value - sx / (n * 100.0))
-                     / (SQRT((n * sxx - sx * sx) * 1.0 / (n * (n - 1)))
+                     / (SQRT((n * sxx - CAST(sx AS HUGEINT) * sx) * 1.0
+                             / (CAST(n AS HUGEINT) * (n - 1)))
                         / 100.0)
                 ELSE 0.0 END AS zscore
     FROM stats
@@ -742,9 +748,13 @@ def ref_grouped_zscore_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.count("cents").over(w))
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
-    var_num = n * sxx - sx * sx
+    # cross-products widen to decimal(38,0) before multiplying (==
+    # oracle HUGEINT): n*sxx and sx*sx wrap long once a power user's
+    # summed cents square past 2^63
+    dd = lambda c: c.cast("decimal(38,0)")
+    var_num = dd(n) * sxx - dd(sx) * sx
     z = (F.col("value") - sx / (n * 100.0)) / (
-        F.sqrt(var_num * 1.0 / (n * (n - 1))) / 100.0
+        F.sqrt(var_num * 1.0 / (dd(n) * (n - 1))) / 100.0
     )
     return df.select(
         "event_id",

@@ -2758,7 +2758,10 @@ def star_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT key, n,
            ROUND(n * 1.0 / total_rows, 6) AS share,
-           ROUND(n * n_keys * 1.0 / total_rows, 6) AS hot_ratio
+           -- n * 1.0 FIRST so the n x n_keys product runs in double:
+           -- the BIGINT product wraps once rows x keys passes 2^63
+           -- (identical double on both engines)
+           ROUND(n * 1.0 * n_keys / total_rows, 6) AS hot_ratio
     FROM per_key, tot
     ORDER BY n DESC, key
     LIMIT 15
@@ -2779,8 +2782,10 @@ def star_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key",
             "n",
             F.round(F.col("n") * 1.0 / F.col("total_rows"), 6).alias("share"),
+            # n * 1.0 FIRST: the long n x n_keys product wraps once
+            # rows x keys passes 2^63 (same op order as the oracle)
             F.round(
-                F.col("n") * F.col("n_keys") * 1.0 / F.col("total_rows"), 6
+                F.col("n") * 1.0 * F.col("n_keys") / F.col("total_rows"), 6
             ).alias("hot_ratio"),
         )
         .orderBy(F.col("n").desc(), "key")
@@ -3345,7 +3350,11 @@ def star_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
            CAST(SUM(x) AS BIGINT) AS total_cents,
-           ROUND((2.0 * SUM(i * x) - (COUNT(*) + 1) * SUM(x))
+           -- i*x and (n+1)*Σx widened to HUGEINT before multiplying:
+           -- rank x cents products pass 2^63 around 1e9 customers
+           -- (Spark side mirrors with decimal(38,0) sums)
+           ROUND((2.0 * SUM(CAST(i AS HUGEINT) * x)
+                  - (COUNT(*) + 1) * SUM(x))
                  / (CAST(COUNT(*) AS DOUBLE) * SUM(x)), 6) AS gini
     FROM r
     """,
@@ -3366,13 +3375,17 @@ def star_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one prefix-sum pass: summing the constant 1 in (x, o_custkey)
     # order IS the global rank i — no second range-partitioned scan
     ranked = global_prefix_sum(cust, ["x", "o_custkey"], "one", "i")
+    # i*x and (n+1)*Σx widen to decimal(38,0) before multiplying (==
+    # oracle HUGEINT): rank x cents products wrap long around 1e9
+    # customers
+    dd = lambda c: c.cast("decimal(38,0)")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("x").alias("total_cents"),
         F.round(
             (
-                F.lit(2.0) * F.sum(F.col("i") * F.col("x"))
-                - (F.count(F.lit(1)) + 1) * F.sum("x")
+                F.lit(2.0) * F.sum(dd(F.col("i")) * F.col("x"))
+                - dd(F.count(F.lit(1)) + 1) * F.sum("x")
             )
             / (F.count(F.lit(1)).cast("double") * F.sum("x")),
             6,
@@ -3759,7 +3772,10 @@ def star_null_safe_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN o o2 ON o1.u = o2.u AND o1.v <> o2.v
         JOIN o o3 ON o3.u = o1.v AND o3.v = o2.v
     ),
-    w AS (SELECT SUM(d * (d - 1) / 2) AS n_wedges FROM deg)
+    -- d * 1.0 FIRST so the wedge product runs in double: the BIGINT
+    -- d*(d-1) wraps for a ~3e9-degree hub (identical double on both
+    -- engines; / is float division in both already)
+    w AS (SELECT SUM(d * 1.0 * (d - 1) / 2) AS n_wedges FROM deg)
     SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
            CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_edges,
            CAST(tri.n_tri AS BIGINT) AS n_triangles,
@@ -3830,8 +3846,10 @@ def star_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o3, ["x", "y"])
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )
+    # d * 1.0 FIRST: the long d*(d-1) product wraps for a ~3e9-degree
+    # hub; double math matches the oracle bit-for-bit
     wedges = deg.agg(
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("n_wedges")
+        F.sum(F.col("d") * 1.0 * (F.col("d") - 1) / 2).alias("n_wedges")
     )
     counts = e0.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
         deg.agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -263,3 +263,141 @@ def test_window_partition_sweep_catches_planted_offender(spark, sf_smoke):
         ),
     )
     assert offenders_of(ok) == [], "sweep flagged a mixed-key window"
+
+
+# ---------------------------------------------------------------------
+# Long-typed products of unbounded aggregates — the sixth
+# scale-killer class, found EMPIRICALLY by the round-10 sf1 parity
+# rotation: mlops_value_error_corr's n * sum(cents^2) hit
+# ARITHMETIC_OVERFLOW at sf1 (~5.6e23 >> 2^63) after its docstring
+# claimed the bound held. The sf0.01 driver gate and sf0.1 parity log
+# are structurally blind to this class; this sweep is its static
+# twin: walk every ANALYZED plan and flag any bigint Multiply whose
+# BOTH operands derive (through alias chains) from unbounded
+# aggregate outputs — Sum/Count or rank-family window functions,
+# whose magnitude grows with the data. The fix idiom is widening to
+# decimal(38,0) (== DuckDB HUGEINT) BEFORE the multiply, or `x * 1.0
+# * y` double math where 2^-52 relative error is provably noise;
+# round 10 applied it to ten plans (CUPED, Mann-Whitney, ROC-AUC,
+# CUSUM, McNemar, chi-square, grouped z-score, Gini, skew profile,
+# triangle wedges). Allowlisted names must document why the operands
+# are bounded by construction.
+# ---------------------------------------------------------------------
+
+_UNBOUNDED_AGG_FNS = {"Sum", "Count", "RowNumber", "Rank", "DenseRank",
+                      "NTile"}
+
+# name -> EXACT sorted offender-expression list, so the allowlist
+# can't silently absorb a new unrelated product
+_BOUNDED_PRODUCT_ALLOWLIST = {
+    # 7/14-day ROW-frame window sums: n7 <= 14 rows and sxx7 <= 14
+    # max-cents^2 (~3.5e10), so every product is bounded by the frame
+    # length forever — no data growth reaches 2^63
+    "ref_rolling_features": [
+        "(n7 * (n7 - CAST(1 AS BIGINT)))",
+        "(n7 * sxx7)",
+        "(sx7 * sx7)",
+    ],
+}
+
+
+def _walk_expr(e):
+    stack = [e]
+    while stack:
+        x = stack.pop()
+        yield x
+        ch = x.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+
+
+def _agg_product_offenders(plan):
+    aliases = {}
+    for n in _walk_plan(plan):
+        try:
+            exprs = n.expressions()
+        except Exception:
+            continue
+        for i in range(exprs.size()):
+            for x in _walk_expr(exprs.apply(i)):
+                if x.getClass().getSimpleName() == "Alias":
+                    aliases[x.exprId().id()] = x.child()
+
+    def unbounded(e, depth=0):
+        if depth > 6:
+            return False
+        for x in _walk_expr(e):
+            cls = x.getClass().getSimpleName()
+            if cls in _UNBOUNDED_AGG_FNS:
+                return True
+            if cls == "AttributeReference":
+                i = x.exprId().id()
+                if i in aliases and unbounded(aliases[i], depth + 1):
+                    return True
+        return False
+
+    offenders = set()
+    for n in _walk_plan(plan):
+        try:
+            exprs = n.expressions()
+        except Exception:
+            continue
+        for i in range(exprs.size()):
+            for x in _walk_expr(exprs.apply(i)):
+                if x.getClass().getSimpleName() != "Multiply":
+                    continue
+                try:
+                    if x.dataType().simpleString() != "bigint":
+                        continue
+                except Exception:
+                    continue
+                if unbounded(x.left()) and unbounded(x.right()):
+                    offenders.add(x.sql())
+    return sorted(offenders)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_long_products_of_unbounded_aggregates(spark, sf_smoke, name):
+    plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().analyzed()
+    offenders = _agg_product_offenders(plan)
+    if name in _BOUNDED_PRODUCT_ALLOWLIST:
+        assert offenders == _BOUNDED_PRODUCT_ALLOWLIST[name], (
+            f"{name}'s allowlisted bounded products changed "
+            f"({offenders} != {_BOUNDED_PRODUCT_ALLOWLIST[name]}) — "
+            "re-audit the bounded-by-construction justification"
+        )
+        return
+    assert not offenders, (
+        f"{name} multiplies unbounded aggregates in 64-bit long "
+        f"{offenders}: this wraps/aborts once the product passes 2^63 "
+        "(the mlops_value_error_corr sf1 overflow class) — widen to "
+        "decimal(38,0)/HUGEINT before the multiply, use `x * 1.0 * y` "
+        "double math, or allowlist with a bounded-operand note"
+    )
+
+
+def test_agg_product_sweep_catches_planted_offender(spark, sf_smoke):
+    """Meta-test: the sweep must FLAG a long product of two aggregate
+    sums and PASS the decimal-widened rewrite — otherwise it can rot
+    into a no-op (e.g. alias resolution breaking on a Spark upgrade)."""
+    from pyspark.sql import functions as F
+
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import (
+        load,
+    )
+
+    ev = load(spark, sf_smoke, "events")
+    s = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("event_id")).alias("sx"),
+    )
+    bad = s.select((F.col("n") * F.col("sx")).alias("z"))
+    good = s.select(
+        (F.col("n").cast("decimal(38,0)") * F.col("sx")).alias("z")
+    )
+    assert _agg_product_offenders(
+        bad._jdf.queryExecution().analyzed()
+    ), "sweep missed a planted long product of two aggregates"
+    assert not _agg_product_offenders(
+        good._jdf.queryExecution().analyzed()
+    ), "sweep flagged the decimal-widened rewrite"
