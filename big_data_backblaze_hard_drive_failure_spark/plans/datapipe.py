@@ -4118,7 +4118,27 @@ def datapipe_png_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast of corpus-sized state); the candidate join keys on single
 # rare shingles, so its fan-out is sum-of-squares of PREFIX-shingle
 # document frequencies — the rarity ordering is exactly what keeps
-# those tiny. Verification joins are hash equi-joins on doc_id.
+# those tiny. Verification joins are equi-joins on doc_id. All four
+# joins here have unbounded sides, so each carries an explicit
+# shuffle hint: Catalyst's size estimate for these frames (explode +
+# collect_list aggregates, cold-cache InMemoryRelations) comes out
+# small enough to statically pick BroadcastHashJoin, and a wrong
+# static broadcast executes eagerly and OOMs before AQE can demote
+# it — the round-10 sf1 rotation measured a 348 MB broadcast build
+# dying in a 1 GB session exactly this way. Strategy per join:
+# hint("shuffle_hash") ONLY for the freq join — its build side is a
+# vocab shard whose per-partition size shrinks as partitions grow,
+# and SHJ skips sorting the exploded corpus stream; hint("merge")
+# everywhere a joined side carries the per-doc shingle ARRAYS (the
+# prefix join and both verifies): the round-10 sf1 A/B put
+# shuffle_hash on the verify side and its hash build died with
+# "Can't acquire 536 MB to build hash relation" — the candidate
+# frame is answer-bounded in ROWS but each row drags a full shingle
+# array, and SHJ builds don't spill where SMJ sorts do. (Contrast
+# datapipe_unigram_logprob, whose vocab join is deliberately
+# unhinted: its static estimate is large, so the safe direction —
+# static shuffle, AQE upgrade-to-broadcast from runtime stats — is
+# the one that actually happens.)
 # Threshold compare is cross-multiplied integers (10*inter >= 9*uni):
 # no float epsilon on the decision boundary. The oracle brute-forces
 # all pairs — feasible only at fixture scale, which is the point:
@@ -4188,7 +4208,7 @@ def datapipe_jaccard_prefix_join(
     )
     ordered = (
         sh.select("doc_id", F.explode("shingles").alias("shingle"))
-        .join(freq, "shingle")
+        .join(freq.hint("shuffle_hash"), "shingle")
         .groupBy("doc_id")
         .agg(
             F.expr(
@@ -4217,7 +4237,7 @@ def datapipe_jaccard_prefix_join(
         F.col("doc_id").alias("db"), F.col("tok").alias("tok")
     )
     cands = (
-        a.join(b, "tok")
+        a.join(b.hint("merge"), "tok")
         .filter(F.col("da") < F.col("db"))
         .select("da", "db")
         .distinct()
@@ -4234,8 +4254,8 @@ def datapipe_jaccard_prefix_join(
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("long")
     verified = (
-        cands.join(da, "da")
-        .join(db_, "db")
+        cands.join(da.hint("merge"), "da")
+        .join(db_.hint("merge"), "db")
         .select(
             "da",
             "db",

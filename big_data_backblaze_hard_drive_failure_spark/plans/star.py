@@ -113,7 +113,7 @@ def star_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
@@ -346,7 +346,7 @@ def star_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
     top = top_k_per_group(
         joined,
         ["c_mktsegment"],
@@ -958,7 +958,7 @@ def star_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_c = F.round(F.col("l_discount") * 100).cast("long")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
             "l_orderkey",
             F.col("o_orderdate").cast("date").alias("order_day"),
@@ -1055,7 +1055,7 @@ def star_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
         .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
@@ -1110,7 +1110,7 @@ def star_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_c = F.round(F.col("l_discount") * 100).cast("long")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
         .groupBy(
             "c_custkey",
@@ -1366,7 +1366,7 @@ def star_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("cn_key") == F.col("c_nationkey"))
         .join(F.broadcast(region), F.col("r_regionkey") == F.col("cn_region"))
         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
@@ -1792,8 +1792,11 @@ def star_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = orders.agg(
         F.count(F.lit(1)).alias("n_orders"),
         (F.count(F.lit(1)) - F.count("o_custkey")).alias("null_custkey"),
-        F.sum(
-            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        # count-if, not sum(when): SUM over an EMPTY orders table is
+        # NULL in Spark while the oracle's COUNT(*) WHERE is 0 — found
+        # by the round-10 star-corpus fuzz's empty-corpus example
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
         ).alias("bad_status"),
     )
     dups = (
@@ -2027,7 +2030,7 @@ def star_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select("o_custkey")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        cust, orders.o_custkey == cust.c_custkey
     )
     per_bucket = (
         joined.groupBy(
@@ -2392,7 +2395,7 @@ def star_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = (
         load(spark, sf_dir, "orders")
         .select("o_custkey", _cents("o_totalprice").alias("cents"))
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(
             F.broadcast(load(spark, sf_dir, "nation")),
             cust.c_nationkey == F.col("n_nationkey"),
@@ -3033,8 +3036,15 @@ def star_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact clip counts. Two aggregations: the bounds table is one tiny
 # row-per-group aggregate (broadcast back), the final mean re-uses the
 # exact-cents trick — the interior sum stays integer and the two
-# interpolated bounds enter the float expression exactly once each, so
-# the result is reproducible regardless of partition order. At 100 TB:
+# bounds enter the float expression exactly once each, so the result
+# is reproducible regardless of partition order. The bounds are
+# DISCRETE percentiles (percentile_disc: actual data values), not
+# interpolated ones: the round-10 star fuzz caught the interpolated
+# form diverging by 1 ulp between engines when the percentile falls
+# between two EQUAL neighbors (Spark's lower + f*(upper-lower) is
+# exact there; DuckDB's (1-f)*lower + f*upper is not), which flips
+# the strict < clip-count comparison. Discrete bounds are column
+# values, bit-identical on both sides by construction. At 100 TB:
 # groupBy bounds is a map-side-combinable agg over the fact table, the
 # join back is a broadcast (|groups| rows), and the second agg is
 # again partial — no window sort over the fact table anywhere.
@@ -3046,8 +3056,10 @@ def star_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
         SELECT o_orderpriority,
-               quantile_cont(o_totalprice, 0.05) AS lo,
-               quantile_cont(o_totalprice, 0.95) AS hi
+               percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS lo,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS hi
         FROM orders GROUP BY o_orderpriority
     )
     SELECT o.o_orderpriority,
@@ -3075,8 +3087,12 @@ def star_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", "o_totalprice"
     )
     bounds = orders.groupBy("o_orderpriority").agg(
-        F.expr("percentile(o_totalprice, 0.05)").alias("lo"),
-        F.expr("percentile(o_totalprice, 0.95)").alias("hi"),
+        F.expr(
+            "percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("lo"),
+        F.expr(
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("hi"),
     )
     j = orders.join(F.broadcast(bounds), "o_orderpriority")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
@@ -3191,7 +3207,7 @@ def star_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_raw = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
             F.col("s_nationkey").alias("src"),
             F.col("c_nationkey").alias("dst"),

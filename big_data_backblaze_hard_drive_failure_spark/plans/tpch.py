@@ -13,11 +13,22 @@ All [beyond-reference]: the reference pipeline is single-table
 (SURVEY.md §2.3) and has none of these shapes.
 
 Scale design (100 TB):
-  * every dimension side (part / supplier / nation / region /
-    customer at fixture scale) is explicitly ``broadcast()``;
+  * bounded dimension sides (part / supplier / nation / region —
+    fixed-size in this fixture) are explicitly ``broadcast()``;
+    ``customer`` SCALES with the data, so its joins are deliberately
+    UNHINTED: AQE broadcasts it from runtime stats while it fits and
+    shuffles it when it doesn't (a static broadcast hint would be
+    executed eagerly from Catalyst's size estimate and OOM before
+    AQE could demote it — the round-10 sf1 parity rotation caught
+    exactly that failure in q18);
   * fact-fact joins (lineitem ⋈ orders, lineitem self-joins) are
     equi-keyed on ``l_orderkey`` so Catalyst sort-merges and AQE can
-    split skewed keys;
+    split skewed keys; where Catalyst's column-pruned size estimate
+    is small enough to statically pick a broadcast of an SF-scaling
+    side (q18's orders ⋈ filtered-lineitem-agg, q21's lineitem ⋈
+    orders — both OOM'd a 1g session at sf1), the join carries an
+    explicit ``hint("merge")``: sort-merge spills, broadcast builds
+    don't;
   * money stays in exact integer cents until the final division, so
     partial-aggregation order cannot perturb a single bit (the same
     discipline as ``plans.star`` — see SURVEY §7);
@@ -188,7 +199,7 @@ def tpch_q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFram
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(
             F.broadcast(supp),
             (li.l_suppkey == supp.s_suppkey)
@@ -500,8 +511,8 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
     )
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(big.hint("merge"), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
             "total_price", "sum_qty",
@@ -603,7 +614,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderdate")
     )
     l1 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
         .filter(
             F.col("l_shipdate")
             > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")

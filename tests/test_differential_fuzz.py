@@ -105,6 +105,101 @@ _EVENT_QUERIES = [
 ]
 
 
+# star/TPC-H family: join completeness + boundary/tie semantics under
+# RANDOM structure (the hand corpus in test_adversarial_tpch_parity
+# fixes one arrangement; this varies which customers order, which
+# orders have lineitems, which keys dangle, and where the ties land —
+# with shrinking to a minimal corpus on divergence). Value pools are
+# boundary-heavy on purpose: dates exactly on the oracles' filter
+# literals, discounts at the BETWEEN edges, quantities at the <24/<25
+# thresholds, tied prices/balances, zero/negative amounts.
+_STAR_QUERIES = [
+    "star_mode_aggregate",          # count-desc/value-asc tie-break
+    "star_topk_with_ties",          # rank()<=k boundary ties
+    "star_dormant_customers",       # scalar AVG threshold + NOT EXISTS
+    "star_customer_distribution",   # group-by over group-by, 0-order rows
+    "star_merge_upsert",            # CDC latest-wins version ties
+    "star_interval_merge",          # gaps-and-islands over real spans
+    "star_dq_audit",                # FK orphans / uniqueness / null rates
+    "star_modern_aggregates",       # interpolated median small-n, EVERY/ANY
+    "star_winsorize",               # p05/p95 clipping on tiny groups
+    "star_hypothetical_rank",       # WITHIN GROUP conditional counts
+    "star_pareto_frontier",         # strictly-cheaper RANGE frame, tied prices
+    "tpch_q04_order_priority",      # EXISTS + non-equi residual, empty orders
+    "tpch_q17_small_qty_revenue",   # decorrelated 0.2*AVG, empty part groups
+    "tpch_q18_large_volume_customer",  # HAVING feed-back join
+    "tpch_q21_waiting_suppliers",   # semi + anti self-joins on the fact
+]
+
+_SEGMENTS = ["MACHINERY", "BUILDING", "FURNITURE", "AUTOMOBILE", "HOUSEHOLD"]
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_BALANCES = [1000.00, 1000.00, -846.69, 0.00, 7331.25]
+_TOTALS = [15000.00, 15000.00, 301.13, 99999.99, 0.01]
+_QTYS = [1.0, 23.0, 24.0, 25.0, 50.0]
+_DISCOUNTS = [0.0, 0.05, 0.06, 0.07, 0.1]
+_PRICES = [901.00, 901.00, 88.88, 45000.00]
+_PTYPES = ["LARGE", "STANDARD", "MEDIUM", "PROMO", "ECONOMY", "SMALL"]
+_PSIZES = [1, 50, 24, 24, 7]
+_PPRICES = [900.00, 900.00, 900.10, 1.00, 2098.99]
+# every date literal the star oracles filter with, hit exactly, plus
+# intraday times so timestamp-vs-DATE-literal comparisons and
+# to_date() collapses see non-midnight rows
+_STAR_DATES = [
+    dt.datetime(1995, 1, 1), dt.datetime(1996, 1, 1),
+    dt.datetime(1996, 4, 1), dt.datetime(1996, 7, 1),
+    dt.datetime(1996, 10, 1), dt.datetime(1997, 1, 1),
+    dt.datetime(1998, 6, 1), dt.datetime(1998, 9, 2),
+    dt.datetime(2000, 1, 1),
+]
+_TIMES_OF_DAY = [dt.timedelta(0), dt.timedelta(hours=12),
+                 dt.timedelta(hours=23, minutes=59, seconds=59)]
+
+_star_corpus = st.fixed_dictionaries(
+    {
+        # (balance_idx, nationkey, segment_idx)
+        "customers": st.lists(
+            st.tuples(
+                st.integers(0, 4), st.integers(0, 24), st.integers(0, 4)
+            ),
+            min_size=0, max_size=10,
+        ),
+        # (suppkey balance_idx, nationkey)
+        "suppliers": st.lists(
+            st.tuples(st.integers(0, 4), st.integers(0, 24)),
+            min_size=0, max_size=6,
+        ),
+        # (brand 1..5, type_idx, size_idx, price_idx)
+        "parts": st.lists(
+            st.tuples(
+                st.integers(1, 5), st.integers(0, 5),
+                st.integers(0, 4), st.integers(0, 4),
+            ),
+            min_size=0, max_size=12,
+        ),
+        # (cust_ref — may dangle, date_idx, tod_idx, extra_days,
+        #  status_idx, total_idx, priority_idx)
+        "orders": st.lists(
+            st.tuples(
+                st.integers(0, 14), st.integers(0, 8), st.integers(0, 2),
+                st.integers(0, 400), st.integers(0, 2), st.integers(0, 4),
+                st.integers(0, 4),
+            ),
+            min_size=0, max_size=25,
+        ),
+        # (order_ref — may dangle, qty_idx, price_idx, disc_idx,
+        #  tax_idx, rf_idx, ls_idx, ship_off_days)
+        "lineitems": st.lists(
+            st.tuples(
+                st.integers(0, 29), st.integers(0, 4), st.integers(0, 3),
+                st.integers(0, 4), st.integers(0, 2), st.integers(0, 2),
+                st.integers(0, 1), st.integers(1, 90),
+            ),
+            min_size=0, max_size=40,
+        ),
+    }
+)
+
+
 def _write(dirpath: str, name: str, cols: dict, src_schema_of: str):
     schema = pq.read_schema(
         os.path.join(
@@ -179,4 +274,104 @@ def test_event_queries_match_oracle_on_random_corpus(
         "events",
     )
     for name in _EVENT_QUERIES:
+        compare(spark, d, QUERIES[name], ORACLE[name])
+
+
+@given(corpus=_star_corpus)
+@settings(**_SETTINGS)
+def test_star_queries_match_oracle_on_random_corpus(
+    spark, tmp_path_factory, corpus
+):
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("fuzz_star"))
+    smoke = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+    # region/nation ship unchanged: the oracles name them literally
+    for t in ("region", "nation"):
+        shutil.copy(os.path.join(smoke, f"{t}.parquet"),
+                    os.path.join(d, f"{t}.parquet"))
+
+    cust = corpus["customers"]
+    _write(
+        d, "customer",
+        {
+            "c_custkey": list(range(len(cust))),
+            "c_name": [f"Customer#{k:09d}" if k % 4 else f"Çüstömer#{k} 顧客"
+                       for k in range(len(cust))],
+            "c_nationkey": [n for _, n, _ in cust],
+            "c_acctbal": [_BALANCES[b] for b, _, _ in cust],
+            "c_mktsegment": [_SEGMENTS[s] for _, _, s in cust],
+        },
+        "customer",
+    )
+    sup = corpus["suppliers"]
+    _write(
+        d, "supplier",
+        {
+            "s_suppkey": list(range(len(sup))),
+            "s_name": [f"Supplier#{k:09d}" for k in range(len(sup))],
+            "s_nationkey": [n for _, n in sup],
+            "s_acctbal": [_BALANCES[b] for b, _ in sup],
+        },
+        "supplier",
+    )
+    parts = corpus["parts"]
+    _write(
+        d, "part",
+        {
+            "p_partkey": list(range(len(parts))),
+            "p_name": [f"{'red large new blue röt 小さな'.split()[k % 6]} "
+                       f"{'bolt widget gear bölt'.split()[k % 4]}"
+                       for k in range(len(parts))],
+            "p_brand": [f"Brand#{b}" for b, _, _, _ in parts],
+            "p_type": [_PTYPES[t] for _, t, _, _ in parts],
+            "p_size": [_PSIZES[s] for _, _, s, _ in parts],
+            "p_retailprice": [_PPRICES[p] for _, _, _, p in parts],
+        },
+        "part",
+    )
+    orders = corpus["orders"]
+    _write(
+        d, "orders",
+        {
+            "o_orderkey": list(range(len(orders))),
+            # cust_ref beyond the customer range = FK orphan on purpose
+            "o_custkey": [c for c, *_ in orders],
+            "o_orderstatus": ["OFP"[s] for _, _, _, _, s, _, _ in orders],
+            "o_totalprice": [_TOTALS[t] for *_, t, _ in orders],
+            "o_orderdate": [
+                _STAR_DATES[di] + _TIMES_OF_DAY[ti] + dt.timedelta(days=xd)
+                for _, di, ti, xd, _, _, _ in orders
+            ],
+            "o_orderpriority": [_PRIORITIES[p] for *_, p in orders],
+        },
+        "orders",
+    )
+    lines = corpus["lineitems"]
+    odate = {
+        k: _STAR_DATES[di] + _TIMES_OF_DAY[ti] + dt.timedelta(days=xd)
+        for k, (_, di, ti, xd, _, _, _) in enumerate(orders)
+    }
+    _write(
+        d, "lineitem",
+        {
+            # order_ref beyond the orders range = dangling fact row
+            "l_orderkey": [o for o, *_ in lines],
+            "l_partkey": [i % max(1, len(parts)) for i in range(len(lines))],
+            "l_suppkey": [i % max(1, len(sup)) for i in range(len(lines))],
+            "l_linenumber": [i + 1 for i in range(len(lines))],
+            "l_quantity": [_QTYS[q] for _, q, *_ in lines],
+            "l_extendedprice": [_PRICES[p] for _, _, p, *_ in lines],
+            "l_discount": [_DISCOUNTS[dx] for _, _, _, dx, *_ in lines],
+            "l_tax": [[0.0, 0.04, 0.08][tx] for *_, tx, _, _, _ in lines],
+            "l_returnflag": ["ANR"[rf] for *_, rf, _, _ in lines],
+            "l_linestatus": ["OF"[ls] for *_, ls, _ in lines],
+            "l_shipdate": [
+                odate.get(o, _STAR_DATES[0]) + dt.timedelta(days=sh)
+                for (o, *_, sh) in lines
+            ],
+        },
+        "lineitem",
+    )
+    for name in _STAR_QUERIES:
         compare(spark, d, QUERIES[name], ORACLE[name])

@@ -401,3 +401,119 @@ def test_agg_product_sweep_catches_planted_offender(spark, sf_smoke):
     assert not _agg_product_offenders(
         good._jdf.queryExecution().analyzed()
     ), "sweep flagged the decimal-widened rewrite"
+
+
+# ---------------------------------------------------------------------
+# Broadcast hints over SF-scaling scans — the seventh scale-killer
+# class, found EMPIRICALLY by the round-10 sf1 parity rotation: an
+# explicit F.broadcast() (ResolvedHint strategy=broadcast) is obeyed
+# by the STATIC planner, and a broadcast build is executed eagerly —
+# if the hinted frame scales with the data, the build OOMs before AQE
+# ever sees runtime stats (tpch_q18's broadcast(customer) died
+# building at sf1 in a driver-default-sized session; the asymmetry is
+# that a static SORT-MERGE plan can still be UPGRADED to broadcast by
+# AQE from accurate runtime stats, so the safe default for a
+# maybe-small side is NO hint, not a broadcast hint). This sweep
+# walks every ANALYZED plan and flags any broadcast hint whose
+# subtree scans one of the six SF-scaling fixture tables with no
+# Aggregate / GlobalLimit / Deduplicate making the frame's
+# cardinality data-independent in between. Round 10 removed the hint
+# from eleven customer joins (AQE still broadcasts customer from
+# runtime stats while it fits). Limitation, by design: an Aggregate
+# prunes the walk even when its GROUP keys scale (e.g. group-by
+# doc_id) — grouped-unbounded broadcasts are governed by per-query
+# pins (test_unigram_vocab_join_survives_without_broadcast), not this
+# sweep. Allowlisted names must document why the hinted frame is
+# bounded by construction.
+# ---------------------------------------------------------------------
+
+# LogicalRelation simpleString has no path; identify scaling tables by
+# a signature column unique to each
+_SCALING_TABLE_SIG = {
+    "customer": "c_custkey#",
+    "orders": "o_orderkey#",
+    "lineitem": "l_orderkey#",
+    "events": "event_id#",
+    "documents": "doc_id#",
+    "embeddings": "vec_id#",
+}
+_CARDINALITY_BOUNDING_NODES = {"Aggregate", "GlobalLimit", "Deduplicate"}
+
+# name -> EXACT sorted scaling-table list under a broadcast hint, so
+# the allowlist can't silently absorb a new unrelated hint
+_BOUNDED_BROADCAST_ALLOWLIST = {
+    # the broadcast side is the QUERY-VECTOR frame: embeddings
+    # filtered to a literal fixed vec_id set (<= 5 rows forever) — a
+    # Filter, which this sweep cannot prove bounding. At corpus-scale
+    # query sets the registered LSH/IVF variants replace the
+    # broadcast, per each docstring.
+    "datapipe_cosine_topk": ["embeddings"],
+    "datapipe_hard_negatives": ["embeddings"],
+    "datapipe_knn_ivf": ["embeddings"],
+}
+
+
+def _broadcast_hint_offenders(plan):
+    out = set()
+    stack = [(plan, False)]
+    while stack:
+        n, under_hint = stack.pop()
+        cls = n.getClass().getSimpleName()
+        if under_hint and cls in _CARDINALITY_BOUNDING_NODES:
+            continue
+        if cls == "ResolvedHint" and "broadcast" in str(n.hints()).lower():
+            under_hint = True
+        if under_hint and cls == "LogicalRelation":
+            txt = n.simpleString(1000)
+            for t, sig in _SCALING_TABLE_SIG.items():
+                if sig in txt:
+                    out.add(t)
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append((ch.apply(i), under_hint))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_broadcast_hint_over_scaling_scan(spark, sf_smoke, name):
+    plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().analyzed()
+    offenders = _broadcast_hint_offenders(plan)
+    if name in _BOUNDED_BROADCAST_ALLOWLIST:
+        assert offenders == _BOUNDED_BROADCAST_ALLOWLIST[name], (
+            f"{name}'s allowlisted bounded broadcasts changed "
+            f"({offenders} != {_BOUNDED_BROADCAST_ALLOWLIST[name]}) — "
+            "re-audit the bounded-by-construction justification"
+        )
+        return
+    assert not offenders, (
+        f"{name} puts an explicit broadcast hint over a scan of "
+        f"SF-scaling table(s) {offenders}: the static planner obeys "
+        "hints and executes broadcast builds eagerly, so this OOMs at "
+        "scale before AQE can demote it (the tpch_q18 sf1 failure "
+        "class) — drop the hint (AQE still broadcasts small sides "
+        "from runtime stats) or allowlist with a bounded-frame note"
+    )
+
+
+def test_broadcast_hint_sweep_catches_planted_offender(spark, sf_smoke):
+    """Meta-test: the sweep must FLAG broadcast(raw events scan) and
+    PASS a broadcast over an Aggregate of it — otherwise the sweep
+    can rot into a no-op (hint node class or simpleString format
+    changing on a Spark upgrade)."""
+    from pyspark.sql import functions as F
+
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import (
+        load,
+    )
+
+    ev = load(spark, sf_smoke, "events")
+    types = ev.select("event_type").groupBy("event_type").count()
+    bad = ev.join(F.broadcast(ev.select("user_id", "event_type")),
+                  "event_type")
+    good = ev.join(F.broadcast(types), "event_type")
+    assert _broadcast_hint_offenders(
+        bad._jdf.queryExecution().analyzed()
+    ) == ["events"], "sweep missed a planted broadcast of a raw scan"
+    assert not _broadcast_hint_offenders(
+        good._jdf.queryExecution().analyzed()
+    ), "sweep flagged a broadcast over an Aggregate"

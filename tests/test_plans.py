@@ -517,3 +517,45 @@ def test_unigram_vocab_join_survives_without_broadcast(spark, sf_smoke):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         release_stage_boundaries()
+
+
+def test_fact_fact_joins_are_merge_pinned(spark, sf_smoke):
+    """Round-10 sf1 regression pins: three queries statically planned a
+    BroadcastHashJoin whose build side SCALES with the data (Catalyst's
+    column-pruned / post-explode size estimates come out under the
+    threshold), and the eager broadcast build OOM'd at sf1 before AQE
+    could demote it. The fix is an explicit hint(\"merge\") on each
+    fact-fact join: SMJ spills, broadcast builds don't. These pins
+    fail if anyone drops the hints.
+
+    - tpch_q18: orders join filtered-lineitem-agg must sort-merge
+    - tpch_q21: lineitem join orders must sort-merge
+    - datapipe_jaccard_prefix_join: all four unbounded-side joins
+      (token-stream x freq, prefix x prefix, verify x2) must be
+      shuffle joins (SMJ for the symmetric prefix join, SHJ where one
+      side is structurally small) — no BroadcastHashJoin anywhere
+    """
+    import re
+
+    def physical(name):
+        df = QUERIES[name](spark, sf_smoke)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    tree = physical("tpch_q18_large_volume_customer")
+    assert re.search(
+        r"SortMergeJoin \[o_orderkey#\d+L?\], \[l_orderkey#\d+L?\]", tree
+    ), "q18 orders-big join lost its merge hint:\n" + tree
+
+    tree = physical("tpch_q21_waiting_suppliers")
+    assert re.search(
+        r"SortMergeJoin \[l_orderkey#\d+L?\], \[o_orderkey#\d+L?\]", tree
+    ), "q21 lineitem-orders join lost its merge hint:\n" + tree
+
+    tree = physical("datapipe_jaccard_prefix_join")
+    assert "BroadcastHashJoin" not in tree, (
+        "jaccard_prefix_join plans a broadcast join — an unbounded "
+        "side lost its shuffle hint:\n" + tree
+    )
+    assert (
+        tree.count("SortMergeJoin") + tree.count("ShuffledHashJoin") >= 4
+    ), "jaccard_prefix_join expected 4 shuffle-hinted joins:\n" + tree
