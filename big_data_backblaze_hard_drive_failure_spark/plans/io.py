@@ -407,6 +407,7 @@ def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'events.parquet' AS file_name,
            CAST(COUNT(*) AS BIGINT) AS n_rows
     FROM events
+    HAVING COUNT(*) > 0
     """,
 )
 def io_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -739,7 +740,11 @@ def io_sorted_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.min("o_totalprice").alias("min_key"),
         F.max("o_totalprice").alias("max_key"),
-        F.sum("inv").alias("intra_file_inversions"),
+        # count-if, not sum: SUM over a zero-row write is NULL where
+        # the oracle's literal 0 means "no violations"
+        F.count(F.when(F.col("inv") == 1, 1)).alias(
+            "intra_file_inversions"
+        ),
     )
     stats = back.groupBy("f").agg(
         F.min("o_totalprice").alias("minp"),
@@ -752,7 +757,7 @@ def io_sorted_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("ov")
     ).agg(
-        F.sum("ov").alias("boundary_overlaps"),
+        F.count(F.when(F.col("ov") == 1, 1)).alias("boundary_overlaps"),
         (F.count(F.lit(1)) <= 8).cast("int").alias("width_ok"),
     )
     return inversions.crossJoin(overlaps).select(

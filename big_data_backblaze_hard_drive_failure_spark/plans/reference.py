@@ -1239,10 +1239,12 @@ def ref_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_sum(F.round(F.col("value") * 100).cast("long")).alias(
             "try_sum_cents"
         ),
-        F.sum(
+        # count-if, not sum(when): SUM over zero rows is NULL where
+        # the oracle's COUNT(*) is 0 (empty-corpus parity sweep)
+        F.count(
             F.when(
                 F.try_divide(F.col("value"), F.lit(1.0)).isNotNull(), 1
-            ).otherwise(0)
+            )
         ).alias("n_clean_div"),
     )
     return agg.select(
