@@ -4761,8 +4761,10 @@ def datapipe_source_divergence(
         F.sum("ca").alias("na"), F.sum("cb").alias("nb")
     )
     j = c.crossJoin(F.broadcast(tot))
-    pa = F.col("ca").cast("double") / F.col("na")
-    pb = F.col("cb").cast("double") / F.col("nb")
+    # try_divide: a single-source day zeroes the other LM's token
+    # total — its probabilities are NULL on both engines
+    pa = F.try_divide(F.col("ca").cast("double"), F.col("na"))
+    pb = F.try_divide(F.col("cb").cast("double"), F.col("nb"))
     m = F.lit(0.5) * (pa + pb)
     h_a = F.when(F.col("ca") > 0, -pa * F.log(pa)).otherwise(0.0)
     h_b = F.when(F.col("cb") > 0, -pb * F.log(pb)).otherwise(0.0)
@@ -4978,9 +4980,15 @@ def datapipe_chi_square_assoc(
         F.round(F.sum("t"), 6).alias("chi2"),
         # nt * (min(r,c)-1) in DOUBLE (== oracle): the long product
         # wraps once docs x categories passes 2^63
+        # try_divide: a 1x1 table (single lang x single source day)
+        # has zero degrees of freedom — Cramer's V is NULL on both
+        # engines, not an ANSI abort
         F.round(
             F.sqrt(
-                F.sum("t") / (F.min("nt").cast("double") * (mindim - 1))
+                F.try_divide(
+                    F.sum("t"),
+                    F.min("nt").cast("double") * (mindim - 1),
+                )
             ),
             6,
         ).alias("cramers_v"),

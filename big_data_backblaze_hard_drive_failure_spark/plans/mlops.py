@@ -828,7 +828,9 @@ def mlops_value_error_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "double"
         )
     )
-    return s.select("n", (num / den).alias("corr_value_error"))
+    # try_divide: zero variance on either axis makes corr undefined —
+    # NULL on both engines (DuckDB /0 is NULL; ANSI Spark would throw)
+    return s.select("n", F.try_divide(num, den).alias("corr_value_error"))
 
 
 # --------------------------------------------------------------------
@@ -1136,8 +1138,11 @@ def mlops_roc_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.select(
         "n_pos",
         "n_neg",
+        # try_divide: a single-class day has no ranking to measure —
+        # NULL AUC on both engines instead of an ANSI abort
         F.round(
-            F.col("wins2") / (2.0 * F.col("n_pos") * F.col("n_neg")), 6
+            F.try_divide(F.col("wins2"), 2.0 * F.col("n_pos") * F.col("n_neg")),
+            6,
         ).alias("roc_auc"),
     )
 
@@ -1294,9 +1299,11 @@ def mlops_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = F.expr(_boot_w_sql(_boot_u16_sql("STRING")))
     means = ev.groupBy("r").agg(
-        (
-            F.sum(w * F.col("cents"))
-            / (F.lit(100).cast("double") * F.sum(w))
+        # try_divide: a replicate can draw Poisson weight 0 for every
+        # row of a tiny day — its mean is NULL on both engines
+        F.try_divide(
+            F.sum(w * F.col("cents")),
+            F.lit(100).cast("double") * F.sum(w),
         ).alias("mean_r")
     )
     return means.agg(
@@ -1359,15 +1366,21 @@ def mlops_ab_proportion_ztest(
         F.sum((~is_a).cast("long")).alias("n_b"),
         F.sum((~is_a & is_err).cast("long")).alias("x_b"),
     )
-    p_a = F.col("x_a").cast("double") / F.col("n_a")
-    p_b = F.col("x_b").cast("double") / F.col("n_b")
+    # try_divide throughout: a single-arm day (n_a or n_b = 0) makes
+    # the rates/z undefined — NULL on both engines (DuckDB /0 is
+    # NULL), not an ANSI abort
+    p_a = F.try_divide(F.col("x_a").cast("double"), F.col("n_a"))
+    p_b = F.try_divide(F.col("x_b").cast("double"), F.col("n_b"))
     pool = (F.col("x_a") + F.col("x_b")).cast("double") / (
         F.col("n_a") + F.col("n_b")
     )
     se = F.sqrt(
         pool
         * (F.lit(1.0) - pool)
-        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        * (
+            F.try_divide(F.lit(1.0), F.col("n_a"))
+            + F.try_divide(F.lit(1.0), F.col("n_b"))
+        )
     )
     return c.select(
         "n_a",
@@ -1375,7 +1388,7 @@ def mlops_ab_proportion_ztest(
         "n_b",
         "x_b",
         F.round(p_a - p_b, 6).alias("rate_diff"),
-        F.round((p_a - p_b) / se, 6).alias("z_stat"),
+        F.round(F.try_divide(p_a - p_b, se), 6).alias("z_stat"),
     )
 
 
@@ -1477,10 +1490,15 @@ def mlops_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_a, n_b = F.col("n_a"), F.col("n_b")
     prod = dd(n_a) * (n_a + 1)
     u_a = (F.col("r2_a").cast("double") - prod.cast("double")) / F.lit(2.0)
+    # try_divide: one observation total zeroes the tie-correction
+    # denominator; all-tied values zero the variance — NULL z on
+    # both engines in either degenerate case
     var = (n_a.cast("double") * n_b / F.lit(12.0)) * (
         (n_a + n_b + 1)
-        - F.col("tie3").cast("double")
-        / ((n_a + n_b) * (n_a + n_b - 1).cast("double"))
+        - F.try_divide(
+            F.col("tie3").cast("double"),
+            (n_a + n_b) * (n_a + n_b - 1).cast("double"),
+        )
     )
     return s.select(
         "n_a",
@@ -1489,7 +1507,10 @@ def mlops_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         # decimal->long then aborts loudly instead of wrapping
         (F.col("r2_a") - prod).cast("long").alias("u2_a"),
         F.round(
-            (u_a - n_a.cast("double") * n_b / F.lit(2.0)) / F.sqrt(var), 6
+            F.try_divide(
+                u_a - n_a.cast("double") * n_b / F.lit(2.0), F.sqrt(var)
+            ),
+            6,
         ).alias("z_stat"),
     )
 
@@ -1997,27 +2018,39 @@ def mlops_ab_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     A, B, C, D = (F.col(x).cast("double") for x in "abcd")
     n_a, n_b = F.col("a") + F.col("b"), F.col("c") + F.col("d")
-    or_ = A * F.col("d") / (B * F.col("c"))
+    # try_divide throughout: any empty contingency cell / single-arm
+    # day makes the effect sizes undefined — NULL on both engines
+    # (DuckDB /0 is NULL), never an ANSI abort
+    or_ = F.try_divide(A * F.col("d"), B * F.col("c"))
     half = F.lit(1.96) * F.sqrt(
-        F.lit(1.0) / A + F.lit(1.0) / B + F.lit(1.0) / C + F.lit(1.0) / D
+        F.try_divide(F.lit(1.0), A)
+        + F.try_divide(F.lit(1.0), B)
+        + F.try_divide(F.lit(1.0), C)
+        + F.try_divide(F.lit(1.0), D)
     )
     mean_diff = (
-        F.col("sa").cast("double") / n_a
-        - F.col("sb").cast("double") / n_b
+        F.try_divide(F.col("sa").cast("double"), n_a)
+        - F.try_divide(F.col("sb").cast("double"), n_b)
     ) / F.lit(100.0)
     pooled = F.sqrt(
-        (
+        F.try_divide(
             (
-                F.col("qa").cast("double")
-                - F.col("sa").cast("double") * F.col("sa") / n_a
+                (
+                    F.col("qa").cast("double")
+                    - F.try_divide(
+                        F.col("sa").cast("double") * F.col("sa"), n_a
+                    )
+                )
+                + (
+                    F.col("qb").cast("double")
+                    - F.try_divide(
+                        F.col("sb").cast("double") * F.col("sb"), n_b
+                    )
+                )
             )
-            + (
-                F.col("qb").cast("double")
-                - F.col("sb").cast("double") * F.col("sb") / n_b
-            )
+            / F.lit(10000.0),
+            (n_a + n_b - 2).cast("double"),
         )
-        / F.lit(10000.0)
-        / (n_a + n_b - 2)
     )
     return c.select(
         "a",
@@ -2027,8 +2060,10 @@ def mlops_ab_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(or_, 6).alias("odds_ratio"),
         F.round(F.exp(F.log(or_) - half), 6).alias("or_ci_lo"),
         F.round(F.exp(F.log(or_) + half), 6).alias("or_ci_hi"),
-        F.round((A / n_a) / (C / n_b), 6).alias("relative_risk"),
-        F.round(mean_diff / pooled, 6).alias("cohens_d"),
+        F.round(
+            F.try_divide(F.try_divide(A, n_a), F.try_divide(C, n_b)), 6
+        ).alias("relative_risk"),
+        F.round(F.try_divide(mean_diff, pooled), 6).alias("cohens_d"),
     )
 
 
@@ -2182,8 +2217,11 @@ def mlops_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_failure_times"),
         F.round(F.sum("o_a"), 6).alias("observed_a"),
         F.round(F.sum("e_a"), 6).alias("expected_a"),
+        # try_divide: a day with V = 0 (no at-risk variance) has no
+        # test statistic — NULL on both engines
         F.round(
-            (F.sum("o_a") - F.sum("e_a")) / F.sqrt(F.sum("v")), 6
+            F.try_divide(F.sum("o_a") - F.sum("e_a"), F.sqrt(F.sum("v"))),
+            6,
         ).alias("z_logrank"),
     )
 
@@ -2272,13 +2310,17 @@ def mlops_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cents") * F.col("cents")).alias("s2"),
     )
     mean = F.col("s1").cast("double") / F.col("n")
-    sem2 = (
-        (
-            F.col("s2").cast("double")
-            - F.col("s1").cast("double") * F.col("s1") / F.col("n")
-        )
-        / (F.col("n") - 1)
-        / F.col("n")
+    # try_divide on the n-1 factor: a single-observation cell has no
+    # variance estimate — NULL on both engines, not an ANSI abort
+    sem2 = F.try_divide(
+        F.try_divide(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+            ),
+            (F.col("n") - 1).cast("double"),
+        ),
+        F.col("n").cast("double"),
     )
 
     def cell(t, p, c):
@@ -2307,7 +2349,7 @@ def mlops_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(did / F.lit(100.0), 6).alias("did_estimate"),
         F.round(se / F.lit(100.0), 6).alias("did_se"),
-        F.round(did / se, 6).alias("t_stat"),
+        F.round(F.try_divide(did, se), 6).alias("t_stat"),
     )
 
 

@@ -2280,7 +2280,9 @@ def star_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx = F.sum(F.col("x") * F.col("x")).cast("double")
     return pts.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        ((n_d * sxy - sx * sy) / (n_d * sxx - sx * sx)).alias(
+        # try_divide: a group whose orders all share one date has no
+        # x-variance — the slope is NULL on both engines
+        F.try_divide(n_d * sxy - sx * sy, n_d * sxx - sx * sx).alias(
             "slope_cents_per_day"
         ),
     )

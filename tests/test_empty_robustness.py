@@ -121,3 +121,57 @@ def test_empty_corpus_oracle_parity(spark, empty_sf_dir):
     for name, why in _EMPTY_ORACLE_ALLOWLIST.items():
         with pytest.raises(AssertionError):
             compare(spark, empty_sf_dir, QUERIES[name], ORACLE[name])
+
+
+@pytest.fixture(scope="session")
+def one_row_sf_dir(tmp_path_factory):
+    """First physical row of every table: the single-observation /
+    single-class day. Statistics with variance-, class-, or
+    dof-shaped denominators hit their degenerate case here."""
+    d = tmp_path_factory.mktemp("sf_one_row")
+    for t in TABLES:
+        pq.write_table(
+            pq.read_table(os.path.join(SRC, f"{t}.parquet")).slice(0, 1),
+            str(d / f"{t}.parquet"),
+        )
+    return str(d)
+
+
+# star_rollup's date filter empties the single row -> the same
+# upstream Spark empty-grand-total semantics as the empty-corpus
+# allowlist above (star_cube's filter keeps its row, so it matches)
+_ONE_ROW_ORACLE_ALLOWLIST = {
+    "star_rollup": "filter empties the frame; Spark omits the "
+    "grand-total grouping-set row",
+}
+
+
+def test_one_row_corpus_oracle_parity(spark, one_row_sf_dir):
+    """Round-10: the single-row/single-class day. First run caught
+    ELEVEN ANSI DIVIDE_BY_ZERO aborts — degenerate statistical
+    denominators (zero variance in correlation/OLS/Mann-Whitney,
+    single-arm z-test/effect sizes, 1x1 chi-square dof, one-source
+    divergence, V=0 log-rank, n-1=0 diff-in-diff cells, zero-weight
+    bootstrap replicates). All fixed with try_divide: NULL on both
+    engines (DuckDB /0 is NULL), bit-identical division otherwise —
+    one bad day must not kill the job, and the undefined statistic
+    must be NULL, not a crash."""
+    from big_data_backblaze_hard_drive_failure_spark.plans import ORACLE
+    from tests.oracle import compare
+
+    bad: dict[str, str] = {}
+    for name in sorted(ORACLE):
+        if name in _ONE_ROW_ORACLE_ALLOWLIST:
+            continue
+        try:
+            compare(spark, one_row_sf_dir, QUERIES[name], ORACLE[name])
+        except Exception as ex:  # noqa: BLE001 — cataloging, not handling
+            first = (str(ex).splitlines() or [""])[0]
+            bad[name] = f"{type(ex).__name__}: {first[:140]}"
+    assert not bad, (
+        f"{len(bad)} oracle-paired queries diverge/crash on the "
+        f"single-row corpus: {bad}"
+    )
+    for name in _ONE_ROW_ORACLE_ALLOWLIST:
+        with pytest.raises(AssertionError):
+            compare(spark, one_row_sf_dir, QUERIES[name], ORACLE[name])
