@@ -2908,7 +2908,9 @@ def datapipe_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     leaked = (
         banded.filter(F.col("is_eval"))
-        .join(train_keys, ["band_id", "band_key"], "left_semi")
+        # shuffle_hash hint: train_keys scales with the train corpus —
+        # the semi join must shuffle, not broadcast-build, at scale
+        .join(train_keys.hint("shuffle_hash"), ["band_id", "band_key"], "left_semi")
         .select("doc_id")
         .distinct()
         .agg(F.count(F.lit(1)).alias("n_leaked"))
@@ -3309,7 +3311,12 @@ def datapipe_pretrain_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("source") == "src1", F.lit("4"))
         .otherwise(F.lit("2"))
     )
-    final = dedup.join(contaminated, "doc_id", "left_anti").filter(
+    # shuffle_hash hint: contaminated is a doc-id set with no
+    # structural bound (worst case the whole corpus matches the
+    # benchmark) — the anti join must not broadcast-build on it
+    final = dedup.join(
+        contaminated.hint("shuffle_hash"), "doc_id", "left_anti"
+    ).filter(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < thresh
     )
     return final.groupBy("source").agg(
@@ -3554,7 +3561,11 @@ def datapipe_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = freq.agg(F.sum("freq").alias("t"))  # 1-row, broadcast
     return (
-        toks.join(freq, "tok")
+        # shuffle_hash hint: freq is keyed by the token VOCABULARY —
+        # the static planner broadcast this aggregate at sf1 from its
+        # post-explode underestimate (the eager-broadcast-build trap;
+        # AQE cannot demote a static broadcast, only upgrade a shuffle)
+        toks.join(freq.hint("shuffle_hash"), "tok")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
@@ -3737,7 +3748,11 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_tgt") + 1.0) / (F.col("n_tgt") + F.col("v"))
     ) - F.log((F.col("c_raw") + 1.0) / (F.col("n_raw") + F.col("v")))
     scored = (
-        toks.join(freq, "tok")
+        # shuffle_hash hint: freq is keyed by the token VOCABULARY —
+        # the static planner broadcast this aggregate at sf1 from its
+        # post-explode underestimate (the eager-broadcast-build trap;
+        # AQE cannot demote a static broadcast, only upgrade a shuffle)
+        toks.join(freq.hint("shuffle_hash"), "tok")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
@@ -3858,7 +3873,10 @@ def datapipe_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corp_fps = corpus.select("fp").distinct().withColumn("td", F.lit(1))
     return (
-        agg.join(corp_fps, "fp", "left")
+        # shuffle_hash hint: corp_fps is every distinct corpus fingerprint
+    # (the bloom POSITION table is M-bounded and stays broadcast; this
+    # frame is not)
+    agg.join(corp_fps.hint("shuffle_hash"), "fp", "left")
         .select(
             "doc_id",
             (F.col("n_hit") == F.col("n_probe"))
@@ -3921,7 +3939,11 @@ def datapipe_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     gd = sh.groupBy("gram").agg(F.countDistinct("doc_id").alias("nd"))
     shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
     return (
-        sh.join(gd, "gram")
+        # shuffle_hash hint: gd is keyed by the 5-GRAM VOCABULARY —
+        # corpus-scale, and Catalyst's post-explode estimate picked a
+        # static broadcast that measured 348 MB at sf1 (spilled; dies
+        # a decade later). The vocab shard per partition stays thin.
+        sh.join(gd.hint("shuffle_hash"), "gram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -4589,8 +4611,10 @@ def datapipe_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pc.filter(F.col("c_xy") >= _PMI_MIN_C)
-        .join(ma, "tok_a")
-        .join(mb, "tok_b")
+        # shuffle_hash hints: the marginals are keyed by the token
+        # VOCABULARY — corpus-scale, never statically broadcastable
+        .join(ma.hint("shuffle_hash"), "tok_a")
+        .join(mb.hint("shuffle_hash"), "tok_b")
         .crossJoin(F.broadcast(n_tok))
         .crossJoin(F.broadcast(n_pairs))
         .select(
@@ -5256,7 +5280,9 @@ def datapipe_entity_resolution(
         .withColumn("blk", F.split(F.col("clean_name"), " ").getItem(0))
     )
     cand = (
-        dn.join(cn, "blk")
+        # merge hint: both sides are DISTINCT-NAME frames (vocabulary-
+        # scale on both sides) — sort-merge is the spill-safe strategy
+        dn.join(cn.hint("merge"), "blk")
         .withColumn(
             "lev", F.levenshtein(F.col("name"), F.col("clean_name"))
         )
@@ -5586,7 +5612,9 @@ def datapipe_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dup = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
     return (
-        chunks.join(nd, "chunk")
+        # shuffle_hash hint: nd is keyed by chunk CONTENT (corpus-scale);
+    # a static broadcast from the post-explode estimate cannot scale
+    chunks.join(nd.hint("shuffle_hash"), "chunk")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),

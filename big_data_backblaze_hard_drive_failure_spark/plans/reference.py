@@ -1407,7 +1407,9 @@ def ref_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("day"),
         )
     )
-    j = spine.join(daily, ["user_id", "day"], "left")
+    # shuffle_hash hint: daily is O(user-days) — the spine join must
+    # shuffle at scale, not broadcast-build from a pruned estimate
+    j = spine.join(daily.hint("shuffle_hash"), ["user_id", "day"], "left")
     wb = Window.partitionBy("user_id").orderBy("day").rowsBetween(
         Window.unboundedPreceding, 0
     )

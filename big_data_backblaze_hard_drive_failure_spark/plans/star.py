@@ -230,8 +230,13 @@ def star_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
+    # shuffle_hash hint: per_cust is O(customers); the pruned-column
+    # estimate statically broadcast it at sf1 — same class as the
+    # removed broadcast(customer) hints
     return cust.join(
-        per_cust, cust.c_custkey == per_cust.o_custkey, "left"
+        per_cust.hint("shuffle_hash"),
+        cust.c_custkey == per_cust.o_custkey,
+        "left",
     ).select(
         "c_custkey",
         "c_mktsegment",
@@ -1864,7 +1869,9 @@ def star_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("week").alias("cohort_week")
     )
     return (
-        activity.join(cohorts, "user_id")
+        # shuffle_hash hint: cohorts is O(users) — never statically
+        # broadcastable at scale
+        activity.join(cohorts.hint("shuffle_hash"), "user_id")
         .withColumn("week_offset", F.col("week") - F.col("cohort_week"))
         .filter(F.col("week_offset") <= 8)
         .groupBy("cohort_week", "week_offset")
@@ -2350,7 +2357,9 @@ def star_cooccurrence_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     a = basket.alias("a")
-    b = basket.alias("b")
+    # merge hint: the basket frame scales with (users x days);
+    # the self-join must sort-merge, not broadcast-build
+    b = basket.hint("merge").alias("b")
     return (
         a.join(
             b,

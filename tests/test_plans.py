@@ -487,15 +487,20 @@ def test_autocorrelation_scans_orders_once(spark, sf_smoke):
 
 
 def test_unigram_vocab_join_survives_without_broadcast(spark, sf_smoke):
-    """The unbounded-vocab contract: the token-stream ⋈ vocab join is
-    deliberately UNHINTED so AQE sizes it — broadcast while the vocab
-    fits, shuffle join at web-scale vocab. Pin the contract by
-    planning under autoBroadcastJoinThreshold=-1: the vocab join must
-    fall back to a shuffle join (SortMergeJoin/ShuffledHashJoin),
-    while the 1-row corpus-total side stays broadcast (its explicit
-    F.broadcast hint survives the threshold). If someone 'optimizes'
-    the vocab join with a broadcast hint, this fails — that hint OOMs
-    the driver on a real web corpus's vocabulary."""
+    """The unbounded-vocab contract, REVISED in round 10: the
+    token-stream ⋈ vocab join now carries an explicit
+    hint("shuffle_hash"). The original contract ("deliberately
+    unhinted so AQE sizes it") was falsified by the round-10 sf1 plan
+    sweep — the STATIC planner broadcast the vocab aggregate from its
+    post-explode underestimate, and a static broadcast builds eagerly
+    (AQE can upgrade a shuffle to broadcast from runtime stats, but
+    cannot demote an already-chosen broadcast). Pin by planning under
+    autoBroadcastJoinThreshold=-1: the vocab join must be a shuffle
+    join (SortMergeJoin/ShuffledHashJoin), while the 1-row
+    corpus-total side stays broadcast (its explicit F.broadcast hint
+    survives the threshold). If someone 'optimizes' the vocab join
+    with a broadcast hint, this fails — that hint OOMs the driver on
+    a real web corpus's vocabulary."""
     from big_data_backblaze_hard_drive_failure_spark.operators.staging import (
         release_stage_boundaries,
     )
