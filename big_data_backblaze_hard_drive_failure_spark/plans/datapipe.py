@@ -378,9 +378,17 @@ def datapipe_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bucket").between(2, _PAIR_BUCKET_CAP)
     )
     a, b = small.alias("a"), small.alias("b")
+    # shuffle_hash hint: `small` is the banded corpus filtered to
+    # 2..cap-doc buckets — the cap bounds bucket SIZE, not bucket
+    # COUNT, so rows scale with the corpus. Round 11's audit (after
+    # the SortAggregate key= regex fix) caught the static planner
+    # broadcasting this side at sf1 from its post-window
+    # underestimate — the round-10 eager-broadcast-build class; a
+    # hinted shuffle stays AQE-upgradable, a static broadcast is not
+    # demotable. Rows are narrow (ids + band key), so SHJ beats SMJ.
     cand = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -1959,9 +1967,12 @@ def datapipe_neardup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bucket").between(2, _PAIR_BUCKET_CAP)
     )
     a, b = small.alias("a"), small.alias("b")
+    # shuffle_hash hint: same scaling-side static broadcast as
+    # datapipe_neardup_pairs (see the comment there) — the 2..cap
+    # bucket gate bounds bucket size, not the number of banded rows
     cand = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -3515,10 +3526,13 @@ def datapipe_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale design: the unigram table is a groupBy(tok) — O(vocab)
 # shuffle with map-side combine; the doc join is an equi-join on tok
-# that AQE sizes (broadcast if the vocab fits, shuffle-hash
-# otherwise — at 100 TB web-scale vocab it shuffles, which is the
-# right plan). No Python, no global sort; perplexity threshold
-# applies as a post-agg filter.
+# that carries an explicit shuffle_hash hint (round 10: the static
+# planner broadcast this vocab aggregate at sf1 from its post-explode
+# underestimate and the eager build OOM'd; AQE can only UPGRADE a
+# shuffle to broadcast from runtime stats, never demote a static
+# broadcast, so the safe direction is hint-shuffle and let AQE
+# promote when the vocab genuinely fits). No Python, no global sort;
+# perplexity threshold applies as a post-agg filter.
 # --------------------------------------------------------------------
 @query(
     "datapipe_unigram_logprob",
@@ -3627,8 +3641,14 @@ def datapipe_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = F.col("doc_id") % 10 == 0
     nb = bands.filter(is_new).withColumnRenamed("doc_id", "new_id")
     ob = bands.filter(~is_new).withColumnRenamed("doc_id", "old_id")
+    # shuffle_hash hint: ob is the banded OLD corpus — the side that
+    # accumulates forever in incremental dedup — yet the static
+    # planner broadcast it at sf1 from its post-band-explode
+    # underestimate (round-11 audit catch after the SortAggregate
+    # key= regex fix). Hint-shuffle keeps the index side
+    # AQE-upgradable when it genuinely fits; rows are narrow.
     cand = (
-        nb.join(ob, ["band_id", "band_key"])
+        nb.join(ob.hint("shuffle_hash"), ["band_id", "band_key"])
         .groupBy(F.col("new_id").alias("doc_id"))
         .agg(
             F.min("old_id").cast("long").alias("partner_id"),
@@ -3873,10 +3893,10 @@ def datapipe_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corp_fps = corpus.select("fp").distinct().withColumn("td", F.lit(1))
     return (
-        # shuffle_hash hint: corp_fps is every distinct corpus fingerprint
-    # (the bloom POSITION table is M-bounded and stays broadcast; this
-    # frame is not)
-    agg.join(corp_fps.hint("shuffle_hash"), "fp", "left")
+        # shuffle_hash hint: corp_fps is every distinct corpus
+        # fingerprint (the bloom POSITION table is M-bounded and stays
+        # broadcast; this frame is not)
+        agg.join(corp_fps.hint("shuffle_hash"), "fp", "left")
         .select(
             "doc_id",
             (F.col("n_hit") == F.col("n_probe"))
@@ -4156,11 +4176,11 @@ def datapipe_png_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffle_hash on the verify side and its hash build died with
 # "Can't acquire 536 MB to build hash relation" — the candidate
 # frame is answer-bounded in ROWS but each row drags a full shingle
-# array, and SHJ builds don't spill where SMJ sorts do. (Contrast
-# datapipe_unigram_logprob, whose vocab join is deliberately
-# unhinted: its static estimate is large, so the safe direction —
-# static shuffle, AQE upgrade-to-broadcast from runtime stats — is
-# the one that actually happens.)
+# array, and SHJ builds don't spill where SMJ sorts do. (Same
+# contract as datapipe_unigram_logprob, whose vocab join is now
+# explicitly shuffle_hash-hinted for the same reason: a static
+# broadcast cannot be AQE-demoted, so scaling-key aggregate
+# join-backs hint shuffle and let AQE upgrade from runtime stats.)
 # Threshold compare is cross-multiplied integers (10*inter >= 9*uni):
 # no float epsilon on the decision boundary. The oracle brute-forces
 # all pairs — feasible only at fixture scale, which is the point:
@@ -5612,9 +5632,10 @@ def datapipe_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dup = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
     return (
-        # shuffle_hash hint: nd is keyed by chunk CONTENT (corpus-scale);
-    # a static broadcast from the post-explode estimate cannot scale
-    chunks.join(nd.hint("shuffle_hash"), "chunk")
+        # shuffle_hash hint: nd is keyed by chunk CONTENT
+        # (corpus-scale); a static broadcast from the post-explode
+        # estimate cannot scale
+        chunks.join(nd.hint("shuffle_hash"), "chunk")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),

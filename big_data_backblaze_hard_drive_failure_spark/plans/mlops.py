@@ -2708,13 +2708,17 @@ def mlops_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.last("blast", ignorenulls=True).over(w_carry).alias("carry"),
     )
-    # no broadcast hint on purpose: carries is O(strata x buckets),
-    # tiny for bounded score domains (AQE broadcasts it from runtime
-    # stats), but a pathological score domain could inflate the
-    # bucket count past broadcast limits — the co-partitioned shuffle
-    # join on (stratum, bucket) is the safe default either way
+    # shuffle_hash hint: carries is O(strata x buckets) — tiny for
+    # bounded score domains but the bucket count grows with the score
+    # DOMAIN, not a literal, so it is not bounded by construction.
+    # Round 11's broadcast audit (after teaching the scanner
+    # SortAggregate's `key=` spelling) caught the static planner
+    # broadcasting this frame at sf1, falsifying the previous "AQE
+    # sizes it" comment — same eager-broadcast-build trap as the
+    # round-10 class: a static broadcast cannot be AQE-demoted, a
+    # hinted shuffle can still be AQE-upgraded from runtime stats.
     matched = (
-        u.join(carries, ["stratum", "bucket"], "left")
+        u.join(carries.hint("shuffle_hash"), ["stratum", "bucket"], "left")
         .filter(F.col("tag") == "t")
         .select("ot", F.coalesce("mc_local", "carry").alias("mc"))
     )

@@ -4168,9 +4168,15 @@ def star_sequential_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_users = b.agg(F.countDistinct("user_id").alias("n_users"))
     a, c = b.alias("a"), b.alias("c")
     before = F.col("a.min_k") < F.col("c.max_k")  # lexicographic
+    # shuffle_hash hint: b is O(users x event_types) — the user
+    # domain scales with the data, yet the static planner broadcast
+    # one side of this self-join at sf1 (round-11 audit catch after
+    # the SortAggregate key= regex fix). The user_id equi-key
+    # co-partitions both sides; per-user frames are <=5 rows so the
+    # hash build is skew-free.
     pairs = (
         a.join(
-            c,
+            c.hint("shuffle_hash"),
             (F.col("a.user_id") == F.col("c.user_id"))
             & (F.col("a.event_type") != F.col("c.event_type")),
         )
