@@ -4893,15 +4893,22 @@ def datapipe_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # try_divide: a 1-term vocabulary (e.g. a corpus of empty texts,
+    # where the tokenizer yields the single '' token) has x = ln(1) =
+    # 0 for its only point, so the OLS denominator k*sxx - sx^2 is
+    # EXACTLY 0 and ANSI division aborts — caught by the round-11
+    # singleton-group fuzz sweep. DuckDB float division by zero
+    # returns NULL, so try_divide's NULL matches the oracle.
+    slope = F.try_divide(
+        F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"),
     )
     return s.select(
         F.col("k").cast("long").alias("k_terms"),
         F.round(slope, 6).alias("zipf_slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 6).alias(
-            "intercept"
-        ),
+        F.round(
+            F.try_divide(F.col("sy") - slope * F.col("sx"), F.col("k")), 6
+        ).alias("intercept"),
     )
 
 

@@ -375,3 +375,211 @@ def test_star_queries_match_oracle_on_random_corpus(
     )
     for name in _STAR_QUERIES:
         compare(spark, d, QUERIES[name], ORACLE[name])
+
+
+# ====================================================================
+# Per-group SINGLETON sweep (round 11, VERDICT ask #5): every group
+# key all-distinct, so each stddev/corr/quantile/OLS group has exactly
+# n = 1 row while the TABLE is large — a different code path than the
+# round-10 global 0-row/1-row sweeps (those exercise a 1-row table
+# under AQE partition coalescing; this exercises degenerate statistics
+# inside a many-partition aggregation: sample-variance n-1 = 0
+# denominators, single-point OLS slopes, leave-one-out with nothing
+# left, quantile interpolation on one value, per-group MAD = 0).
+# Keys are forced distinct BY CONSTRUCTION; hypothesis varies the row
+# count and the value/text/props draws so the degenerate-group path is
+# crossed with the usual adversarial value pools.
+# ====================================================================
+
+# events axes: event_type / user_id / value-derived bins all unique
+# per row
+_SINGLETON_EVENT_QUERIES = [
+    "mlops_target_encoding_loo",   # LOO encoding: n-1 = 0 inside a group
+    "mlops_quantile_drift",        # per-type quantiles of one value
+    "mlops_conformal_interval",    # per-type calibration on one residual
+    "mlops_cusum_changepoint",     # per-user CUSUM over a 1-event series
+    "mlops_cuped_adjustment",      # variance/covariance terms, n = 1
+    "mlops_woe_binning",           # one-row bins: ln of tiny ratios
+    "mlops_value_error_corr",      # per-bin corr inputs collapse to a point
+    "star_decayed_recency_agg",    # per-user decay sum over one event
+]
+
+_singleton_events = st.lists(
+    st.tuples(
+        st.integers(min_value=-99999, max_value=99999),  # cents
+        st.sampled_from(
+            ['{"k": 1}', "{}", "not json", "", '{"k": -7}', '{"k": "x"}']
+        ),
+        st.integers(min_value=0, max_value=2),           # time-of-day idx
+    ),
+    min_size=2,   # "large table, tiny groups" needs >= 2 groups
+    max_size=24,
+)
+
+
+@given(events=_singleton_events)
+@settings(**_SETTINGS)
+def test_event_stats_match_oracle_on_singleton_groups(
+    spark, tmp_path_factory, events
+):
+    d = str(tmp_path_factory.mktemp("fuzz_singleton_events"))
+    n = len(events)
+    _write(
+        d,
+        "events",
+        {
+            "event_id": list(range(n)),
+            # one row per day: date-derived group keys are singleton too
+            "ts": [
+                _TS0 + dt.timedelta(days=i) + _TIMES_OF_DAY[t]
+                for i, (_, _, t) in enumerate(events)
+            ],
+            "user_id": list(range(n)),                 # unique users
+            "event_type": [f"t{i:04d}" for i in range(n)],  # unique types
+            # i*1000 dollars apart: value-derived bins (WoE deciles,
+            # error-corr buckets) are singleton as well; the random
+            # cents part keeps boundary/negative/zero draws in play
+            "value": [i * 1000.0 + c / 100.0
+                      for i, (c, _, _) in enumerate(events)],
+            "props": [p for _, p, _ in events],
+        },
+        "events",
+    )
+    for name in _SINGLETON_EVENT_QUERIES:
+        compare(spark, d, QUERIES[name], ORACLE[name])
+
+
+# star axes: status / priority / custkey / order-day all unique per
+# row; one order per customer, one lineitem per order
+_SINGLETON_STAR_QUERIES = [
+    "star_mad_robust_stats",       # per-status median/MAD of one price
+    "star_grouped_ols_trend",      # single-point OLS: slope denominator 0
+    "star_modern_aggregates",      # interpolated median of n = 1
+    "star_winsorize",              # p05 = p95 = the one value
+    "star_skew_profile",           # per-customer skewness: m2 = 0
+    "star_gini_spend",             # per-customer Gini over one order
+    "star_autocorrelation",        # daily series of singleton days
+    "star_benford_audit",          # leading-digit groups of size ~1
+    "star_equidepth_histogram",    # distinct-value buckets
+    "tpch_q17_small_qty_revenue",  # 0.2 * AVG over a 1-lineitem part
+]
+
+
+@given(
+    rows=st.lists(
+        # (totalprice mantissa, qty_idx, price_idx, disc_idx)
+        st.tuples(
+            st.integers(min_value=1, max_value=99999),
+            st.integers(0, 4), st.integers(0, 3), st.integers(0, 4),
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_star_stats_match_oracle_on_singleton_groups(
+    spark, tmp_path_factory, rows
+):
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("fuzz_singleton_star"))
+    smoke = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+    for t in ("region", "nation", "supplier", "part"):
+        shutil.copy(os.path.join(smoke, f"{t}.parquet"),
+                    os.path.join(d, f"{t}.parquet"))
+    n = len(rows)
+    _write(
+        d, "customer",
+        {
+            "c_custkey": list(range(n)),
+            "c_name": [f"Customer#{k:09d}" for k in range(n)],
+            "c_nationkey": [k % 25 for k in range(n)],
+            "c_acctbal": [_BALANCES[k % 5] for k in range(n)],
+            "c_mktsegment": [_SEGMENTS[k % 5] for k in range(n)],
+        },
+        "customer",
+    )
+    _write(
+        d, "orders",
+        {
+            "o_orderkey": list(range(n)),
+            "o_custkey": list(range(n)),               # one order each
+            "o_orderstatus": [f"S{k:04d}" for k in range(n)],   # unique
+            # mantissa-driven totals: Benford leading digits and
+            # equidepth buckets land one-per-group with high odds
+            "o_totalprice": [m / 100.0 + k * 100000.0
+                             for k, (m, *_) in enumerate(rows)],
+            "o_orderdate": [
+                _STAR_DATES[0] + dt.timedelta(days=k) for k in range(n)
+            ],                                          # unique days
+            "o_orderpriority": [f"P{k:04d}" for k in range(n)],  # unique
+        },
+        "orders",
+    )
+    _write(
+        d, "lineitem",
+        {
+            "l_orderkey": list(range(n)),               # one line each
+            "l_partkey": list(range(n)),                # unique parts
+            "l_suppkey": [k % 3 for k in range(n)],
+            "l_linenumber": [1] * n,
+            "l_quantity": [_QTYS[q] for _, q, _, _ in rows],
+            "l_extendedprice": [_PRICES[p] for _, _, p, _ in rows],
+            "l_discount": [_DISCOUNTS[dx] for *_, dx in rows],
+            "l_tax": [0.04] * n,
+            "l_returnflag": ["N"] * n,
+            "l_linestatus": ["O"] * n,
+            "l_shipdate": [
+                _STAR_DATES[0] + dt.timedelta(days=k + 30) for k in range(n)
+            ],
+        },
+        "lineitem",
+    )
+    for name in _SINGLETON_STAR_QUERIES:
+        compare(spark, d, QUERIES[name], ORACLE[name])
+
+
+# documents axes: lang / source unique per doc -> chi-square marginals
+# and per-lang statistics all singleton; texts with corpus-unique
+# tokens push frequency statistics (Zipf OLS, TF-IDF df, median
+# length) onto their freq = 1 floor
+_SINGLETON_DOC_QUERIES = [
+    "datapipe_chi_square_assoc",   # 1-cell-per-(lang, source) table
+    "datapipe_weighted_median_len",  # weighted median, one doc per stratum
+    "datapipe_temperature_mixture",  # mixture weights over singleton langs
+    "datapipe_zipf_slope",         # all-freq-1 vocabulary: log y constant
+    "datapipe_text_stats",
+]
+
+
+@given(
+    texts=st.lists(
+        st.integers(min_value=0, max_value=6),  # tokens per doc
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_doc_stats_match_oracle_on_singleton_groups(
+    spark, tmp_path_factory, texts
+):
+    d = str(tmp_path_factory.mktemp("fuzz_singleton_docs"))
+    n = len(texts)
+    # doc i's tokens are w{i}_0..w{i}_k: unique across the corpus
+    docs = [
+        " ".join(f"w{i}_{j}" for j in range(k)) for i, k in enumerate(texts)
+    ]
+    _write(
+        d,
+        "documents",
+        {
+            "doc_id": list(range(n)),
+            "text": docs,
+            "lang": [f"l{i:03d}" for i in range(n)],     # unique langs
+            "source": [f"s{i:03d}" for i in range(n)],   # unique sources
+            "n_chars": [len(t) for t in docs],
+        },
+        "documents",
+    )
+    for name in _SINGLETON_DOC_QUERIES:
+        compare(spark, d, QUERIES[name], ORACLE[name])
