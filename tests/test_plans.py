@@ -564,3 +564,61 @@ def test_fact_fact_joins_are_merge_pinned(spark, sf_smoke):
     assert (
         tree.count("SortMergeJoin") + tree.count("ShuffledHashJoin") >= 4
     ), "jaccard_prefix_join expected 4 shuffle-hinted joins:\n" + tree
+
+
+@pytest.mark.parametrize(
+    "name,keys_re",
+    [
+        # LSH small-bucket self-joins: the 2..cap gate bounds bucket
+        # SIZE, not banded row count — the frame scales with the corpus
+        ("datapipe_neardup_pairs", r"ShuffledHashJoin \[band_id#\d+, band_key#\d+\]"),
+        ("datapipe_neardup_editdist", r"ShuffledHashJoin \[band_id#\d+, band_key#\d+\]"),
+        # incremental dedup: the banded OLD corpus accumulates forever
+        ("datapipe_incremental_neardup", r"ShuffledHashJoin \[band_id#\d+, band_key#\d+\]"),
+        # per-(user, type) min/max frame: user domain scales
+        ("star_sequential_pattern", r"ShuffledHashJoin \[user_id#\d+L?\]"),
+        # (stratum, score-bucket) carries: bucket count grows with the
+        # score DOMAIN, not a literal
+        ("mlops_propensity_match", r"ShuffledHashJoin \[stratum#\d+, bucket#\d+L?\]"),
+    ],
+)
+def test_round11_scaling_frame_joins_are_shuffle_hinted(
+    spark, sf_smoke, name, keys_re
+):
+    """Round-11 sf1 regression pins: five queries statically planned a
+    BroadcastHashJoin of a corpus-scaling SortAggregate-keyed frame —
+    invisible to the round-10 audit because SortAggregate prints
+    ``key=[...]`` where HashAggregate prints ``keys=[...]`` (the
+    struct-min/max tie-break idiom forces sort-based aggregation).
+    Each got an explicit hint("shuffle_hash") on the scaling side; a
+    hinted shuffle stays AQE-upgradable to broadcast from accurate
+    runtime stats, an eagerly-built static broadcast cannot be
+    demoted and OOMs at scale (the q18/q21/jaccard class). Planned
+    under autoBroadcastJoinThreshold=-1 the hinted join MUST be a
+    ShuffledHashJoin on the expected keys — if the hint is dropped,
+    Catalyst falls back to SortMergeJoin and this pin fails before the
+    sf1 audit would."""
+    import re
+
+    from big_data_backblaze_hard_drive_failure_spark.operators.staging import (
+        release_stage_boundaries,
+    )
+
+    release_stage_boundaries()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        tree = (
+            QUERIES[name](spark, sf_smoke)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert re.search(keys_re, tree), (
+            f"{name}: expected a shuffle_hash-hinted join matching "
+            f"{keys_re!r} under threshold=-1 — the round-11 safety hint "
+            "was dropped:\n" + tree
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        release_stage_boundaries()
