@@ -575,8 +575,9 @@ def test_fact_fact_joins_are_merge_pinned(spark, sf_smoke):
         ("datapipe_neardup_editdist", r"ShuffledHashJoin \[band_id#\d+, band_key#\d+\]"),
         # incremental dedup: the banded OLD corpus accumulates forever
         ("datapipe_incremental_neardup", r"ShuffledHashJoin \[band_id#\d+, band_key#\d+\]"),
-        # per-(user, type) min/max frame: user domain scales
-        ("star_sequential_pattern", r"ShuffledHashJoin \[user_id#\d+L?\]"),
+        # (star_sequential_pattern left this list in round 11: its
+        # user_id self-join was REPLACED by the bounded per-user
+        # array explosion — see test_sequential_pattern_is_joinless)
         # (stratum, score-bucket) carries: bucket count grows with the
         # score DOMAIN, not a literal
         ("mlops_propensity_match", r"ShuffledHashJoin \[stratum#\d+, bucket#\d+L?\]"),
@@ -621,4 +622,38 @@ def test_round11_scaling_frame_joins_are_shuffle_hinted(
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        release_stage_boundaries()
+
+
+def test_sequential_pattern_is_joinless(spark, sf_smoke):
+    """Round-11 rewrite pin: the per-user pair space is a bounded
+    array explosion (collect_list of <= |event-type enum| structs,
+    two Generates), NOT a self-join — there must be no equi-join of
+    the per-user frame anywhere in the plan (the shape the static
+    planner mis-broadcast at sf1), the two Generates must be present,
+    and the staged per-user frame must be cache-reused by the
+    user-count branch (one events scan, not two)."""
+    import re
+
+    from big_data_backblaze_hard_drive_failure_spark.operators.staging import (
+        release_stage_boundaries,
+    )
+
+    release_stage_boundaries()
+    try:
+        plan = _formatted(spark, "star_sequential_pattern", sf_smoke)
+        tree = plan.split("\n\n")[0]
+        assert tree.count("Generate") >= 2, tree
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+            assert j not in tree, (
+                f"{j} crept back into the pair space:\n" + tree
+            )
+        # the only join is the 1-row n_users broadcast recombine
+        assert "BroadcastNestedLoopJoin" in tree, tree
+        scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
+        assert len(scan_ids) == 1, (
+            f"per-user frame not shared — {len(scan_ids)} distinct "
+            f"events scans:\n{tree}"
+        )
+    finally:
         release_stage_boundaries()
