@@ -2351,26 +2351,30 @@ def star_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def star_cooccurrence_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    basket = (
+    # Round-11 rewrite (the star_sequential_pattern pattern): a basket
+    # holds at most |event-type enum| distinct types, so the pair
+    # space is a bounded per-basket ARRAY — collect_set per
+    # (user, day) and explode twice within the row. This replaces the
+    # old distinct() + merge-hinted self-join (two shuffles of a
+    # (users x days)-scale frame plus an SMJ) with ONE events scan
+    # and ONE basket-keyed shuffle; identical output measured 1.3x
+    # faster at sf0.1 and there is no join left to mis-plan at 100 TB.
+    # Null semantics pinned to the oracle's join equality: NULL
+    # user_id / day groups never pair there (= is never true on
+    # NULL), so they are filtered before grouping here; NULL
+    # event_type is dropped by collect_set, matching the join's
+    # never-true a < b comparison.
+    baskets = (
         load(spark, sf_dir, "events")
-        .select("user_id", F.to_date("ts").alias("day"), "event_type")
-        .distinct()
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.collect_set("event_type").alias("types"))
     )
-    a = basket.alias("a")
-    # merge hint: the basket frame scales with (users x days);
-    # the self-join must sort-merge, not broadcast-build
-    b = basket.hint("merge").alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.day") == F.col("b.day"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
-        )
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-        )
+        baskets.select(F.explode("types").alias("type_a"), F.col("types"))
+        .select("type_a", F.explode("types").alias("type_b"))
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_baskets"))
     )
 

@@ -657,3 +657,17 @@ def test_sequential_pattern_is_joinless(spark, sf_smoke):
         )
     finally:
         release_stage_boundaries()
+
+
+def test_cooccurrence_baskets_is_joinless_single_scan(spark, sf_smoke):
+    """Round-11 rewrite pin: basket co-occurrence is collect_set per
+    (user, day) + double explode — ONE events scan, ONE shuffle, no
+    join anywhere (the old shape was distinct() + a merge self-join:
+    two scans, three exchanges, and a fact-fact SMJ to mis-plan)."""
+    import re
+
+    plan = _formatted(spark, "star_cooccurrence_baskets", sf_smoke)
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree, tree
+    assert tree.count("Generate") >= 2, tree
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
