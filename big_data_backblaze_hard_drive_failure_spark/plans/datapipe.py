@@ -373,30 +373,26 @@ def datapipe_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard -> cross-engine reproducible."""
     bands = _bands(_signatures(spark, sf_dir))
 
-    w = Window.partitionBy("band_id", "band_key")
-    small = bands.withColumn("n_bucket", F.count(F.lit(1)).over(w)).filter(
-        F.col("n_bucket").between(2, _PAIR_BUCKET_CAP)
+    # Round-11 rewrite (supersedes this round's own shuffle_hash
+    # hint, which fixed the static broadcast the hard way): the 2..cap
+    # gate bounds bucket SIZE by construction, so each small bucket's
+    # candidate pairs are a <= cap-element per-bucket ARRAY —
+    # collect_set the doc_ids per (band_id, band_key), filter on
+    # array size (replacing the bucket-count window and its sort),
+    # and explode twice within the row. One band-keyed shuffle and
+    # two map-side Generates replace window + self-join; there is no
+    # join left for the static planner to mis-broadcast. (bands
+    # emits one row per (doc, band), so set size == the old window
+    # row count.)
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.collect_set("doc_id").alias("ds"))
+        .filter(F.size("ds").between(2, _PAIR_BUCKET_CAP))
     )
-    a, b = small.alias("a"), small.alias("b")
-    # shuffle_hash hint: `small` is the banded corpus filtered to
-    # 2..cap-doc buckets — the cap bounds bucket SIZE, not bucket
-    # COUNT, so rows scale with the corpus. Round 11's audit (after
-    # the SortAggregate key= regex fix) caught the static planner
-    # broadcasting this side at sf1 from its post-window
-    # underestimate — the round-10 eager-broadcast-build class; a
-    # hinted shuffle stays AQE-upgradable, a static broadcast is not
-    # demotable. Rows are narrow (ids + band key), so SHJ beats SMJ.
     cand = (
-        a.join(
-            b.hint("shuffle_hash"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+        buckets.select(F.explode("ds").alias("doc_a"), F.col("ds"))
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
     toks = load(spark, sf_dir, "documents").select(
@@ -1962,25 +1958,18 @@ _LEV_PREFIX = 200
 def datapipe_neardup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = _bands(_signatures(spark, sf_dir))
 
-    w = Window.partitionBy("band_id", "band_key")
-    small = bands.withColumn("n_bucket", F.count(F.lit(1)).over(w)).filter(
-        F.col("n_bucket").between(2, _PAIR_BUCKET_CAP)
-    )
-    a, b = small.alias("a"), small.alias("b")
-    # shuffle_hash hint: same scaling-side static broadcast as
+    # Round-11 rewrite: same bounded per-bucket array explosion as
     # datapipe_neardup_pairs (see the comment there) — the 2..cap
-    # bucket gate bounds bucket size, not the number of banded rows
+    # gate bounds the array by construction, no window, no self-join
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.collect_set("doc_id").alias("ds"))
+        .filter(F.size("ds").between(2, _PAIR_BUCKET_CAP))
+    )
     cand = (
-        a.join(
-            b.hint("shuffle_hash"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+        buckets.select(F.explode("ds").alias("doc_a"), F.col("ds"))
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
     pref = load(spark, sf_dir, "documents").select(

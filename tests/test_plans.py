@@ -569,10 +569,10 @@ def test_fact_fact_joins_are_merge_pinned(spark, sf_smoke):
 @pytest.mark.parametrize(
     "name,keys_re",
     [
-        # LSH small-bucket self-joins: the 2..cap gate bounds bucket
-        # SIZE, not banded row count — the frame scales with the corpus
-        ("datapipe_neardup_pairs", r"ShuffledHashJoin \[band_id#\d+, band_key#\d+\]"),
-        ("datapipe_neardup_editdist", r"ShuffledHashJoin \[band_id#\d+, band_key#\d+\]"),
+        # (neardup_pairs / neardup_editdist left this list in round 11:
+        # their small-bucket self-joins were REPLACED by the bounded
+        # per-bucket array explosion — see
+        # test_neardup_candidates_are_joinless)
         # incremental dedup: the banded OLD corpus accumulates forever
         ("datapipe_incremental_neardup", r"ShuffledHashJoin \[band_id#\d+, band_key#\d+\]"),
         # (star_sequential_pattern left this list in round 11: its
@@ -671,3 +671,29 @@ def test_cooccurrence_baskets_is_joinless_single_scan(spark, sf_smoke):
     assert "Join" not in tree, tree
     assert tree.count("Generate") >= 2, tree
     assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+
+
+@pytest.mark.parametrize(
+    "name", ["datapipe_neardup_pairs", "datapipe_neardup_editdist"]
+)
+def test_neardup_candidates_are_joinless(spark, sf_smoke, name):
+    """Round-11 rewrite pin: LSH candidate generation is collect_set
+    per (band_id, band_key) + double explode — the 2..cap gate bounds
+    the per-bucket array BY CONSTRUCTION, so no bucket-count Window
+    and no self-join exist for the static planner to mis-broadcast
+    (the SortAggregate key= audit class). The only joins allowed are
+    the two verification lookups against the documents token/prefix
+    frames."""
+    plan = _formatted(spark, name, sf_smoke)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Generate") >= 2, tree
+    assert "Window" not in tree, (
+        "the bucket-count window is back:\n" + tree
+    )
+    n_joins = sum(tree.count(j) for j in
+                  ("SortMergeJoin", "ShuffledHashJoin",
+                   "BroadcastHashJoin", "BroadcastNestedLoopJoin"))
+    assert n_joins == 2, (
+        f"{name}: expected exactly the two verification joins, "
+        f"found {n_joins}:\n" + tree
+    )
