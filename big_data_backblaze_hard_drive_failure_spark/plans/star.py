@@ -3816,7 +3816,15 @@ def star_null_safe_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def star_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # l_orderkey is a non-null PK under TPC-H, but the old equality
+    # self-join (and the oracle's) would silently drop a NULL-key row
+    # where groupBy would pair parts inside a null-key basket — make
+    # the invariant explicit rather than rely on the data model.
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey").isNotNull())
+        .select("l_orderkey", "l_partkey")
+    )
     # FRACTIONAL min-support (Apriori-style): an absolute threshold
     # stops pruning as baskets accumulate over a fixed catalog — at
     # the generated sf1 the abs-2 edge set is 1.2M and the wedge join
@@ -4164,9 +4172,18 @@ def star_hypothetical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def star_sequential_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # user_id nulls are excluded up front: the oracle's equality
+    # self-join (a.user_id = c.user_id) never pairs NULL users and its
+    # COUNT(DISTINCT user_id) never counts them, but groupBy('user_id')
+    # WOULD create a null-key group whose types the double explode
+    # would pair (same hazard star_cooccurrence_baskets filters for).
     ev = (
         load(spark, sf_dir, "events")
-        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
         .select("user_id", "event_type", "ts", "event_id")
     )
     b = ev.groupBy("user_id", "event_type").agg(

@@ -165,6 +165,11 @@ def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         _REPO, "_scratch", "sf1"
     )
+    # Fail fast on a missing/malformed allowlist BEFORE the multi-
+    # minute planning sweep — a broken triage file used to surface as
+    # an unhandled traceback only after every query was planned
+    # (round-11 ADVICE).
+    allow = load_allowlist()
     from pyspark.sql import SparkSession
 
     spark = (
@@ -196,7 +201,6 @@ def main() -> int:
             found[name] = entries
             print(f"{name} || {' ;; '.join(entries)}")
 
-    allow = load_allowlist()
     untriaged, stale = diff_against_allowlist(found, allow)
     for q, e in stale:
         print(f"STALE allowlist entry (prune?): {q} || {e}")

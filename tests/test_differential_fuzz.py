@@ -44,13 +44,17 @@ _docs = st.lists(
 )
 
 _TS0 = dt.datetime(2024, 1, 1)
-# ten candidate instants -> tie-heavy by construction
+# ten candidate instants -> tie-heavy by construction; user_id and
+# event_type draw NULL too — the round-11 collect_set rewrites create
+# a null-key group under groupBy where the oracle's equality self-join
+# pairs nothing (round-11 ADVICE: sequential_pattern's null-user
+# divergence was invisible to an all-non-null strategy)
 _events = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=9),      # ts slot
-        st.integers(min_value=0, max_value=3),      # user
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
         st.sampled_from(
-            ["error", "click", "view", "signup", "purchase"]
+            ["error", "click", "view", "signup", "purchase", None]
         ),
         st.integers(min_value=-999, max_value=9999),  # cents
         st.sampled_from(
