@@ -576,10 +576,32 @@ def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q21 shape: suppliers who kept orders waiting. Adaptation: "late"
 # is shipping >30 days after the order date (no receipt/commit
 # dates); the supplier must be the strictly-latest shipper in a
-# multi-supplier finalized order — EXISTS (another supplier in the
-# order) as a left-semi self-join, NOT EXISTS (anyone shipping
-# later) as a left-anti self-join, both equi-keyed on l_orderkey
-# with non-equi residuals.
+# multi-supplier finalized order.
+#
+# Round-12 rewrite (the bounded-group class, found by the self-join
+# sweep): EXISTS / NOT EXISTS used to be a left-semi plus a left-anti
+# self-join of the fact table on l_orderkey — lineitem scanned three
+# times and shuffled three times. An order carries a BOUNDED number
+# of lineitems (<= 7, TPC-H data model — the same bound
+# star_triangle_count's edge build leans on), so both subqueries
+# collapse into ONE per-order collect_list of (suppkey, shipdate)
+# structs evaluated map-side per l1 row:
+#   EXISTS other supplier      -> size(filter(lis, sk <> mine)) > 0
+#   NOT EXISTS later shipper   -> no element of that filter has
+#                                 sd > my shipdate
+# lineitem is now scanned twice and shuffled twice (orders merge
+# join + the per-order groupBy); the join-back streams l1 — already
+# orderkey-sorted from the merge join — against the MERGE-hinted
+# roster (static broadcast of a corpus-scaling aggregate is the
+# q18/q21/jaccard OOM class, and shuffle_hash died in the hash
+# build at sf1: roster rows drag arrays, SHJ builds don't spill —
+# the jaccard verify-join contract). Bit-identical output, MATCH
+# re-proven at sf0.01 + fuzz + sf1 (PARITY_SF1_r12.log, A/B in
+# scripts/q21_ab_r12.py); NULL semantics pinned to the old
+# anti-join's: a NULL shipdate comparison is "no match" (row
+# survives NOT EXISTS), hence the coalesce(exists, false) —
+# F.exists returns NULL, not false, when no element is true but
+# some comparison is NULL.
 # --------------------------------------------------------------------
 @query(
     "tpch_q21_waiting_suppliers",
@@ -622,21 +644,34 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey", "l_shipdate")
         .alias("l1")
     )
-    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = li.alias("l3")
-    other_supplier = (F.col("l1.l_orderkey") == F.col("l2.l_orderkey")) & (
-        F.col("l2.l_suppkey") != F.col("l1.l_suppkey")
+    # per-order lineitem roster, bounded <= 7 structs by the data
+    # model; l_orderkey is a non-null PK there, so no null-key basket
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_suppkey").alias("sk"),
+                F.col("l_shipdate").alias("sd"),
+            )
+        ).alias("lis")
     )
-    shipped_later = (
-        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
-        & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate"))
+    # hint("merge"), NOT shuffle_hash: the roster rows each drag a
+    # <= 7-struct array, and SHJ hash builds don't spill where SMJ
+    # sorts do — the same contract as jaccard's verify joins, and
+    # exactly how the first sf1 run of this rewrite died (hash build
+    # OOM under the 8g envelope). SMJ also reuses l1's existing
+    # orderkey sort from the merge-pinned orders join.
+    j = l1.join(per_order.hint("merge"), "l_orderkey")
+    # elements whose sk comparison is NULL drop out of the filter —
+    # identical to the old semi/anti's "NULL condition = no match"
+    others = F.filter("lis", lambda x: x["sk"] != F.col("l_suppkey"))
+    later = F.coalesce(
+        F.exists(others, lambda x: x["sd"] > F.col("l_shipdate")),
+        F.lit(False),
     )
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        l1.join(l2, other_supplier, "left_semi")
-        .join(l3, shipped_later, "left_anti")
-        .join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        j.filter((F.size(others) > 0) & ~later)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

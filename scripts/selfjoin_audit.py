@@ -82,13 +82,22 @@ from broadcast_audit import diff_against_allowlist  # noqa: E402
 ALLOWLIST_PATH = os.path.join(_REPO, "scripts", "selfjoin_allowlist.json")
 
 _EXPR_ID = re.compile(r"#\d+L?")
+# lambda variables print as ``lambda x_<n>`` where <n> comes from a
+# SESSION-GLOBAL counter — the same query planned after 200 others
+# gets ``x_217`` where a fresh session gets ``x_1``. Only rewrite
+# identifiers directly behind the ``lambda `` keyword: bare names
+# like NATION_18 are real values and must survive.
+_LAMBDA_VAR = re.compile(r"lambda ([A-Za-z]+)_\d+")
 _WS = re.compile(r"\s+")
 
 
 def normalize_condition(raw: str) -> str:
-    """Strip Catalyst expression ids and collapse whitespace so the
-    same logical condition yields the same entry in every session."""
-    return _WS.sub(" ", _EXPR_ID.sub("", raw)).strip()
+    """Strip Catalyst expression ids and lambda-variable counters and
+    collapse whitespace so the same logical condition yields the same
+    entry in every session."""
+    s = _EXPR_ID.sub("", raw)
+    s = _LAMBDA_VAR.sub(r"lambda \1", s)
+    return _WS.sub(" ", s).strip()
 
 
 def _walk(jnode):

@@ -132,7 +132,7 @@ _STAR_QUERIES = [
     "tpch_q04_order_priority",      # EXISTS + non-equi residual, empty orders
     "tpch_q17_small_qty_revenue",   # decorrelated 0.2*AVG, empty part groups
     "tpch_q18_large_volume_customer",  # HAVING feed-back join
-    "tpch_q21_waiting_suppliers",   # semi + anti self-joins on the fact
+    "tpch_q21_waiting_suppliers",   # per-order EXISTS arrays (r12 rewrite)
 ]
 
 _SEGMENTS = ["MACHINERY", "BUILDING", "FURNITURE", "AUTOMOBILE", "HOUSEHOLD"]

@@ -697,3 +697,39 @@ def test_neardup_candidates_are_joinless(spark, sf_smoke, name):
         f"{name}: expected exactly the two verification joins, "
         f"found {n_joins}:\n" + tree
     )
+
+
+def test_q21_exists_is_per_order_array(spark, sf_smoke):
+    """Round-12 rewrite pin (the bounded-group class, found by the
+    self-join sweep): q21's EXISTS / NOT EXISTS are map-side
+    predicates over a per-order collect_list (<= 7 structs, TPC-H
+    data model) — no left-semi / left-anti self-joins of the fact
+    table remain, lineitem is scanned exactly twice (l1 build +
+    per-order roster), the join-back is a shuffle-hinted
+    ShuffledHashJoin (a statically-broadcast corpus-scaling aggregate
+    is the q18/q21/jaccard OOM class), and the l1-orders merge pin
+    still holds."""
+    import re
+
+    plan = _formatted(spark, "tpch_q21_waiting_suppliers", sf_smoke)
+    tree = plan.split("\n\n")[0]
+    assert "LeftSemi" not in tree and "LeftAnti" not in tree, (
+        "the semi/anti self-joins are back:\n" + tree
+    )
+    assert "BroadcastHashJoin" not in tree.split("Scan parquet")[0] or (
+        tree.count("BroadcastHashJoin") == 1
+    ), "unexpected extra broadcast join:\n" + tree
+    # TWO SortMergeJoins: l1's merge-pinned orders join AND the
+    # roster join-back (merge, not shuffle_hash: roster rows drag
+    # arrays and SHJ builds don't spill — the jaccard verify-join
+    # contract; the shuffle_hash variant OOM'd at sf1)
+    assert tree.count("SortMergeJoin") == 2, (
+        "expected 2 merge joins (l1-orders + roster join-back):\n" + tree
+    )
+    # the tree section names no file paths; total scans = lineitem x2
+    # (l1 + roster) + orders + supplier — the old semi/anti plan had 5
+    n_scans = len(re.findall(r"Scan parquet", tree))
+    assert n_scans == 4, (
+        f"expected 4 scans (lineitem x2, orders, supplier), found "
+        f"{n_scans}:\n" + tree
+    )

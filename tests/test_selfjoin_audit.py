@@ -48,6 +48,20 @@ def test_normalize_strips_expression_ids():
     assert normalize_condition("a#1L <\n b#2") == "a < b"
 
 
+def test_normalize_strips_lambda_counters():
+    """Lambda variables carry a SESSION-GLOBAL counter (``x_217`` in a
+    sweep that planned 200 queries first, ``x_1`` in a fresh session)
+    — entries must not depend on planning order. Real identifiers
+    that merely end in _<digits> (NATION_18) must survive."""
+    assert normalize_condition(
+        "exists(lis, lambdafunction((lambda x_217#9.sd > d#3), "
+        "lambda x_217#9, false))"
+    ) == "exists(lis, lambdafunction((lambda x.sd > d), lambda x, false))"
+    assert normalize_condition("(supp_nation#1 = NATION_18)") == (
+        "(supp_nation = NATION_18)"
+    )
+
+
 def test_flags_planted_selfjoin_real_plan(spark, sf_smoke):
     """The planted offender: an enum-key self-join of events with
     itself must produce a selfjoin:events entry from the REAL
