@@ -1882,13 +1882,37 @@ def star_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 # Marketing-style conversion attribution: for each purchase, credit
 # the FIRST and LAST click the same user made in the preceding 24h —
-# first-touch and last-touch in one pass. min_by/max_by over the
-# interval-joined (purchase, click) pairs; the interval join bounds
-# candidates exactly like the streaming attribution operator
-# (streaming/joins.py), so the pair space is per-user-per-day, never
-# all-pairs. Tie-break on click event_id via the (ts, id) struct so
-# simultaneous clicks attribute identically in both engines.
+# first-touch and last-touch in one pass. Tie-break on click event_id
+# via the (ts, id) struct so simultaneous clicks attribute identically
+# in both engines.
+#
+# Round-12 rewrite (the self-join sweep's second catch): the
+# (purchase x click) interval self-join — two event shuffles plus an
+# SMJ whose range residual enumerates every pair — is a RANGE-FRAME
+# WINDOW in disguise: partition by user, order by ts, frame
+# [ts - 24h + 1us, ts], and the three aggregates (count / min / max
+# of a clicks-only CASE) read each purchase's candidate clicks
+# without ever materializing pairs. ONE shuffle + one sort replaces
+# two shuffles + a pair-enumerating join (the union-plus-window
+# pattern SCALE.md already prescribes for as-of joins). Boundary
+# exactness: the frame's inclusive lower bound sits 1 microsecond
+# above pts - 24h, equal to the join's STRICT cts > pts - 24h at the
+# data's microsecond granularity; interval arithmetic on
+# TIMESTAMP_NTZ is naive on both engines, so no session-timezone/DST
+# hazard. NULL user_id/ts filtered up front (the old inner join's
+# equality dropped them implicitly).
 # --------------------------------------------------------------------
+_TOUCH_FRAME = (
+    "OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN "
+    "INTERVAL '23:59:59.999999' HOUR TO SECOND PRECEDING AND "
+    "CURRENT ROW)"
+)
+_TOUCH_CLICK_KEY = (
+    "CASE WHEN event_type = 'click' THEN struct(ts, event_id) END"
+)
+
+
+
 @query(
     "star_touch_attribution",
     oracle="""
@@ -1908,32 +1932,33 @@ def star_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def star_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
-    p = ev.filter(F.col("event_type") == "purchase").select(
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+        .filter(
+            F.col("event_type").isin("purchase", "click")
+            & F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+    )
+    # three aggregates in ONE select -> a single Window node (chained
+    # withColumn plants one Window each and CollapseWindow doesn't
+    # merge through the interleaved Projects)
+    out = ev.select(
+        "*",
+        F.expr(f"count({_TOUCH_CLICK_KEY}) {_TOUCH_FRAME}").alias(
+            "n_cand"
+        ),
+        F.expr(f"min({_TOUCH_CLICK_KEY}) {_TOUCH_FRAME}").alias(
+            "first_k"
+        ),
+        F.expr(f"max({_TOUCH_CLICK_KEY}) {_TOUCH_FRAME}").alias("last_k"),
+    ).filter((F.col("event_type") == "purchase") & (F.col("n_cand") > 0))
+    return out.select(
         F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("pu"),
-        F.col("ts").alias("pts"),
-    )
-    c = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("cu"),
-        F.col("ts").alias("cts"),
-    )
-    pairs = p.join(
-        c,
-        (F.col("pu") == F.col("cu"))
-        & (F.col("cts") <= F.col("pts"))
-        & (F.col("cts") > F.col("pts") - F.expr("INTERVAL 24 HOUR")),
-    )
-    key = F.struct(F.col("cts"), F.col("click_id"))
-    return pairs.groupBy("purchase_id").agg(
-        F.min(key).getField("click_id").cast("long").alias(
-            "first_touch_click"
-        ),
-        F.max(key).getField("click_id").cast("long").alias(
-            "last_touch_click"
-        ),
-        F.count(F.lit(1)).alias("n_candidate_clicks"),
+        F.col("first_k.event_id").cast("long").alias("first_touch_click"),
+        F.col("last_k.event_id").cast("long").alias("last_touch_click"),
+        F.col("n_cand").cast("long").alias("n_candidate_clicks"),
     )
 
 
@@ -1972,36 +1997,34 @@ def star_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def star_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("pu"),
-        F.col("ts").alias("pts"),
-    )
-    c = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("cu"),
-        F.col("ts").alias("cts"),
+    # Round-12 rewrite, same range-frame window as
+    # star_touch_attribution (which documents the boundary/NULL
+    # reasoning): last-touch is max(struct(ts, id)) over the 24h-1us
+    # preceding frame — one shuffle + sort, no (purchase x click)
+    # pair join. A purchase with no candidate click has a NULL last_k
+    # and drops, matching the old inner join.
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+        .filter(
+            F.col("event_type").isin("purchase", "click")
+            & F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+        )
     )
     pairs = (
-        p.join(
-            c,
-            (F.col("pu") == F.col("cu"))
-            & (F.col("cts") <= F.col("pts"))
-            & (F.col("cts") > F.col("pts") - F.expr("INTERVAL 24 HOUR")),
+        ev.withColumn(
+            "last_k", F.expr(f"max({_TOUCH_CLICK_KEY}) {_TOUCH_FRAME}")
         )
-        .groupBy("purchase_id")
-        .agg(
-            F.max(F.struct(F.col("cts"), F.col("click_id")))
-            .getField("cts")
-            .alias("last_ts"),
-            F.first("pts").alias("pts"),
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_k").isNotNull()
         )
     )
     delays = pairs.select(
         (
-            F.unix_micros(F.col("pts").cast("timestamp"))
-            - F.unix_micros(F.col("last_ts").cast("timestamp"))
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("last_k.ts").cast("timestamp"))
         ).alias("delay_us")
     )
     return delays.agg(

@@ -103,6 +103,10 @@ _EVENT_QUERIES = [
     # merges on exactly-equal timestamps
     "mlops_propensity_match",
     "ref_session_funnel",
+    # round-12: the 24h range-frame window rewrites (null users/types
+    # and tie-heavy timestamps are exactly their hazard surface)
+    "star_touch_attribution",
+    "star_conversion_latency",
     # WoE under degenerate classes (all-good / all-bad / empty bins —
     # DuckDB ln(0) aborts where Spark NULLs; NULLIF guards pinned)
     "mlops_woe_binning",

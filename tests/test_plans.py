@@ -733,3 +733,24 @@ def test_q21_exists_is_per_order_array(spark, sf_smoke):
         f"expected 4 scans (lineitem x2, orders, supplier), found "
         f"{n_scans}:\n" + tree
     )
+
+
+@pytest.mark.parametrize(
+    "name", ["star_touch_attribution", "star_conversion_latency"]
+)
+def test_touch_attribution_is_joinless_window(spark, sf_smoke, name):
+    """Round-12 rewrite pin (self-join sweep catch #2): 24h-window
+    attribution is a RANGE-frame window over the user-partitioned
+    event stream — one scan, one shuffle, a single Window node, and
+    NO join: the old (purchase x click) interval self-join enumerated
+    every candidate pair through two shuffles and an SMJ range
+    residual."""
+    import re
+
+    plan = _formatted(spark, name, sf_smoke)
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree, "the interval self-join is back:\n" + tree
+    assert tree.count("Window") == 1, (
+        "expected exactly one Window node (shared frame):\n" + tree
+    )
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
