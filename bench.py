@@ -59,7 +59,23 @@ def main() -> int:
     # timings measure the operator, not interpreter startup
     smoke_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     warm_dir = smoke_dir if os.path.isdir(smoke_dir) else sf_dir
-    for warm in ("datapipe_chunk_udtf", "mlops_score_pandas_udf"):
+    # one representative per PYTHON EVAL TYPE: Spark caches Python
+    # workers per (eval type, config), so the first query of each type
+    # pays a worker-spawn + import tax the others never see. Round 12
+    # traced datapipe_audio_decode's stable 2.4x bench elevation to
+    # exactly this — the old list warmed UDTF + scalar pandas_udf
+    # only, and audio (the registry's FIRST mapInPandas query in
+    # sorted order) absorbed the mapInPandas spawn every run
+    # (reproduced: 0.72s after its bench predecessors, 0.40s repeat).
+    for warm in (
+        "datapipe_chunk_udtf",         # UDTF
+        "mlops_score_pandas_udf",      # scalar pandas_udf
+        "datapipe_audio_decode",       # mapInPandas
+        "datapipe_arrow_native_stats", # mapInArrow
+        "ref_grouped_zscore",          # applyInPandas
+        "ref_grouped_arrow_stats",     # applyInArrow
+        "ref_grouped_agg_udaf",        # grouped-agg pandas UDAF
+    ):
         QUERIES[warm](spark, warm_dir).write.format("noop").mode(
             "overwrite"
         ).save()
