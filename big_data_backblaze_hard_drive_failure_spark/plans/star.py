@@ -1831,11 +1831,19 @@ def star_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 # Cohort retention: group users by first-activity week (the cohort),
 # then count how many are still active N weeks later — the classic
-# product-analytics triangle. Two aggregations: first-touch per user
-# (groupBy min), then (cohort, week_offset) distinct-user counts.
-# Weeks are epoch-day div 7 — exact integers, no date-truncation
-# ambiguity between engines.
-# Scale: both aggs shuffle O(users); the triangle itself is tiny.
+# product-analytics triangle. Weeks are epoch-day div 7 — exact
+# integers, no date-truncation ambiguity between engines.
+#
+# Round-12 rewrite (self-join sweep catch #3): the per-user cohort
+# used to be a groupBy(user).min(week) frame JOINED BACK onto the
+# activity stream — two events scans, a shuffle-hinted O(users) join,
+# three exchanges. A per-key aggregate consumed alongside the rows
+# that produced it is an unbounded-frame WINDOW:
+# min(week) over (partition by user_id) — one events scan, one
+# user-keyed shuffle, no join frame for any planner to mis-size.
+# NULL users filtered up front (the old join's equality dropped them
+# implicitly); NULL weeks ignored by min() identically in both
+# shapes. The retention triangle agg is unchanged.
 # --------------------------------------------------------------------
 @query(
     "star_cohort_retention",
@@ -1859,19 +1867,21 @@ def star_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def star_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    activity = load(spark, sf_dir, "events").select(
-        "user_id",
-        F.expr(
-            "datediff(to_date(ts), DATE '1970-01-01') div 7"
-        ).cast("long").alias("week"),
+    from pyspark.sql import Window
+
+    activity = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("datediff(to_date(ts), DATE '1970-01-01') div 7")
+            .cast("long")
+            .alias("week"),
+        )
+        .filter(F.col("user_id").isNotNull())
     )
-    cohorts = activity.groupBy("user_id").agg(
-        F.min("week").alias("cohort_week")
-    )
+    w = Window.partitionBy("user_id")
     return (
-        # shuffle_hash hint: cohorts is O(users) — never statically
-        # broadcastable at scale
-        activity.join(cohorts.hint("shuffle_hash"), "user_id")
+        activity.withColumn("cohort_week", F.min("week").over(w))
         .withColumn("week_offset", F.col("week") - F.col("cohort_week"))
         .filter(F.col("week_offset") <= 8)
         .groupBy("cohort_week", "week_offset")

@@ -445,23 +445,39 @@ def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-12 rewrite (self-join sweep catch #4): the per-part
+    # sum/count used to be a groupBy over the ENTIRE lineitem table
+    # joined back to the Brand#3-filtered rows — Catalyst cannot push
+    # the part semi-join into the aggregate side, so the old plan
+    # scanned lineitem twice and aggregated ~25x more parts than the
+    # brand filter keeps. Filtering FIRST (broadcast part join keeps
+    # every lineitem OF a surviving part, so per-part aggregates are
+    # unchanged), then computing sum/cnt as WINDOW aggregates over
+    # partition-by-partkey: one lineitem scan, one partkey shuffle,
+    # no aggregate-join-back for a planner to mis-size. Both window
+    # expressions share one select -> a single Window node.
     li = load(spark, sf_dir, "lineitem")
-    pa = (
-        li.groupBy(F.col("l_partkey").alias("pk"))
-        .agg(
-            F.sum(F.col("l_quantity").cast("long")).alias("sq"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
-    )
     part = (
         load(spark, sf_dir, "part")
         .filter(F.col("p_brand") == "Brand#3")
         .select("p_partkey")
     )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey")
     return (
-        li.select("l_partkey", "l_quantity", _cents("l_extendedprice").alias("price_c"))
+        li.select(
+            "l_partkey",
+            "l_quantity",
+            _cents("l_extendedprice").alias("price_c"),
+        )
         .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
-        .join(pa, F.col("l_partkey") == F.col("pk"))
+        .select(
+            "l_quantity",
+            "price_c",
+            F.sum(F.col("l_quantity").cast("long")).over(w).alias("sq"),
+            F.count(F.lit(1)).over(w).alias("cnt"),
+        )
         .filter(
             F.col("l_quantity").cast("long") * 5 * F.col("cnt") < F.col("sq")
         )

@@ -754,3 +754,43 @@ def test_touch_attribution_is_joinless_window(spark, sf_smoke, name):
         "expected exactly one Window node (shared frame):\n" + tree
     )
     assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+
+
+def test_cohort_retention_is_joinless_window(spark, sf_smoke):
+    """Round-12 rewrite pin (self-join sweep catch #3): the per-user
+    cohort week is min(week) over (partition by user_id) — one events
+    scan, no join (the old shape was groupBy(user).min joined back:
+    two scans, a shuffle-hinted O(users) join, three exchanges)."""
+    import re
+
+    tree = _formatted(spark, "star_cohort_retention", sf_smoke).split(
+        "\n\n"
+    )[0]
+    assert "Join" not in tree, "the cohort join-back is back:\n" + tree
+    assert tree.count("Window") == 1, tree
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+
+
+def test_q17_per_part_stats_are_windowed(spark, sf_smoke):
+    """Round-12 rewrite pin (self-join sweep catch #4): q17's per-part
+    sum/cnt are window aggregates over the Brand#3-FILTERED stream —
+    one lineitem scan (the old aggregate-join-back scanned lineitem
+    twice and aggregated every part, 25x more than the brand filter
+    keeps), one broadcast part join, a single shared Window node."""
+    import re
+
+    tree = _formatted(
+        spark, "tpch_q17_small_qty_revenue", sf_smoke
+    ).split("\n\n")[0]
+    assert tree.count("Window") == 1, tree
+    n_scans = len(re.findall(r"Scan parquet", tree))
+    assert n_scans == 2, (
+        f"expected 2 scans (lineitem + part), found {n_scans}:\n" + tree
+    )
+    assert "BroadcastHashJoin" in tree, tree
+    n_shuffle_joins = tree.count("SortMergeJoin") + tree.count(
+        "ShuffledHashJoin"
+    )
+    assert n_shuffle_joins == 0, (
+        "the per-part aggregate join-back is back:\n" + tree
+    )
