@@ -104,9 +104,11 @@ _EVENT_QUERIES = [
     "mlops_propensity_match",
     "ref_session_funnel",
     # round-12: the 24h range-frame window rewrites (null users/types
-    # and tie-heavy timestamps are exactly their hazard surface)
+    # and tie-heavy timestamps are exactly their hazard surface), and
+    # the min-over-user cohort window (null-user partition semantics)
     "star_touch_attribution",
     "star_conversion_latency",
+    "star_cohort_retention",
     # WoE under degenerate classes (all-good / all-bad / empty bins —
     # DuckDB ln(0) aborts where Spark NULLs; NULLIF guards pinned)
     "mlops_woe_binning",
