@@ -49,14 +49,12 @@ def _load_all() -> None:
     from . import io  # noqa: F401
 
 
-# Names that already have a green row in a prior round's driver
-# CORRECTNESS file (r01: 29, r02: first 50 of the then-93 registry,
-# r03/r04: the identical next-50 sample — all green). The driver
-# verifies the registry in iteration order and stops at 50 entries,
-# so queries it has never seen are floated to the FRONT of the
-# registry: whatever its budget, the not-yet-verified surface gets
-# the hard signal first, and across rounds every query accumulates a
-# driver row. Cumulative driver-checked after r04: 100 of 174.
+# Static seed for ``_driver_verified_names()``: the rounds-1–4 green
+# names, kept only because rows-only rows (err="no_oracle") are
+# deliberately not counted by the committed-CORRECTNESS scan below —
+# everything else is self-updating from the committed files, and the
+# union drives ``_reorder_unverified_first`` (never-verified names
+# float to the front of the driver's 50-name sample).
 _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "ref_ingest_profile", "ref_project_cast", "ref_label_lead",
     "ref_label_distribution", "ref_leakage_filter", "ref_rolling_features",

@@ -5,8 +5,14 @@ The reference pipeline is single-table — it has NO joins (SURVEY.md
 style fixtures exercise exactly this surface. All [beyond-reference].
 
 Scale design notes (100 TB):
-  * dimension joins (region/nation/customer/supplier) are explicitly
-    ``broadcast()`` — no shuffle of the fact table;
+  * only FIXED-cardinality dimension joins (nation = 25, region = 5)
+    are explicitly ``broadcast()``; customer/supplier/part SCALE with
+    the data and are deliberately UNHINTED — AQE broadcasts them from
+    runtime stats while they fit, shuffles them when they don't
+    (static hints build eagerly and OOM at scale before AQE can
+    demote: the round-10 q18 ``broadcast(customer)`` failure, and
+    round 13's removal of 14 supplier/part hints — gated by
+    ``tests/test_plan_hygiene.py::_SCALING_TABLE_SIG``);
   * fact-fact joins (lineitem ⋈ orders) are equi-joins on the key
     Catalyst sort-merges; AQE handles skew splitting;
   * revenue aggregates use exact integer cents (see plans.reference)
@@ -700,7 +706,7 @@ def star_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(15, 40)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -877,7 +883,7 @@ def star_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
     promo = F.col("p_type").like("PROMO%")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 F.sum(F.when(promo, F.col("rev_e4")).otherwise(0))
@@ -1061,7 +1067,7 @@ def star_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
         .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
         .filter(pair_ok)
@@ -1211,7 +1217,7 @@ def star_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier")
     return (
         revenue.join(F.broadcast(best), F.col("total_rev_i") == F.col("best_rev_i"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(supp, F.col("s_suppkey") == F.col("supplier_no"))
         .select(
             "s_suppkey",
             "s_name",
@@ -1374,7 +1380,7 @@ def star_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("cn_key") == F.col("c_nationkey"))
         .join(F.broadcast(region), F.col("r_regionkey") == F.col("cn_region"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n2), F.col("sn_key") == F.col("s_nationkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
@@ -3254,7 +3260,7 @@ def star_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     edges_raw = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
             F.col("s_nationkey").alias("src"),

@@ -13,14 +13,18 @@ All [beyond-reference]: the reference pipeline is single-table
 (SURVEY.md §2.3) and has none of these shapes.
 
 Scale design (100 TB):
-  * bounded dimension sides (part / supplier / nation / region —
-    fixed-size in this fixture) are explicitly ``broadcast()``;
-    ``customer`` SCALES with the data, so its joins are deliberately
-    UNHINTED: AQE broadcasts it from runtime stats while it fits and
-    shuffles it when it doesn't (a static broadcast hint would be
-    executed eagerly from Catalyst's size estimate and OOM before
-    AQE could demote it — the round-10 sf1 parity rotation caught
-    exactly that failure in q18);
+  * only FIXED-cardinality dimensions (nation = 25, region = 5 —
+    constant at every SF by the TPC-H data model) are explicitly
+    ``broadcast()``; ``customer``, ``supplier`` and ``part`` all
+    SCALE linearly with the data, so their joins are deliberately
+    UNHINTED: AQE broadcasts them from runtime stats while they fit
+    and shuffles them when they don't (a static broadcast hint is
+    executed eagerly from Catalyst's size estimate and OOMs before
+    AQE can demote it — the round-10 sf1 parity rotation caught
+    exactly that failure in q18's ``broadcast(customer)``; round 13
+    removed the same hint class from 14 supplier/part joins, and
+    ``tests/test_plan_hygiene.py::_SCALING_TABLE_SIG`` now gates all
+    seven scaling tables);
   * fact-fact joins (lineitem ⋈ orders, lineitem self-joins) are
     equi-keyed on ``l_orderkey`` so Catalyst sort-merges and AQE can
     split skewed keys; where Catalyst's column-pruned size estimate
@@ -104,8 +108,8 @@ def tpch_q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     w = Window.partitionBy("p_partkey").orderBy("cost_c", "l_suppkey")
     return (
-        sc.join(F.broadcast(part), sc.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), sc.l_suppkey == supp.s_suppkey)
+        sc.join(part, sc.l_partkey == part.p_partkey)
+        .join(supp, sc.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .withColumn("rn", F.row_number().over(w))
@@ -201,7 +205,7 @@ def tpch_q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFram
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -294,8 +298,8 @@ def tpch_q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     nation = load(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(
@@ -353,7 +357,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vc"
             ),
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("l_partkey")
         .agg(F.sum("vc").alias("value_c"))
@@ -409,10 +413,8 @@ def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        psl.join(
-            F.broadcast(bad), psl.l_suppkey == bad.s_suppkey, "left_anti"
-        )
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        psl.join(bad, psl.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(part, F.col("l_partkey") == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -471,7 +473,7 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_quantity",
             _cents("l_extendedprice").alias("price_c"),
         )
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(part, F.col("l_partkey") == part.p_partkey)
         .select(
             "l_quantity",
             "price_c",
@@ -572,7 +574,7 @@ def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= _ts("1996-01-01"))
             & (F.col("l_shipdate") < _ts("1997-01-01"))
         )
-        .join(F.broadcast(red), F.col("l_partkey") == red.p_partkey)
+        .join(red, F.col("l_partkey") == red.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("moved"))
         .filter(F.col("moved") > 350)
@@ -687,7 +689,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         j.filter((F.size(others) > 0) & ~later)
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -138,7 +138,9 @@ _ROW_NONINCREASING = {
     "ResolvedHint",
     "Deduplicate",
     "Distinct",
-    "Sample",
+    # Sample is handled specially in _is_bounded: only WITHOUT
+    # replacement is it row-non-increasing (with replacement it can
+    # emit more rows than its input).
 }
 
 
@@ -156,6 +158,13 @@ def _is_bounded(jnode) -> bool:
         return True
     if cls == "Join":
         return _is_bounded(jnode.left()) and _is_bounded(jnode.right())
+    if cls == "Sample":
+        # with replacement a Sample can EMIT MORE rows than its input
+        # (each row drawn Poisson(fraction) times), so only the
+        # without-replacement form preserves a bound
+        return (not jnode.withReplacement()) and _is_bounded(
+            jnode.children().apply(0)
+        )
     if cls in _ROW_NONINCREASING and jnode.children().size() == 1:
         return _is_bounded(jnode.children().apply(0))
     return False
@@ -240,6 +249,7 @@ def main() -> int:
     from big_data_backblaze_hard_drive_failure_spark.plans import QUERIES
 
     found: dict[str, list[str]] = {}
+    planerrs = 0
     for name in sorted(QUERIES):
         try:
             df = QUERIES[name](spark, sf)
@@ -249,6 +259,7 @@ def main() -> int:
             entries = selfjoin_entries(df)
         except Exception as ex:  # noqa: BLE001 — audit, not execution
             print(f"{name} PLANERR {str(ex).splitlines()[0][:60]}")
+            planerrs += 1
             continue
         if entries:
             found[name] = entries
@@ -266,8 +277,14 @@ def main() -> int:
             "dimension re-use? add to scripts/selfjoin_allowlist.json "
             "with the reason"
         )
-    print(f"DONE untriaged={len(untriaged)} stale={len(stale)}")
-    return 1 if untriaged else 0
+    print(
+        f"DONE untriaged={len(untriaged)} stale={len(stale)} "
+        f"planerrs={planerrs}"
+    )
+    # a query that failed to PLAN was not audited — fail closed so CI
+    # can't treat a vacuous sweep (e.g. a missing fixture dir making
+    # every query PLANERR) as green
+    return 1 if (untriaged or planerrs) else 0
 
 
 if __name__ == "__main__":

@@ -436,6 +436,13 @@ _SCALING_TABLE_SIG = {
     "events": "event_id#",
     "documents": "doc_id#",
     "embeddings": "vec_id#",
+    # supplier and part scale linearly with SF too (10/100/1k and
+    # 200/2k/20k rows at sf0.001/0.01/0.1 — part at sf0.1 is BIGGER
+    # than the customer table round 10 de-hinted). Omitting them hid
+    # 14 eager-broadcast sites until round 12's review; only nation
+    # (25) and region (5) are fixed-cardinality and may be hinted.
+    "supplier": "s_suppkey#",
+    "part": "p_partkey#",
 }
 _CARDINALITY_BOUNDING_NODES = {"Aggregate", "GlobalLimit", "Deduplicate"}
 
@@ -517,3 +524,45 @@ def test_broadcast_hint_sweep_catches_planted_offender(spark, sf_smoke):
     assert not _broadcast_hint_offenders(
         good._jdf.queryExecution().analyzed()
     ), "sweep flagged a broadcast over an Aggregate"
+
+
+def test_broadcast_hint_sweep_catches_planted_part_supplier(
+    spark, sf_smoke
+):
+    """Meta-test for the round-13 signature-map extension: the sweep
+    must FLAG broadcast(part) and broadcast(filtered supplier) — the
+    exact 14-site class round 12's review found hidden because
+    ``_SCALING_TABLE_SIG`` omitted the two tables (a literal
+    brand/color Filter is constant selectivity over a linear table,
+    NOT a cardinality bound) — and must still PASS a broadcast of a
+    genuinely fixed-cardinality dimension (nation, 25 rows)."""
+    from pyspark.sql import functions as F
+
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import (
+        load,
+    )
+
+    li = load(spark, sf_smoke, "lineitem")
+    part = load(spark, sf_smoke, "part")
+    supp = load(spark, sf_smoke, "supplier").filter(
+        F.col("s_name").contains("x")
+    )
+    nation = load(spark, sf_smoke, "nation")
+    bad_part = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    bad_supp = li.join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    good = li.join(
+        F.broadcast(nation), F.col("l_suppkey") == F.col("n_nationkey")
+    )
+    assert _broadcast_hint_offenders(
+        bad_part._jdf.queryExecution().analyzed()
+    ) == ["part"], "sweep missed a planted broadcast(part)"
+    assert _broadcast_hint_offenders(
+        bad_supp._jdf.queryExecution().analyzed()
+    ) == ["supplier"], "sweep missed a planted broadcast(filtered supplier)"
+    assert not _broadcast_hint_offenders(
+        good._jdf.queryExecution().analyzed()
+    ), "sweep flagged broadcast(nation) — nation is fixed-cardinality"

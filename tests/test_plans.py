@@ -705,10 +705,11 @@ def test_q21_exists_is_per_order_array(spark, sf_smoke):
     predicates over a per-order collect_list (<= 7 structs, TPC-H
     data model) — no left-semi / left-anti self-joins of the fact
     table remain, lineitem is scanned exactly twice (l1 build +
-    per-order roster), the join-back is a shuffle-hinted
-    ShuffledHashJoin (a statically-broadcast corpus-scaling aggregate
-    is the q18/q21/jaccard OOM class), and the l1-orders merge pin
-    still holds."""
+    per-order roster), the join-back is a merge-hinted SortMergeJoin
+    (roster rows drag arrays and SHJ hash builds don't spill — the
+    shuffle_hash variant OOM'd at sf1; a statically-broadcast
+    corpus-scaling aggregate is likewise the q18/q21/jaccard OOM
+    class), and the l1-orders merge pin still holds."""
     import re
 
     plan = _formatted(spark, "tpch_q21_waiting_suppliers", sf_smoke)

@@ -158,6 +158,39 @@ def test_limit_bounded_side_skipped(spark, sf_smoke):
     assert selfjoin_entries(joined) == []
 
 
+def test_sample_with_replacement_not_bounded(spark, sf_smoke):
+    """Round-13 ADVICE fix: Sample WITH replacement can emit MORE
+    rows than its input (each row drawn Poisson(fraction) times), so
+    a limit bounded BELOW a with-replacement sample must still flag —
+    only the without-replacement form preserves the bound."""
+    from pyspark.sql import functions as F
+
+    from big_data_backblaze_hard_drive_failure_spark.sources.catalog import (
+        load,
+    )
+
+    ev = load(spark, sf_smoke, "events").select("event_id", "user_id")
+    top = ev.orderBy("event_id").limit(5)
+    with_repl = top.sample(withReplacement=True, fraction=3.0, seed=7)
+    without_repl = top.sample(withReplacement=False, fraction=0.5, seed=7)
+    j_bad = ev.join(
+        with_repl.select(F.col("user_id").alias("u")),
+        F.col("user_id") == F.col("u"),
+    )
+    j_ok = ev.join(
+        without_repl.select(F.col("user_id").alias("u")),
+        F.col("user_id") == F.col("u"),
+    )
+    assert selfjoin_entries(j_bad), (
+        "with-replacement sample above a limit treated as bounded — "
+        "Poisson draws can exceed the input row count"
+    )
+    assert selfjoin_entries(j_ok) == [], (
+        "without-replacement sample over a bounded side must stay "
+        "bounded (row-non-increasing)"
+    )
+
+
 def test_prefix_pid_join_skipped(spark, sf_smoke):
     """The two-level prefix-sum operator's partition-boundary join is
     config-bounded (operators/prefix.py) and must not flag; queries
