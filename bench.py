@@ -75,6 +75,13 @@ def main() -> int:
         "ref_grouped_zscore",          # applyInPandas
         "ref_grouped_arrow_stats",     # applyInArrow
         "ref_grouped_agg_udaf",        # grouped-agg pandas UDAF
+        # Python DataSource plan/write/read workers: io_avro_roundtrip
+        # is the registry's ONLY DataSource-API query, so it paid the
+        # full spawn + pickle-import tax (~5.6s at sf0.1) every bench
+        # run — the round-13 watch item (scripts/avro_ab_r13.py: first
+        # 6.72s, warm 1.12s ~= the 1.154s committed minimum, siblings
+        # flat). Same class as round 12's mapInPandas discovery.
+        "io_avro_roundtrip",           # Python DataSource (avro_py)
     ):
         QUERIES[warm](spark, warm_dir).write.format("noop").mode(
             "overwrite"

@@ -1022,8 +1022,9 @@ def star_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 # TPC-H Q7 shape (volume shipping): two-nation trade flows by year.
 # The nation dim is joined TWICE (customer side + supplier side), both
-# broadcast; revenue in exact ten-thousandths. The fact table shuffles
-# once for the group-by; everything upstream is broadcast-hash joins.
+# hinted broadcast (fixed 25 rows); supplier is SF-scaling and
+# deliberately unhinted (AQE broadcasts it while it fits — round 13).
+# Revenue in exact ten-thousandths; one fact shuffle for the group-by.
 # --------------------------------------------------------------------
 @query(
     "star_volume_shipping",
@@ -1327,7 +1328,9 @@ def star_sql_function_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # numerator over an unconditional denominator, both as exact integer
 # ten-thousandths; the final share divides the same two int64s in both
 # engines -> bit-identical doubles with no rounding step. Six-table
-# join: every dimension side broadcast, one fact shuffle.
+# join: fixed-cardinality dims (nation x2, region) hinted broadcast,
+# SF-scaling supplier unhinted (AQE-sized — round 13), one fact
+# shuffle.
 # --------------------------------------------------------------------
 @query(
     "star_market_share",

@@ -452,7 +452,7 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # joined back to the Brand#3-filtered rows — Catalyst cannot push
     # the part semi-join into the aggregate side, so the old plan
     # scanned lineitem twice and aggregated ~25x more parts than the
-    # brand filter keeps. Filtering FIRST (broadcast part join keeps
+    # brand filter keeps. Filtering FIRST (the part join keeps
     # every lineitem OF a surviving part, so per-part aggregates are
     # unchanged), then computing sum/cnt as WINDOW aggregates over
     # partition-by-partkey: one lineitem scan, one partkey shuffle,
