@@ -184,6 +184,7 @@ def main() -> int:
     from big_data_backblaze_hard_drive_failure_spark.plans import QUERIES
 
     found: dict[str, list[str]] = {}
+    planerrs = 0
     for name in sorted(QUERIES):
         release_stage_boundaries()
         try:
@@ -195,6 +196,7 @@ def main() -> int:
             )
         except Exception as ex:  # noqa: BLE001 — audit, not execution
             print(f"{name} PLANERR {str(ex).splitlines()[0][:60]}")
+            planerrs += 1
             continue
         entries = broadcast_entries(s)
         if entries:
@@ -210,8 +212,14 @@ def main() -> int:
             "add to scripts/broadcast_allowlist.json with the reason; "
             "scales with data? fix the plan (shuffle_hash/merge hint)"
         )
-    print(f"DONE untriaged={len(untriaged)} stale={len(stale)}")
-    return 1 if untriaged else 0
+    print(
+        f"DONE untriaged={len(untriaged)} stale={len(stale)} "
+        f"planerrs={planerrs}"
+    )
+    # a query that failed to PLAN was not audited — fail closed so CI
+    # can't treat a vacuous sweep (e.g. a missing fixture dir making
+    # every query PLANERR) as green; same rule as selfjoin_audit
+    return 1 if (untriaged or planerrs) else 0
 
 
 if __name__ == "__main__":

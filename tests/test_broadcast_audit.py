@@ -174,3 +174,25 @@ def test_empty_key_groups_never_reported(bad):
         f"+- HashAggregate(keys=[{bad}], functions=[count(1)])",
     ])
     assert broadcast_entries(plan) == []
+
+
+def test_audits_fail_closed_on_planerr(spark, monkeypatch, tmp_path):
+    """Round-13 ADVICE fix, both audits: a query that fails to PLAN
+    was not audited, so the sweep must exit NONZERO — previously a
+    missing fixture dir made every query PLANERR and the audit
+    reported untriaged=0 with zero actual coverage (a vacuous green).
+    Run each main() against an empty dir: every build raises at load,
+    planerrs == registry size, exit code 1."""
+    import broadcast_audit
+    import selfjoin_audit
+
+    bogus = str(tmp_path / "no_such_fixture")
+    os.makedirs(bogus, exist_ok=True)
+    for mod in (broadcast_audit, selfjoin_audit):
+        monkeypatch.setattr(
+            sys, "argv", [os.path.basename(mod.__file__), bogus]
+        )
+        assert mod.main() == 1, (
+            f"{mod.__name__}.main() returned 0 on a fixture dir where "
+            "nothing could plan — the PLANERR fail-closed rule is gone"
+        )
