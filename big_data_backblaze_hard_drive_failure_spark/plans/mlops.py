@@ -2922,14 +2922,22 @@ def mlops_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(NULLIF(CAST(n AS HUGEINT) * n, 0) AS DOUBLE) AS nn
         FROM s
     )
+    -- NO ROUND on any output (round-13 fuzz catch): the inputs are
+    -- exact decimals, so the divisions/products below are the same
+    -- IEEE ops on bit-identical operands in both engines — already
+    -- bit-exact. ROUND(x, 6) itself is what DIVERGED: at var_y
+    -- magnitudes ~3e11 six decimals are BELOW one ULP, and Spark
+    -- (BigDecimal HALF_UP on the exact expansion) vs DuckDB
+    -- (multiply-then-round in double space) legitimately pick
+    -- adjacent representable doubles.
     SELECT n,
-           ROUND(cxy / cxx, 6) AS theta,
-           ROUND(cyy / nn, 6) AS var_y,
-           ROUND((cyy / nn)
-                 - (cxy / cxx) * (cxy / cxx) * (cxx / nn), 6)
+           cxy / cxx AS theta,
+           cyy / nn AS var_y,
+           (cyy / nn)
+                 - (cxy / cxx) * (cxy / cxx) * (cxx / nn)
                AS var_y_adj,
-           ROUND((cxy / cxx) * (cxy / cxx) * (cxx / nn)
-                 / NULLIF(cyy / nn, 0), 6)
+           (cxy / cxx) * (cxy / cxx) * (cxx / nn)
+                 / NULLIF(cyy / nn, 0)
                AS var_reduction_frac
     FROM c
     """,
@@ -2977,13 +2985,20 @@ def mlops_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     theta = cxy / cxx
     var_y = cyy / nn
     var_x = cxx / nn
+    # unrounded on purpose (round-13 fuzz catch, mirrored in the
+    # oracle): the divisions are identical IEEE ops on bit-identical
+    # exact-decimal operands — already bit-exact across engines —
+    # while ROUND(x, 6) at var_y magnitudes ~3e11 asks for sub-ULP
+    # precision and the two engines' rounding algorithms pick
+    # adjacent doubles (found by the 100-example singleton deck;
+    # theorem corpus in the deck's shrunk example)
     return s.select(
         "n",
-        F.round(theta, 6).alias("theta"),
-        F.round(var_y, 6).alias("var_y"),
-        F.round(var_y - theta * theta * var_x, 6).alias("var_y_adj"),
-        F.round(
-            theta * theta * var_x / F.nullif(var_y, F.lit(0.0)), 6
+        theta.alias("theta"),
+        var_y.alias("var_y"),
+        (var_y - theta * theta * var_x).alias("var_y_adj"),
+        (
+            theta * theta * var_x / F.nullif(var_y, F.lit(0.0))
         ).alias("var_reduction_frac"),
     )
 
