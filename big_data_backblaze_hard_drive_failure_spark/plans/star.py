@@ -3019,7 +3019,14 @@ def star_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # libm log10 is not guaranteed bit-identical across JVM and DuckDB.
 # Scale shape: one map-side-combinable 9-group aggregate + a
 # broadcast 1-row total; chi-square contribution per digit in fixed
-# float op order.
+# float op order. chi2_term is UNROUNDED (round-13 rounding-contract
+# extension, same class as the CUPED catch): its numerator is a
+# squared deviation so the term's magnitude grows linearly with SF
+# and can outgrow 6-decimal precision (sub-ULP past ~9e9, reachable
+# at sf >= ~1e4 corpus counts), while the expression itself — BIGINT
+# n/total and a shared 17-digit p literal through identical IEEE op
+# order on both sides — is already bit-exact without rounding.
+# p_obs/p_benford stay rounded: both are bounded ratios <= 1.
 # --------------------------------------------------------------------
 import math as _math
 
@@ -3045,9 +3052,9 @@ _BENFORD_SQL_CASE = "CASE digit " + " ".join(
     SELECT digit, n,
            ROUND(n * 1.0 / total, 6) AS p_obs,
            ROUND({_BENFORD_SQL_CASE}, 6) AS p_benford,
-           ROUND((n - total * ({_BENFORD_SQL_CASE}))
+           (n - total * ({_BENFORD_SQL_CASE}))
                  * (n - total * ({_BENFORD_SQL_CASE}))
-                 / (total * ({_BENFORD_SQL_CASE})), 6) AS chi2_term
+                 / (total * ({_BENFORD_SQL_CASE})) AS chi2_term
     FROM counts, tot
     """,
 )
@@ -3080,9 +3087,7 @@ def star_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("p_obs"),
         F.round(p_ben, 6).alias("p_benford"),
-        F.round(dev * dev / (F.col("total") * p_ben), 6).alias(
-            "chi2_term"
-        ),
+        (dev * dev / (F.col("total") * p_ben)).alias("chi2_term"),
     )
 
 
