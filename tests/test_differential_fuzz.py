@@ -613,3 +613,150 @@ def test_doc_stats_match_oracle_on_singleton_groups(
     )
     for name in _SINGLETON_DOC_QUERIES:
         compare(spark, d, QUERIES[name], ORACLE[name])
+
+
+# ====================================================================
+# CONSTANT-corpus sweep (round 13): the exact complement of the
+# singleton decks — where those build N groups of size 1, these build
+# ONE group of size N with ZERO variance in every non-key column.
+# A regime none of the other decks pin: sample statistics with n > 1
+# but numerator 0 (stddev/MAD/skewness m2 = 0, corr and OLS 0/0 with
+# a nonzero n-1 denominator), quantile interpolation BETWEEN EQUAL
+# NEIGHBORS on many-row groups (the round-10 interpolated-percentile
+# ULP class at scale), Benford/equidepth/WoE collapsing to one bucket
+# of size N, and — most load-bearing — TOTAL ties: every row shares
+# the same timestamp/value, so any window ordering that forgot the
+# (ts, event_id)-style deterministic tie-breaker contract diverges
+# here with high probability instead of never. Primary keys stay
+# unique (the data model guarantees them); everything else is one
+# drawn tuple replicated N times.
+# ====================================================================
+
+
+@given(
+    row=st.tuples(
+        st.integers(min_value=-99999, max_value=99999),  # cents
+        st.sampled_from(
+            ['{"k": 1}', "{}", "not json", "", '{"k": -7}', '{"k": "x"}']
+        ),
+        st.integers(min_value=0, max_value=2),           # time-of-day idx
+    ),
+    n=st.integers(min_value=2, max_value=24),
+)
+@settings(**_SETTINGS)
+def test_event_stats_match_oracle_on_constant_corpus(
+    spark, tmp_path_factory, row, n
+):
+    c, p, t = row
+    d = str(tmp_path_factory.mktemp("fuzz_const_events"))
+    _write(
+        d,
+        "events",
+        {
+            "event_id": list(range(n)),
+            # ONE timestamp for the whole corpus: every window order
+            # is a total tie, resolved only by the event_id
+            # tie-breaker contract
+            "ts": [_TS0 + _TIMES_OF_DAY[t]] * n,
+            "user_id": [0] * n,                    # one user
+            "event_type": ["t0000"] * n,           # one type
+            "value": [c / 100.0] * n,              # zero variance
+            "props": [p] * n,
+        },
+        "events",
+    )
+    for name in _SINGLETON_EVENT_QUERIES:
+        compare(spark, d, QUERIES[name], ORACLE[name])
+
+
+@given(
+    row=st.tuples(
+        st.integers(min_value=1, max_value=99999),       # price mantissa
+        st.integers(0, 4), st.integers(0, 3), st.integers(0, 4),
+    ),
+    n=st.integers(min_value=2, max_value=20),
+)
+@settings(**_SETTINGS)
+def test_star_stats_match_oracle_on_constant_corpus(
+    spark, tmp_path_factory, row, n
+):
+    import shutil
+
+    m, q, pr, dx = row
+    d = str(tmp_path_factory.mktemp("fuzz_const_star"))
+    smoke = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+    for t in ("region", "nation", "supplier", "part"):
+        shutil.copy(os.path.join(smoke, f"{t}.parquet"),
+                    os.path.join(d, f"{t}.parquet"))
+    _write(
+        d, "customer",
+        {
+            "c_custkey": list(range(n)),
+            "c_name": [f"Customer#{k:09d}" for k in range(n)],
+            "c_nationkey": [0] * n,
+            "c_acctbal": [_BALANCES[0]] * n,
+            "c_mktsegment": [_SEGMENTS[0]] * n,
+        },
+        "customer",
+    )
+    _write(
+        d, "orders",
+        {
+            "o_orderkey": list(range(n)),
+            "o_custkey": [0] * n,            # one customer, N orders
+            "o_orderstatus": ["S0000"] * n,  # one status group
+            "o_totalprice": [m / 100.0] * n,  # zero variance; one
+            # Benford digit group and one equidepth value for all N
+            "o_orderdate": [_STAR_DATES[0]] * n,  # one day
+            "o_orderpriority": ["P0000"] * n,
+        },
+        "orders",
+    )
+    _write(
+        d, "lineitem",
+        {
+            "l_orderkey": list(range(n)),    # one line per order
+            "l_partkey": [0] * n,            # one part, N lineitems
+            "l_suppkey": [0] * n,
+            "l_linenumber": [1] * n,
+            "l_quantity": [_QTYS[q]] * n,
+            "l_extendedprice": [_PRICES[pr]] * n,
+            "l_discount": [_DISCOUNTS[dx]] * n,
+            "l_tax": [0.04] * n,
+            "l_returnflag": ["N"] * n,
+            "l_linestatus": ["O"] * n,
+            "l_shipdate": [_STAR_DATES[0] + dt.timedelta(days=30)] * n,
+        },
+        "lineitem",
+    )
+    for name in _SINGLETON_STAR_QUERIES:
+        compare(spark, d, QUERIES[name], ORACLE[name])
+
+
+@given(
+    k=st.integers(min_value=0, max_value=6),   # tokens per doc
+    n=st.integers(min_value=2, max_value=12),
+)
+@settings(**_SETTINGS)
+def test_doc_stats_match_oracle_on_constant_corpus(
+    spark, tmp_path_factory, k, n
+):
+    d = str(tmp_path_factory.mktemp("fuzz_const_docs"))
+    # every doc is the SAME text built from the SAME token: the corpus
+    # vocabulary is one word with frequency N*k (k = 0 keeps the
+    # empty-text '' token path from the round-11 zipf catch in play)
+    text = " ".join(["w"] * k)
+    _write(
+        d,
+        "documents",
+        {
+            "doc_id": list(range(n)),
+            "text": [text] * n,
+            "lang": ["l000"] * n,            # one lang
+            "source": ["s000"] * n,          # one source
+            "n_chars": [len(text)] * n,
+        },
+        "documents",
+    )
+    for name in _SINGLETON_DOC_QUERIES:
+        compare(spark, d, QUERIES[name], ORACLE[name])
