@@ -166,8 +166,16 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature: k salted-md5 'permutations', min
     over the doc's distinct-token set. Explode is per-token but the
     aggregation is map-side-combinable (min), so the shuffle carries
-    one partial row per (doc, partition) — O(docs)."""
-    docs = load(spark, sf_dir, "documents").select(
+    one partial row per (doc, partition) — O(docs).
+
+    ``fan_out_by``: when the whole table fits in one scan split (the
+    bench fixtures — a single unsplittable parquet row group), the
+    tokenize + 4×md5 work here would otherwise run in ONE scan task;
+    the doc_id fan-out parallelizes it across the session width and
+    the groupBy(doc_id) below reuses that partitioning (no extra
+    exchange in the aggregate). No-op at production scale — see
+    sources/catalog._fan_out_small_scan."""
+    docs = load(spark, sf_dir, "documents", fan_out_by=("doc_id",)).select(
         "doc_id", F.explode(unique_tokens("text")).alias("tok")
     )
     aggs = [
@@ -506,7 +514,7 @@ def datapipe_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle; production uses 64 the same way."""
     from ..functions.hashing import simhash16_bit_sums
 
-    tok = load(spark, sf_dir, "documents").select(
+    tok = load(spark, sf_dir, "documents", fan_out_by=("doc_id",)).select(
         "doc_id", F.explode(unique_tokens("text")).alias("tok")
     )
     sums = tok.groupBy("doc_id").agg(
@@ -1347,10 +1355,13 @@ def datapipe_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def datapipe_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.udtfs import ChunkDocuments
-    from ..sources.catalog import register_all
 
     spark.udtf.register("chunk_documents", ChunkDocuments)
-    register_all(spark, sf_dir, tables=["documents"])
+    # fan out the single-split scan so the per-row Python UDTF runs on
+    # every core's worker, not the one scan task (no-op at scale)
+    load(
+        spark, sf_dir, "documents", fan_out_by=("doc_id",)
+    ).createOrReplaceTempView("documents")
     return spark.sql(
         "SELECT c.* FROM documents, "
         "LATERAL chunk_documents(doc_id, text) AS c"
@@ -1425,6 +1436,24 @@ def datapipe_neardup_components(
     labels = edges.groupBy("doc_id").agg(
         F.min("doc_id").alias("label")
     )  # init: own id
+    # Convergence probe (round-13): min-propagation is MONOTONE — a
+    # doc's label can only DECREASE round over round (each doc sits in
+    # every band it contributes to, so the new min-over-bands is <= its
+    # own old label). Hence the label SUM strictly decreases until the
+    # fixpoint and is stationary exactly there, so "sum unchanged" ==
+    # "no label changed". The old probe was a full O(docs) shuffle
+    # JOIN of old vs new labels per round (plus a count job over it);
+    # this is one map-side aggregate over the freshly-checkpointed
+    # frame — no join, no shuffle beyond the 1-row combine (guide
+    # §2.4). decimal(38,0) keeps the sum exact far beyond any real
+    # corpus (1e10 docs x 1e10 max id = 1e20 << 1e38); doubles would
+    # lose the strictness that makes the probe sound. The returned
+    # fixpoint is unchanged vs the join probe (the only round-count
+    # difference is one extra no-op round when the graph converges at
+    # round 1, since the initial sum isn't probed — and extra rounds
+    # after convergence are no-ops by monotonicity, matching the
+    # oracle's fixed unroll).
+    prev_sum = None
     for _ in range(max_iter):
         band_min = (
             edges.join(labels, "doc_id")
@@ -1437,15 +1466,13 @@ def datapipe_neardup_components(
             .agg(F.min("band_label").alias("label"))
         )
         new_labels = lineage_cut(new_labels)
-        changed = (
-            labels.join(new_labels.withColumnRenamed("label", "nl"), "doc_id")
-            .filter(F.col("label") != F.col("nl"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("doc_id", F.col("label").alias("component_id"))
 
 
@@ -2186,7 +2213,7 @@ def datapipe_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def datapipe_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
-        load(spark, sf_dir, "documents")
+        load(spark, sf_dir, "documents", fan_out_by=("doc_id",))
         .filter(F.size(F.split("text", " ")) >= 3)
         .select(
             "doc_id", F.explode(ngram_shingles("text", 3)).alias("shingle")
@@ -2882,8 +2909,16 @@ _LEAK_SIG_SQL = """
     """,
 )
 def datapipe_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = (
-        load(spark, sf_dir, "documents")
+    from ..operators.staging import stage_boundary
+
+    # sig (one row per doc with >= 1 five-gram shingle) feeds the
+    # banded train side, the banded eval side AND the n_eval count —
+    # unstaged, the 5-gram shingle explode + MinHash ran twice and a
+    # third documents scan computed n_eval (round-13 scan sweep:
+    # documents x3 in this plan). Staged, the corpus is tokenized
+    # ONCE (guide §2.4).
+    sig = stage_boundary(
+        load(spark, sf_dir, "documents", fan_out_by=("doc_id",))
         .select(
             "doc_id",
             F.explode(
@@ -2896,7 +2931,8 @@ def datapipe_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min(minhash_expr("shingle", salt)).alias(f"mh{i}")
                 for i, salt in enumerate(DEFAULT_SALTS)
             ]
-        )
+        ),
+        materialize=False,
     )
     banded = _bands(sig).withColumn(
         "is_eval", F.col("doc_id") % 5 == 0
@@ -2915,15 +2951,16 @@ def datapipe_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .agg(F.count(F.lit(1)).alias("n_leaked"))
     )
-    # n_eval = eval docs that HAVE a signature (>= 5 tokens) — counted
-    # straight off the documents scan, NOT by re-running the shingle
-    # MinHash lineage a second time (sig feeds two branches already)
+    # n_eval = eval docs that HAVE a signature. sig holds exactly one
+    # row per doc with >= 1 five-gram shingle, and ngram_shingles
+    # yields a shingle iff size(split(text, ' ')) >= 5 (NULL text
+    # splits to NULL -> explode drops the doc; < 5 tokens yields the
+    # guarded empty array) — so counting staged sig rows is EXACTLY
+    # the oracle's `doc_id % 5 = 0 AND len(string_split(text,' ')) >= 5`
+    # count, without the third full documents scan the old plan paid
+    # (at 100 TB: one corpus pass total for this audit, was three).
     n_eval = (
-        load(spark, sf_dir, "documents")
-        .filter(
-            (F.col("doc_id") % 5 == 0)
-            & (F.size(F.split("text", " ")) >= 5)
-        )
+        sig.filter(F.col("doc_id") % 5 == 0)
         .agg(F.count(F.lit(1)).alias("n_eval"))
     )
     return n_eval.crossJoin(F.broadcast(leaked))
@@ -3456,7 +3493,7 @@ def datapipe_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.staging import stage_boundary
 
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load(spark, sf_dir, "documents", fan_out_by=("doc_id",)).select(
         "doc_id", tokens("text").alias("toks")
     )
     # dl (two longs per doc) and tf (docs x |Q| query terms) are the
@@ -3626,7 +3663,17 @@ def datapipe_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def datapipe_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bands = _bands(_signatures(spark, sf_dir))
+    from ..operators.staging import stage_boundary
+
+    # the banded-signature frame feeds BOTH join sides (new batch +
+    # old corpus). Catalyst does not materialize common subplans, so
+    # unstaged the tokenize + 4×md5 MinHash pipeline ran TWICE — the
+    # round-13 scan sweep counted documents 4× in this one plan (2×
+    # bands + 2× token arrays below). Staged, each is computed once:
+    # at 100 TB that is two corpus passes instead of four (guide §2.4).
+    bands = stage_boundary(
+        _bands(_signatures(spark, sf_dir)), materialize=False
+    )
     is_new = F.col("doc_id") % 10 == 0
     nb = bands.filter(is_new).withColumnRenamed("doc_id", "new_id")
     ob = bands.filter(~is_new).withColumnRenamed("doc_id", "old_id")
@@ -3644,8 +3691,11 @@ def datapipe_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("old_id").cast("long").alias("n_old_partners"),
         )
     )
-    toks = load(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(tokens("text")).alias("ts")
+    toks = stage_boundary(
+        load(spark, sf_dir, "documents", fan_out_by=("doc_id",)).select(
+            "doc_id", F.array_distinct(tokens("text")).alias("ts")
+        ),
+        materialize=False,
     )
     a = toks.withColumnRenamed("ts", "ts_a")
     b = toks.select(
@@ -3850,8 +3900,18 @@ _POS_SQL = ", ".join(
     """,
 )
 def datapipe_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(_FP_EXPR).alias("fp")
+    from ..operators.staging import stage_boundary
+
+    # the fingerprint frame feeds THREE branches (bloom build, probe,
+    # true-dup lookup) — unstaged, the per-token aggregate-hash ran
+    # three times (round-13 scan sweep: documents x3). Staged, one
+    # corpus pass computes every fingerprint (guide §2.4); the frame
+    # is two longs per doc.
+    docs = stage_boundary(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(_FP_EXPR).alias("fp")
+        ),
+        materialize=False,
     )
     is_batch = F.col("doc_id") % 10 == 0
     corpus = docs.filter(~is_batch)
@@ -4926,10 +4986,15 @@ def datapipe_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def datapipe_ngram_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.udtfs import NGramWindows
-    from ..sources.catalog import register_all
 
     spark.udtf.register("ngram_windows", NGramWindows)
-    register_all(spark, sf_dir, tables=["documents"])
+    # fan out the single-split scan across the session width so the
+    # per-row Python UDTF runs on every core's worker instead of the
+    # one scan task (no-op at production scale — catalog fan-out
+    # guard); the doc_id < 100 filter still pushes below the exchange
+    load(
+        spark, sf_dir, "documents", fan_out_by=("doc_id",)
+    ).createOrReplaceTempView("documents")
     return spark.sql(
         "SELECT g.* FROM documents, "
         "LATERAL ngram_windows(documents.doc_id, text, 3) AS g "
@@ -5078,11 +5143,17 @@ def datapipe_weighted_median_len(
 ) -> DataFrame:
     from ..operators.prefix import global_prefix_sum
 
-    w = (
+    from ..operators.staging import stage_boundary
+
+    # w feeds the grand total and the prefix pass (data branch +
+    # boundary aggregate) — unstaged, documents scanned three times
+    # (round-13 scan sweep). Staged (O(distinct lengths) rows), one.
+    w = stage_boundary(
         load(spark, sf_dir, "documents")
         .filter(F.col("n_chars").isNotNull())  # see oracle comment
         .groupBy(F.col("n_chars").alias("len_chars"))
-        .agg(F.sum(1 + F.col("doc_id") % 5).alias("wt"))
+        .agg(F.sum(1 + F.col("doc_id") % 5).alias("wt")),
+        materialize=False,
     )
     total = w.agg(F.sum("wt").alias("total"))
     c = global_prefix_sum(w, ["len_chars"], "wt", "cum").crossJoin(

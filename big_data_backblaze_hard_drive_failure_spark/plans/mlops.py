@@ -193,7 +193,14 @@ def mlops_threshold_at_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mlops_alert_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = scored_frame(spark, sf_dir, via="column")
+    from ..operators.staging import stage_boundary
+
+    # scored feeds the threshold selection and the confusion regroup —
+    # unstaged, the events scan + scoring ran twice (round-13 scan
+    # sweep: events x2). Staged, one pass.
+    scored = stage_boundary(
+        scored_frame(spark, sf_dir, via="column"), materialize=False
+    )
     thr = (
         threshold_at_recall(
             scored, "failure_probability", "is_error", RECALL_TARGET
@@ -248,8 +255,16 @@ def mlops_alert_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mlops_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix import global_prefix_sums
+    from ..operators.staging import stage_boundary
 
-    scored = scored_frame(spark, sf_dir, via="column")
+    # the scored frame feeds three consumers (total-pos aggregate,
+    # the prefix-sum data branch, and the prefix operator's boundary
+    # percentile aggregate) — unstaged, the events scan + feature +
+    # scoring pipeline ran three times (round-13 scan sweep: events
+    # x3 in this plan). Staged: one pass (guide §2.4).
+    scored = stage_boundary(
+        scored_frame(spark, sf_dir, via="column"), materialize=False
+    )
     total_pos = scored.agg(
         F.sum("is_error").cast("long").alias("total_pos")
     )
@@ -1564,13 +1579,19 @@ def mlops_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mlops_conformal_interval(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    base = load(spark, sf_dir, "events").select(
-        "event_type",
-        "event_id",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-    )
     from ..operators.staging import stage_boundary
 
+    # base feeds the calibration mean, the calibration quantile AND
+    # the eval half — unstaged, events scanned three times (round-13
+    # scan sweep). Staged (three narrow columns), one pass.
+    base = stage_boundary(
+        load(spark, sf_dir, "events").select(
+            "event_type",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ),
+        materialize=False,
+    )
     cal = base.filter(F.col("event_id") % 2 == 0)
     # O(event_types) boundary: the per-type calibration means feed
     # the quantile pass and the eval join — staged, the calibration
@@ -1680,13 +1701,24 @@ def mlops_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.staging import stage_boundary
 
     ev = load(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.min("ts").alias("first_ts"),
-        F.min(
-            F.when(F.col("event_type") == "error", F.col("ts"))
-        ).alias("err_ts"),
+    # ONE corpus pass (was two): the per-user reduce also carries
+    # max(ts), so the censoring horizon is max-over-user-maxes off
+    # the STAGED per-user frame — identically the global MAX(ts)
+    # (max distributes over the user partition; the NULL-user group
+    # participates like any other, and max ignores NULL ts on both
+    # paths) — instead of the old separate `ev.agg(max(ts))` full
+    # events scan (round-13 scan sweep: events x2 in this plan).
+    per_user = stage_boundary(
+        ev.groupBy("user_id").agg(
+            F.min("ts").alias("first_ts"),
+            F.min(
+                F.when(F.col("event_type") == "error", F.col("ts"))
+            ).alias("err_ts"),
+            F.max("ts").alias("_user_max_ts"),
+        ),
+        materialize=False,
     )
-    horizon = ev.agg(F.max("ts").alias("end_ts"))
+    horizon = per_user.agg(F.max("_user_max_ts").alias("end_ts"))
     dur = per_user.crossJoin(F.broadcast(horizon)).select(
         F.when(
             F.col("err_ts").isNotNull(),
@@ -2147,13 +2179,21 @@ def mlops_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.staging import stage_boundary
 
     ev = load(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.min("ts").alias("first_ts"),
-        F.min(
-            F.when(F.col("event_type") == "error", F.col("ts"))
-        ).alias("err_ts"),
+    # same one-corpus-pass restructure as mlops_kaplan_meier: the
+    # censoring horizon is max-over-user-maxes off the staged
+    # per-user frame (= global MAX(ts) exactly), not a second full
+    # events scan (round-13 scan sweep: events x2 in this plan).
+    per_user = stage_boundary(
+        ev.groupBy("user_id").agg(
+            F.min("ts").alias("first_ts"),
+            F.min(
+                F.when(F.col("event_type") == "error", F.col("ts"))
+            ).alias("err_ts"),
+            F.max("ts").alias("_user_max_ts"),
+        ),
+        materialize=False,
     )
-    horizon = ev.agg(F.max("ts").alias("end_ts"))
+    horizon = per_user.agg(F.max("_user_max_ts").alias("end_ts"))
     dur = per_user.crossJoin(F.broadcast(horizon)).select(
         (F.col("user_id") % 2).alias("grp"),
         F.when(

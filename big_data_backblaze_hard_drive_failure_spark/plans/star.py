@@ -1210,9 +1210,17 @@ def star_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc_c = F.round(F.col("l_discount") * 100).cast("long")
-    revenue = (
-        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(price_c * (F.lit(100) - disc_c)).alias("total_rev_i"))
+    from ..operators.staging import stage_boundary
+
+    # revenue feeds both the global-max side and the join-back side —
+    # unstaged, the filtered lineitem scan + aggregate ran twice
+    # (round-13 scan sweep: lineitem x2). Staged (O(suppliers) rows),
+    # one pass.
+    revenue = stage_boundary(
+        li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            F.sum(price_c * (F.lit(100) - disc_c)).alias("total_rev_i")
+        ),
+        materialize=False,
     )
     best = revenue.agg(F.max("total_rev_i").alias("best_rev_i"))
     supp = load(spark, sf_dir, "supplier")
@@ -1256,7 +1264,17 @@ def star_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def star_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load(spark, sf_dir, "customer")
+    from ..operators.staging import stage_boundary
+
+    # cust feeds the global positive-balance stats AND the threshold
+    # filter — unstaged, the customer scan ran twice (round-13 scan
+    # sweep). Staged (three pruned columns), one pass.
+    cust = stage_boundary(
+        load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        ),
+        materialize=False,
+    )
     orders = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("date")
     )
@@ -1479,8 +1497,20 @@ def star_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def star_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.merge import merge_upsert
+    from ..operators.staging import stage_boundary
 
-    orders = load(spark, sf_dir, "orders")
+    # base + the three synthesized change streams all derive from the
+    # same three orders columns — unstaged, the plan scanned orders
+    # FOUR times (round-13 scan sweep), once per stream. Staged, one
+    # pruned scan feeds all four (guide §2.4). In a real CDC deployment
+    # base and changes are different tables; the rescans were an
+    # artifact of synthesizing changes from the same fixture.
+    orders = stage_boundary(
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ),
+        materialize=False,
+    )
     base = orders.select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderstatus").alias("st"),
@@ -1690,12 +1720,29 @@ def star_pandas_api_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def star_densify_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.staging import stage_boundary
+
     ev = load(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    # Round-13: ONE events pass (was three — round-13 scan sweep).
+    # Both spine inputs distribute over the per-(type, day) aggregate:
+    # min/max(to_date(ts)) == min/max over the group keys (min/max
+    # ignore NULL days on both paths), and the distinct event_type set
+    # == the aggregate's key set (every event lands in some group,
+    # NULL types included). The staged daily frame is O(types x days).
+    daily = stage_boundary(
+        ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "cents"
+            ),
+        ),
+        materialize=False,
+    )
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
     )
     spine = (
-        ev.select("event_type")
+        daily.select("event_type")
         .distinct()
         .crossJoin(F.broadcast(bounds))
         .select(
@@ -1704,12 +1751,6 @@ def star_densify_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
             ).alias("day"),
         )
-    )
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
     )
     w = (
         Window.partitionBy("event_type")
@@ -1801,27 +1842,44 @@ def star_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def star_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
+    from ..operators.staging import stage_boundary
+
     li = load(spark, sf_dir, "lineitem").select("l_orderkey")
-    base = orders.agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        (F.count(F.lit(1)) - F.count("o_custkey")).alias("null_custkey"),
-        # count-if, not sum(when): SUM over an EMPTY orders table is
-        # NULL in Spark while the oracle's COUNT(*) WHERE is 0 — found
-        # by the round-10 star-corpus fuzz's empty-corpus example
-        F.count(
-            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
-        ).alias("bad_status"),
+    # Round-13: ONE orders pass (was three — round-13 scan sweep).
+    # Every audit statistic distributes over a per-orderkey aggregate:
+    # n_orders = Σc, null_custkey = Σc - Σcount(o_custkey),
+    # bad_status = Σ per-key count-ifs, dup keys filter c > 1, and the
+    # orphan anti-join matches the DISTINCT key set (dedup never
+    # changes an anti-join). The per-key frame is staged (O(orderkeys))
+    # and feeds all three branches. COALESCE(...,0) keeps the
+    # empty-corpus semantics the round-10 fuzz pinned: SUM over an
+    # empty frame is NULL where the old COUNT forms gave 0.
+    per_key = stage_boundary(
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.count("o_custkey").alias("nck"),
+            F.count(
+                F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+            ).alias("bad"),
+        ),
+        materialize=False,
+    )
+    base = per_key.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.sum("c") - F.sum("nck"), F.lit(0)).alias(
+            "null_custkey"
+        ),
+        F.coalesce(F.sum("bad"), F.lit(0)).alias("bad_status"),
     )
     dups = (
-        orders.groupBy("o_orderkey")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > 1)
+        per_key.filter(F.col("c") > 1)
         .agg(F.count(F.lit(1)).alias("dup_orderkeys"))
     )
     orphans = (
         li.join(
-            orders.select("o_orderkey"),
+            per_key.select("o_orderkey"),
             li.l_orderkey == F.col("o_orderkey"),
             "left_anti",
         )
@@ -3206,9 +3264,11 @@ def star_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (no dangling-mass redistribution), implemented IDENTICALLY in the
 # oracle as 10 chained CTE iterations, so the hash pins every round's
 # arithmetic. Scale: the per-iteration state is O(|nodes|), edges are
-# broadcast, and lineage is cut every 4 rounds (same discipline as
-# datapipe_neardup_components) so the plan doesn't grow with the
-# iteration count; the fact-table edge build is the only big shuffle.
+# broadcast ONCE (the fixed 10-round loop unrolls into one bounded
+# plan whose joins all reuse a single BroadcastExchange — r13; only
+# data-dependent iteration like datapipe_neardup_components needs
+# per-round lineage cuts); the fact-table edge build — materialized
+# once via localCheckpoint — is the only big shuffle.
 # [beyond-reference] graph analytics.
 # --------------------------------------------------------------------
 _PR_ITERS = 10
@@ -3298,7 +3358,16 @@ def star_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1.0) / F.lit(25)).alias("rank"),
     )
     damp = float(_PR_DAMP)
-    for t in range(_PR_ITERS):
+    # Round-13: NO mid-loop lineage cuts. The iteration count is a
+    # FIXED constant (10), so the unrolled plan is bounded — ~3 tiny
+    # operators per round over <= 650-row state — and cutting every 4
+    # rounds cost two extra eager materialization jobs AND broke
+    # exchange reuse across the cut: each segment re-broadcast the
+    # same checkpointed edge frame. In one plan, all 10 joins hit ONE
+    # BroadcastExchange via ReusedExchange (guide §2.4); lineage cuts
+    # remain the right tool only for UNBOUNDED/data-dependent
+    # iteration (datapipe_neardup_components).
+    for _ in range(_PR_ITERS):
         ranks = (
             ranks.join(F.broadcast(edges), F.col("src") == F.col("node"))
             .groupBy(F.col("dst").alias("node2"))
@@ -3310,8 +3379,6 @@ def star_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("node2").alias("node"), "rank")
         )
-        if t % 4 == 3:  # keep the plan O(1) deep across iterations
-            ranks = lineage_cut(ranks)
     out = ranks.join(
         F.broadcast(nation),
         F.col("node") == F.col("n_nationkey"),
@@ -3360,20 +3427,27 @@ def star_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def star_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
-    max_day = orders.agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("corpus_max")
-    )
-    rfm = (
-        orders.groupBy("o_custkey")
+    from ..operators.staging import stage_boundary
+
+    # ONE orders pass (was two — round-13 scan sweep): the corpus-max
+    # order date is max-over-customer-maxes off the staged per-customer
+    # frame — identically MAX(o_orderdate) (max distributes over the
+    # customer partition; NULL keys/dates behave the same both ways).
+    per_cust = stage_boundary(
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
         .agg(
             F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
             F.count(F.lit(1)).alias("frequency"),
             F.sum(
                 F.round(F.col("o_totalprice") * 100).cast("long")
             ).alias("monetary_cents"),
-        )
-        .crossJoin(F.broadcast(max_day))
+        ),
+        materialize=False,
+    )
+    max_day = per_cust.agg(F.max("last_day").alias("corpus_max"))
+    rfm = (
+        per_cust.crossJoin(F.broadcast(max_day))
         .select(
             "o_custkey",
             F.datediff(F.col("corpus_max"), F.col("last_day")).alias(
@@ -3590,20 +3664,27 @@ def star_equidepth_histogram(
 def star_rfm_segments_scalable(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
-    max_day = orders.agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("corpus_max")
-    )
-    rfm = (
-        orders.groupBy("o_custkey")
+    from ..operators.staging import stage_boundary
+
+    # ONE orders pass (was two — round-13 scan sweep, same derivation
+    # as star_rfm_segments): corpus-max = max over the staged
+    # per-customer maxes; the quantile-edge aggregate and the scoring
+    # join both read the staged frame.
+    per_cust = stage_boundary(
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
         .agg(
             F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
             F.count(F.lit(1)).alias("frequency"),
             F.sum(
                 F.round(F.col("o_totalprice") * 100).cast("long")
             ).alias("monetary_cents"),
-        )
-        .crossJoin(F.broadcast(max_day))
+        ),
+        materialize=False,
+    )
+    max_day = per_cust.agg(F.max("last_day").alias("corpus_max"))
+    rfm = (
+        per_cust.crossJoin(F.broadcast(max_day))
         .select(
             (-F.datediff(F.col("corpus_max"), F.col("last_day"))).alias(
                 "neg_recency"
@@ -3612,12 +3693,6 @@ def star_rfm_segments_scalable(
             "monetary_cents",
         )
     )
-    # O(customers) boundary: the RFM frame feeds the quantile-edge
-    # aggregate and the scoring join — staged, orders scans once for
-    # both instead of per consumer
-    from ..operators.staging import stage_boundary
-
-    rfm = stage_boundary(rfm, materialize=False)
     qs = "array(0.2, 0.4, 0.6, 0.8)"
     edges = rfm.agg(
         F.expr(f"percentile(neg_recency, {qs})").alias("re"),

@@ -348,7 +348,13 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation").filter(
         F.col("n_nationkey") % 3 == 0
     )
-    val = (
+    from ..operators.staging import stage_boundary
+
+    # val feeds both the grand total and the share filter — unstaged,
+    # the lineitem⋈supplier⋈nation pipeline ran twice (round-13 scan
+    # sweep: lineitem/supplier/nation each x2). Staged (O(parts)
+    # rows), one pass.
+    val = stage_boundary(
         load(spark, sf_dir, "lineitem")
         .select(
             "l_partkey",
@@ -360,7 +366,8 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("l_partkey")
-        .agg(F.sum("vc").alias("value_c"))
+        .agg(F.sum("vc").alias("value_c")),
+        materialize=False,
     )
     tot = val.agg(F.sum("value_c").alias("total_c"))
     return (

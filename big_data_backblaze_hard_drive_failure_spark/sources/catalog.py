@@ -121,7 +121,67 @@ def schema_for(name: str) -> T.StructType:
     return TABLES[name]
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _fan_out_small_scan(
+    spark: SparkSession, df: DataFrame, path: str, keys: tuple[str, ...]
+) -> DataFrame:
+    """Raise map-side parallelism for a scan whose WHOLE input fits in
+    one split, by hash-repartitioning on the table's primary key.
+
+    Why (optimization guide §2.5 input skew / §6 split sizing): Spark
+    sizes scan tasks by ``spark.sql.files.maxPartitionBytes``; a table
+    smaller than one split — and parquet written as a single row
+    group, which byte-range splits cannot subdivide — scans as ONE
+    task, so every expression evaluated before the first exchange
+    (tokenize / shingle / md5 MinHash / explode) runs on one core
+    while the rest of the machine idles. Round-13 measured the
+    MinHash-signature pipeline spending ~90% of its wall clock in that
+    single scan task at sf0.1 on local[32].
+
+    The guard makes this scale-adaptive, not a local-mode constant:
+    it fires ONLY when the table's on-disk bytes fit inside a single
+    scan split (the exact condition under which Spark cannot
+    parallelize the scan itself). At production scale the input is
+    thousands of splits, the branch is dead, and the plan is
+    byte-identical to before — no extra exchange ever ships corpus
+    text. Partitioning on the PRIMARY KEY (not round-robin) keeps the
+    exchange deterministic and lets any downstream groupBy on the same
+    key reuse the partitioning instead of adding its own exchange
+    (guide §2.4); the partition count is the session shuffle width
+    pinned explicitly so AQE cannot coalesce the fan-out back to one
+    task (coalescing by size is what a ~5 MB input would get).
+    """
+    # escape hatch + A/B instrument: the committed evidence for this
+    # operator (OPTIMIZATION_r13.md) interleaves on/off in ONE session
+    # because wall-clock on this host drifts minute-to-minute under
+    # co-tenancy; production can also disable it without a code change
+    if os.environ.get("SPARK_GRAFT_NO_FANOUT"):
+        return df
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return df
+    max_split = int(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    if size >= max_split or width <= 1:
+        return df
+    return df.repartition(width, *[F.col(k) for k in keys])
+
+
+def load(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    fan_out_by: tuple[str, ...] | None = None,
+) -> DataFrame:
     """Lazy parquet scan of one fixture table.
 
     ``events.ts`` is physically INT64 TIMESTAMP(NANOS) which Spark's
@@ -142,12 +202,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # on every load() call in someone else's SparkSession)
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts",
             F.expr("convert_timezone('UTC', timestamp_micros(ts div 1000))"),
         )
+    if fan_out_by:
+        df = _fan_out_small_scan(spark, df, path, fan_out_by)
     return df
 
 

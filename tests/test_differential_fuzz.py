@@ -92,6 +92,12 @@ _DOC_QUERIES = [
     "datapipe_weighted_sample_stratified",
     # slice clamping + chunk-count arithmetic on boundary-length docs
     "datapipe_doc_chunking",
+    # round-13 n_eval rewrite: the eval-doc count now comes from the
+    # staged signature frame (one row per doc with >= 1 five-gram
+    # shingle) instead of a third documents scan — the equivalence
+    # hinges on EXACTLY the "has a 5-gram" boundary this deck's short/
+    # empty/NULL/space-run texts stress
+    "datapipe_split_leakage_audit",
 ]
 _EVENT_QUERIES = [
     "ref_label_lead",

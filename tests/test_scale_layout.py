@@ -512,3 +512,52 @@ def test_snapshot_writer_never_clobbers_committed_data(
         raise AssertionError("must refuse a manifest-less table")
     except RuntimeError:
         pass
+
+
+def test_fan_out_small_scan_fires_only_under_one_split(spark, sf_smoke):
+    """Round-13 single-split fan-out (sources/catalog._fan_out_small_scan):
+
+    (a) on a table smaller than one scan split it hash-repartitions on
+        the given key to the session shuffle width — the CPU-heavy map
+        work after the scan (tokenize/md5) runs on every core instead
+        of the one task an unsplittable single-row-group parquet file
+        yields — and the row set is EXACTLY the plain load's;
+    (b) when the table does NOT fit in one split (simulated by
+        shrinking maxPartitionBytes below the file size) it is a
+        no-op: no exchange is added, the plan is the plain scan —
+        the production-scale behavior;
+    (c) the SPARK_GRAFT_NO_FANOUT escape hatch disables it.
+    """
+    import os
+
+    plain = load(spark, sf_smoke, "documents")
+    fanned = load(spark, sf_smoke, "documents", fan_out_by=("doc_id",))
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # (a) exchange on doc_id at the session width, same rows
+    p = _plan(fanned)
+    assert "Exchange hashpartitioning(doc_id" in p, p
+    assert f", {width})" in p.split("Exchange hashpartitioning(doc_id", 1)[1][:40], p
+    assert sorted(r.doc_id for r in fanned.select("doc_id").collect()) == sorted(
+        r.doc_id for r in plain.select("doc_id").collect()
+    )
+    # downstream groupBy on the fan-out key reuses the partitioning:
+    # exactly ONE exchange in scan -> fan-out -> groupBy(doc_id)
+    agged = fanned.groupBy("doc_id").count()
+    assert _plan(agged).count("Exchange") == 1, _plan(agged)
+
+    # (b) bigger-than-one-split input: no-op (no exchange)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        noop = load(spark, sf_smoke, "documents", fan_out_by=("doc_id",))
+        assert "Exchange" not in _plan(noop), _plan(noop)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    # (c) escape hatch
+    os.environ["SPARK_GRAFT_NO_FANOUT"] = "1"
+    try:
+        off = load(spark, sf_smoke, "documents", fan_out_by=("doc_id",))
+        assert "Exchange" not in _plan(off), _plan(off)
+    finally:
+        os.environ.pop("SPARK_GRAFT_NO_FANOUT", None)
