@@ -118,9 +118,17 @@ def main() -> int:
             prev = {}
 
     def run_once(name: str) -> float:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        # label jobs per query (guide §1.5) so UI/eventlog stages are
+        # attributable; timing methodology unchanged
+        spark.sparkContext.setJobDescription(f"bench:{name}")
+        try:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return time.perf_counter() - t0
+        finally:
+            spark.sparkContext.setJobDescription(None)
 
     bench_t0 = time.perf_counter()
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900"))

@@ -1879,7 +1879,13 @@ def star_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orphans = (
         li.join(
-            per_key.select("o_orderkey"),
+            # shuffle_hash hint: the per-orderkey aggregate SCALES with
+            # orders, but its post-aggregate size estimate is small
+            # enough that the static planner broadcast it at sf1 (the
+            # round-13 broadcast audit caught exactly this on the
+            # per_key restructure — the eager-build OOM class). A
+            # hinted shuffle stays AQE-upgradable from runtime stats.
+            per_key.select("o_orderkey").hint("shuffle_hash"),
             li.l_orderkey == F.col("o_orderkey"),
             "left_anti",
         )
