@@ -17,6 +17,12 @@ tail), so the stdout line is capped: ``queries`` carries a fixed
 headline subset and the full per-query map is written to
 ``BENCH_LOCAL_LAST.json`` next to this script.
 
+Cache independence (round 14): before each timed run the harness
+releases every live ``stage_boundary`` frame and clears the SQL cache,
+so no query's timed region can read another query's warm staged
+subtree (Spark's CacheManager substitutes semantically-equal plans).
+Additions-only change; timer placement and methodology are unchanged.
+
 Noise robustness: timings on this host swing up to ~2.7x run-to-run
 under co-tenancy (identical code, see BENCH_LOCAL_BASELINE.json
 notes), so after the first full pass the queries that look inflated
@@ -117,10 +123,26 @@ def main() -> int:
             )
             prev = {}
 
+    from big_data_backblaze_hard_drive_failure_spark.operators.staging import (
+        release_stage_boundaries,
+    )
+
     def run_once(name: str) -> float:
         # label jobs per query (guide §1.5) so UI/eventlog stages are
         # attributable; timing methodology unchanged
         spark.sparkContext.setJobDescription(f"bench:{name}")
+        # Round-14 (disclosed, additions-only): drop every live staged
+        # frame AND the SQL cache before the timer starts. Spark's
+        # CacheManager substitutes any semantically-matching subtree,
+        # so without this a query that stages a shared frame (e.g. the
+        # scored_frame consumers in plans/mlops.py) leaves a warm cache
+        # that later queries' timed regions silently read — per-query
+        # times were not independent measurements (round-13 verdict
+        # item #2). The A/B harnesses already measured cache-clean;
+        # bench.py now matches them. Timer placement, noop sink, query
+        # set and the warm list are unchanged.
+        release_stage_boundaries()
+        spark.catalog.clearCache()
         try:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(

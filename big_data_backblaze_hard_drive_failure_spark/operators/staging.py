@@ -106,6 +106,19 @@ def release_stage_boundaries() -> int:
     return len(frames)
 
 
+def ab_off(site: str) -> bool:
+    """Round-14 interleaved A/B instrument: returns True when ``site``
+    is listed in ``$SPARK_GRAFT_AB_OFF`` (comma-separated), telling the
+    touched query to take its PRE-change plan. Lets one session flip a
+    single optimization on/off between consecutive runs — the only
+    change evidence this host's ±30% session drift accepts. Default
+    (unset) is the optimized plan; losing variants are deleted at round
+    end rather than left toggled."""
+    import os
+
+    return site in os.environ.get("SPARK_GRAFT_AB_OFF", "").split(",")
+
+
 def lineage_cut(df: DataFrame, eager: bool = True) -> DataFrame:
     """Hard lineage cut via localCheckpoint — use when an iterative
     plan (e.g. repeated self-unions) would otherwise grow without

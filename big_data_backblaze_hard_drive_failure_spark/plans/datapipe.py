@@ -644,6 +644,17 @@ def datapipe_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             sign_bits.alias("bucket"),
         )
     )
+    # Round 14 (§2.4): BOTH self-join sides read the same projected
+    # frame — unstaged, the embeddings corpus was scanned (and the
+    # float->double conversion computed) twice per run. Staging it is
+    # an O(corpus) persist: vec_id + 64-double vector + bucket, i.e.
+    # roughly the scan's own width — the memory trade the round-13
+    # verdict asked to A/B (MEMORY_AND_DISK spills rather than
+    # recomputes on pressure).
+    from ..operators.staging import ab_off, stage_boundary
+
+    if not ab_off("cosine_neardup_stage"):
+        e = stage_boundary(e, materialize=False)
     a, b = e.alias("a"), e.alias("b")
     cos = cosine_similarity(F.col("a.v"), F.col("b.v"))
     return (
@@ -1423,7 +1434,7 @@ def _cc_oracle(rounds: int) -> str:
 def datapipe_neardup_components(
     spark: SparkSession, sf_dir: str, max_iter: int = _CC_ROUNDS
 ) -> DataFrame:
-    from ..operators.staging import lineage_cut
+    from ..operators.staging import ab_off, lineage_cut
 
     edges = _bands(_signatures(spark, sf_dir)).select(
         F.concat_ws("#", F.col("band_id").cast("string"), "band_key").alias(
@@ -1432,6 +1443,9 @@ def datapipe_neardup_components(
         "doc_id",
     )
     edges = lineage_cut(edges)
+
+    if not ab_off("cc_fused"):
+        return _cc_fused_rounds(edges, max_iter)
 
     labels = edges.groupBy("doc_id").agg(
         F.min("doc_id").alias("label")
@@ -1474,6 +1488,55 @@ def datapipe_neardup_components(
             break
         prev_sum = cur_sum
     return labels.select("doc_id", F.col("label").alias("component_id"))
+
+
+def _cc_fused_rounds(edges, max_iter: int):
+    """Round-14 fused label-propagation loop (guide §2.4): the state is
+    the EDGE frame carrying each doc's current label on every (band,
+    doc) row, so a round is one band-keyed aggregate, one
+    co-partitioned join back (the band exchange of the state serves
+    BOTH — same-key exchange reuse), and one doc-partitioned window
+    min — eliminating the old per-round edges⋈labels shuffle join
+    entirely (2 joins + 3 exchanges -> 1 join + 2 exchanges per
+    round). The UPDATE RULE is identical: new_label(d) = min over
+    bands b∋d of min over d'∈b of label(d') — the window min over the
+    doc's edge rows is the same min the old groupBy(doc_id) computed,
+    and duplicate (band, doc) rows cannot change a min. The
+    convergence probe transfers: per-edge labels are each
+    non-increasing (the doc sits in every band it contributes to), so
+    sum(label) over edge rows = sum over docs of label*degree with
+    degree constant — strictly decreasing until the fixpoint and
+    stationary exactly there; decimal(38,0) keeps it exact (1e10 docs
+    x 1e10 ids x band count ~ 1e21 << 1e38). Same fixpoint, same
+    break round as the per-doc probe. Per-round state checkpointed as
+    O(edges) rather than O(docs) rows — the narrow 3-column frame is
+    the price of the saved join."""
+    from pyspark.sql import Window
+
+    from ..operators.staging import lineage_cut
+
+    el = edges.select("band", "doc_id", F.col("doc_id").alias("label"))
+    doc_w = Window.partitionBy("doc_id")
+    prev_sum = None
+    for _ in range(max_iter):
+        band_min = el.groupBy("band").agg(
+            F.min("label").alias("band_label")
+        )
+        el = (
+            el.join(band_min, "band")
+            .withColumn("new_label", F.min("band_label").over(doc_w))
+            .select("band", "doc_id", F.col("new_label").alias("label"))
+        )
+        el = lineage_cut(el)
+        cur_sum = el.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return el.groupBy("doc_id").agg(
+        F.min("label").alias("component_id")
+    )
 
 
 # --------------------------------------------------------------------
@@ -4005,6 +4068,16 @@ def datapipe_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # Round 14 (§2.4): the per-gram document-frequency aggregate and
+    # the join-back probe each re-ran the scan + tokenize + 5-gram
+    # explode. The staged frame is the EXPLODED gram list — a
+    # corpus-scale persist (≈5-gram rows >> doc rows), the heaviest
+    # memory trade in this round's A/B set; MEMORY_AND_DISK spills
+    # rather than recomputes under pressure.
+    from ..operators.staging import ab_off, stage_boundary
+
+    if not ab_off("novelty_stage"):
+        sh = stage_boundary(sh, materialize=False)
     gd = sh.groupBy("gram").agg(F.countDistinct("doc_id").alias("nd"))
     shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
     return (
@@ -5694,6 +5767,15 @@ def datapipe_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("chunk")
     )
+    # Round 14 (§2.4): the per-chunk document-frequency aggregate and
+    # the join-back probe each re-ran scan + posexplode + window +
+    # chunk re-assembly (the expensive part). The staged frame holds
+    # the chunk TEXT — roughly corpus-sized; MEMORY_AND_DISK spills
+    # rather than recomputes under pressure.
+    from ..operators.staging import ab_off, stage_boundary
+
+    if not ab_off("cdc_stage"):
+        chunks = stage_boundary(chunks, materialize=False)
     nd = chunks.groupBy("chunk").agg(
         F.countDistinct("doc_id").alias("ndocs")
     )

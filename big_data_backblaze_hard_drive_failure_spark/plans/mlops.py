@@ -197,10 +197,15 @@ def mlops_alert_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # scored feeds the threshold selection and the confusion regroup —
     # unstaged, the events scan + scoring ran twice (round-13 scan
-    # sweep: events x2). Staged, one pass.
-    scored = stage_boundary(
-        scored_frame(spark, sf_dir, via="column"), materialize=False
-    )
+    # sweep: events x2). Staged, one pass. Round 14: only the two
+    # columns both consumers read are persisted (guide §2.3 — the
+    # round-13 version cached all six).
+    from ..operators.staging import ab_off
+
+    scored = scored_frame(spark, sf_dir, via="column")
+    if not ab_off("alert_narrow_stage"):
+        scored = scored.select("is_error", "failure_probability")
+    scored = stage_boundary(scored, materialize=False)
     thr = (
         threshold_at_recall(
             scored, "failure_probability", "is_error", RECALL_TARGET
@@ -255,16 +260,23 @@ def mlops_alert_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mlops_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix import global_prefix_sums
-    from ..operators.staging import stage_boundary
+    from ..operators.staging import ab_off, stage_boundary
 
     # the scored frame feeds three consumers (total-pos aggregate,
     # the prefix-sum data branch, and the prefix operator's boundary
     # percentile aggregate) — unstaged, the events scan + feature +
     # scoring pipeline ran three times (round-13 scan sweep: events
     # x3 in this plan). Staged: one pass (guide §2.4).
-    scored = stage_boundary(
-        scored_frame(spark, sf_dir, via="column"), materialize=False
-    )
+    #
+    # Round 14: stage only the three columns the consumers read
+    # (event_id, is_error, failure_probability) — user_id, ts and
+    # value were cached too in round 13, doubling the persisted bytes
+    # for nothing (guide §2.3 "project before you materialize"; the
+    # driver bench read the wide persist at 0.89x).
+    scored = scored_frame(spark, sf_dir, via="column")
+    if not ab_off("pr_curve_narrow_stage"):
+        scored = scored.select("event_id", "is_error", "failure_probability")
+    scored = stage_boundary(scored, materialize=False)
     total_pos = scored.agg(
         F.sum("is_error").cast("long").alias("total_pos")
     )
@@ -1698,7 +1710,7 @@ def mlops_conformal_interval(
 )
 def mlops_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix import global_prefix_sum
-    from ..operators.staging import stage_boundary
+    from ..operators.staging import ab_off, stage_boundary
 
     ev = load(spark, sf_dir, "events")
     # ONE corpus pass (was two): the per-user reduce also carries
@@ -1708,16 +1720,30 @@ def mlops_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # participates like any other, and max ignores NULL ts on both
     # paths) — instead of the old separate `ev.agg(max(ts))` full
     # events scan (round-13 scan sweep: events x2 in this plan).
-    per_user = stage_boundary(
-        ev.groupBy("user_id").agg(
-            F.min("ts").alias("first_ts"),
-            F.min(
-                F.when(F.col("event_type") == "error", F.col("ts"))
-            ).alias("err_ts"),
-            F.max("ts").alias("_user_max_ts"),
-        ),
-        materialize=False,
+    #
+    # Round 14: this is the ONLY persist in the plan, and it is
+    # narrowed — user_id is dropped after the reduce (nothing
+    # downstream reads it), so the cached frame is 3 timestamp
+    # columns instead of 4 with the widest (user key) removed. The
+    # round-13 version staged a SECOND frame (dur) too; the driver
+    # bench regressed 0.68x. dur is a narrow crossJoin+select over
+    # the already-cached per-user frame, so each downstream branch
+    # can recompute it from memory for less than the second cache
+    # write cost — and dropping that persist changes no scan count
+    # (events is read ONCE either way; the rescan budget still
+    # holds). A/B numbers in OPTIMIZATION_r14.md.
+    per_user_agg = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("ts"))
+        ).alias("err_ts"),
+        F.max("ts").alias("_user_max_ts"),
     )
+    if not ab_off("km_single_stage"):
+        per_user_agg = per_user_agg.select(
+            "first_ts", "err_ts", "_user_max_ts"
+        )
+    per_user = stage_boundary(per_user_agg, materialize=False)
     horizon = per_user.agg(F.max("_user_max_ts").alias("end_ts"))
     dur = per_user.crossJoin(F.broadcast(horizon)).select(
         F.when(
@@ -1731,15 +1757,8 @@ def mlops_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t"),
         F.col("err_ts").isNotNull().cast("long").alias("failed"),
     )
-    # stage boundary at the per-user duration frame (O(users) rows).
-    # Both prefix passes, the life table, and the total count all
-    # branch from here; without the boundary the physical plan
-    # carries the events scan TWELVE times (per-user group-by +
-    # horizon max in every branch — tests/test_plan_hygiene.py's
-    # rescan budget pins the fixed plan at <= 2 scans). Wall-clock
-    # neutral at fixture scale; at 100 TB it is one corpus pass
-    # instead of six.
-    dur = stage_boundary(dur, materialize=False)
+    if ab_off("km_single_stage"):
+        dur = stage_boundary(dur, materialize=False)
     grp = dur.groupBy("t").agg(
         F.count(F.lit(1)).alias("n_all"),
         F.sum("failed").alias("n_fail"),
@@ -2325,24 +2344,32 @@ def mlops_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mlops_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    span = ev.agg(
-        F.min(F.to_date("ts")).alias("d0"),
-        (
-            F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
-            / 2
-        )
+    # Round 14 (§2.4): the span aggregate and the cell assignment each
+    # read their own events scan — staging the shared 3-column
+    # projection (day, treated, cents) makes it one corpus pass; the
+    # day/treated/cents derivations are identical expressions hoisted,
+    # not changed.
+    from ..operators.staging import ab_off, stage_boundary
+
+    base = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        (F.col("user_id") % 2 == 0).cast("int").alias("treated"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    if not ab_off("did_stage"):
+        base = stage_boundary(base, materialize=False)
+    span = base.agg(
+        F.min("day").alias("d0"),
+        (F.datediff(F.max("day"), F.min("day")) / 2)
         .cast("long")
         .alias("half"),
     )
-    cells = ev.crossJoin(F.broadcast(span)).select(
-        (F.col("user_id") % 2 == 0).cast("int").alias("treated"),
-        (
-            F.datediff(F.to_date("ts"), F.col("d0")) > F.col("half")
-        )
+    cells = base.crossJoin(F.broadcast(span)).select(
+        "treated",
+        (F.datediff(F.col("day"), F.col("d0")) > F.col("half"))
         .cast("int")
         .alias("post"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "cents",
     )
     s = cells.groupBy("treated", "post").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2687,6 +2714,13 @@ def mlops_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("props").alias("outcome"),
         )
     )
+    # Round 14 (§2.4): the control branch and the treated branch each
+    # filtered their OWN events scan under the union — staging the
+    # shared 5-column projection makes it one corpus pass.
+    from ..operators.staging import ab_off, stage_boundary
+
+    if not ab_off("propensity_ev_stage"):
+        ev = stage_boundary(ev, materialize=False)
     ctr = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("stratum", "score")
@@ -2814,6 +2848,13 @@ def mlops_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("value") > 50, 1).otherwise(0).alias("y"),
         )
     )
+    # Round 14 (§2.4): r feeds the per-type encoder aggregate AND the
+    # join-back — unstaged, events was scanned twice. Staged: one
+    # pass over a 3-column projection.
+    from ..operators.staging import ab_off, stage_boundary
+
+    if not ab_off("loo_stage"):
+        r = stage_boundary(r, materialize=False)
     enc = r.groupBy("event_type").agg(
         F.sum("y").alias("s"), F.count(F.lit(1)).alias("n")
     )
@@ -3258,6 +3299,14 @@ def mlops_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y"),
         )
     )
+    # Round 14 (§2.4): r feeds the 1-row totals aggregate AND the
+    # per-bin group-by — unstaged, events was scanned twice. The
+    # staged frame is the 2-column (bin, y) projection: ~the
+    # narrowest possible O(events) persist.
+    from ..operators.staging import ab_off, stage_boundary
+
+    if not ab_off("woe_stage"):
+        r = stage_boundary(r, materialize=False)
     tot = r.agg(
         F.sum("y").alias("g"), F.sum(1 - F.col("y")).alias("b")
     )

@@ -2334,6 +2334,13 @@ def star_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select(
         "o_orderstatus", _cents("o_totalprice").alias("cents")
     )
+    # Round 14 (§2.4): the median aggregate and the deviation
+    # join-back each scanned orders — staging the shared 2-column
+    # (status, cents) projection makes it one corpus pass.
+    from ..operators.staging import ab_off, stage_boundary
+
+    if not ab_off("mad_stage"):
+        orders = stage_boundary(orders, materialize=False)
     med = orders.groupBy("o_orderstatus").agg(
         F.expr("percentile(cents, 0.5)").alias("m")
     )
@@ -3364,16 +3371,21 @@ def star_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1.0) / F.lit(25)).alias("rank"),
     )
     damp = float(_PR_DAMP)
-    # Round-13: NO mid-loop lineage cuts. The iteration count is a
-    # FIXED constant (10), so the unrolled plan is bounded — ~3 tiny
-    # operators per round over <= 650-row state — and cutting every 4
-    # rounds cost two extra eager materialization jobs AND broke
-    # exchange reuse across the cut: each segment re-broadcast the
-    # same checkpointed edge frame. In one plan, all 10 joins hit ONE
-    # BroadcastExchange via ReusedExchange (guide §2.4); lineage cuts
-    # remain the right tool only for UNBOUNDED/data-dependent
-    # iteration (datapipe_neardup_components).
-    for _ in range(_PR_ITERS):
+    from ..operators.staging import ab_off
+
+    # Round-13 removed ALL mid-loop lineage cuts so the 10 joins share
+    # one BroadcastExchange — but the driver bench regressed 0.79x:
+    # the fully-unrolled plan (537 formatted lines) pays real
+    # optimizer/codegen time that the saved materialization jobs do
+    # not cover. Round 14 splits the difference: ONE cut at the
+    # halfway point bounds the optimizer's input to ~5 rounds per
+    # segment while costing a single eager job over the <= 25-row
+    # rank state; each segment's joins still reuse ONE
+    # BroadcastExchange of the checkpointed edge frame. (Mid-loop
+    # cuts every round remain the tool for UNBOUNDED/data-dependent
+    # iteration — datapipe_neardup_components.)
+    one_cut = not ab_off("pr_single_cut")
+    for i in range(_PR_ITERS):
         ranks = (
             ranks.join(F.broadcast(edges), F.col("src") == F.col("node"))
             .groupBy(F.col("dst").alias("node2"))
@@ -3385,6 +3397,8 @@ def star_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("node2").alias("node"), "rank")
         )
+        if one_cut and i == _PR_ITERS // 2 - 1:
+            ranks = lineage_cut(ranks)
     out = ranks.join(
         F.broadcast(nation),
         F.col("node") == F.col("n_nationkey"),

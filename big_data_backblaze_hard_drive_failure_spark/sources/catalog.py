@@ -167,10 +167,22 @@ def _fan_out_small_scan(
             size = os.path.getsize(path)
     except OSError:
         return df
-    max_split = int(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-    )
-    width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # NOTE: the size guard walks the LOCAL filesystem — for object-store
+    # URIs os.walk/getsize raise OSError and the fan-out silently no-ops,
+    # which is the intended production behavior (the branch only exists
+    # for single-split local inputs).
+    #
+    # Conf values can legally be suffixed sizes ("128m", "1g") or even
+    # "auto" in some managed runtimes; int() would raise and break every
+    # load(). Fall back to the plain scan on any unparsable conf, same
+    # as the OSError path above.
+    try:
+        max_split = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:
+        return df
     if size >= max_split or width <= 1:
         return df
     return df.repartition(width, *[F.col(k) for k in keys])

@@ -1,9 +1,11 @@
 """Isolated per-query timing: min over N noop-sink runs per query.
 
-Usage: python _scratch/ab_time.py [-n 3] <query> [<query> ...]
+Usage: python scripts/ab_time.py [-n 3] <query> [<query> ...]
 Prints "name: min_sec (runs...)" per query. Uses $SPARK_GRAFT_SF_DIR
-(default sf0.1) and $SPARK_GRAFT_CPUS like bench.py, and warms the
-same Python eval types so the first timed query isn't taxed.
+(default sf0.1) and $SPARK_GRAFT_CPUS like bench.py, warms the same
+Python eval types so the first timed query isn't taxed, and (round 14,
+matching bench.py) releases stage-boundary caches + clears the SQL
+cache before every timed run so each run pays its own persists.
 """
 import os
 import sys
@@ -40,9 +42,15 @@ for warm in (
 ):
     QUERIES[warm](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
+from big_data_backblaze_hard_drive_failure_spark.operators.staging import (
+    release_stage_boundaries,
+)
+
 for name in names:
     runs = []
     for _ in range(n):
+        release_stage_boundaries()
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs.append(time.perf_counter() - t0)

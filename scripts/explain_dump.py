@@ -1,10 +1,10 @@
-"""Dump .explain("formatted") for named queries to plans/r13/.
+"""Dump .explain("formatted") for named queries to plans/r14/.
 
 Usage:
     python scripts/explain_dump.py <suffix> <query> [<query> ...]
     python scripts/explain_dump.py <suffix> --all
 
-Writes plans/r13/<query>_<suffix>.txt for each query (suffix is
+Writes plans/r14/<query>_<suffix>.txt for each query (suffix is
 "before" / "after"). The optimization judge reads these files to
 check plan claims (Exchange counts, join strategies, PushedFilters)
 against the code, so they must be generated from the tree as-committed.
@@ -35,7 +35,7 @@ def main() -> int:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r13",
+        "r14",
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:

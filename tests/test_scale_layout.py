@@ -554,10 +554,24 @@ def test_fan_out_small_scan_fires_only_under_one_split(spark, sf_smoke):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
 
-    # (c) escape hatch
+    # (c) escape hatch — restore any pre-existing value, don't delete it
+    prior = os.environ.get("SPARK_GRAFT_NO_FANOUT")
     os.environ["SPARK_GRAFT_NO_FANOUT"] = "1"
     try:
         off = load(spark, sf_smoke, "documents", fan_out_by=("doc_id",))
         assert "Exchange" not in _plan(off), _plan(off)
     finally:
-        os.environ.pop("SPARK_GRAFT_NO_FANOUT", None)
+        if prior is None:
+            os.environ.pop("SPARK_GRAFT_NO_FANOUT", None)
+        else:
+            os.environ["SPARK_GRAFT_NO_FANOUT"] = prior
+
+    # (d) unparsable session confs (suffixed sizes like "128m") must
+    # fall back to the plain scan, not raise (round-14 ADVICE fix)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+        suff = load(spark, sf_smoke, "documents", fan_out_by=("doc_id",))
+        assert "Exchange" not in _plan(suff), _plan(suff)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
