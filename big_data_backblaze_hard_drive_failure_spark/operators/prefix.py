@@ -162,26 +162,74 @@ def global_prefix_sums(
             _BOUNDS_MEMO[memo_key] = tuple(bounds)
     if bounds:
         # count of boundaries strictly below the key as a BINARY
-        # SEARCH tree of when/otherwise over the sorted literals:
+        # SEARCH tree of CASE WHEN over the sorted literals:
         # O(log K) comparisons per row (a linear K-term chain is an
         # O(K) hot-path cost once K is in the thousands), plain
         # expressions only (not array+filter: a higher-order
         # function's lambda variables don't canonicalize cleanly,
         # which would break branch reuse below). Monotone in the key,
         # ties share a bucket, NULL key -> 0 (NULLS FIRST: the NULL
-        # comparison falls through every otherwise() to the leftmost
-        # leaf), NaN -> len(bounds) (Spark orders NaN greatest, and
-        # NaN > b is true for every bound).
-        def _tree(lo: int, hi: int):
-            # bucket index for keys known to land in [lo, hi]
-            if lo == hi:
-                return F.lit(lo)
-            mid = (lo + hi) // 2
-            return F.when(
-                F.col(key0) > F.lit(bounds[mid]), _tree(mid + 1, hi)
-            ).otherwise(_tree(lo, mid))
+        # comparison falls through every ELSE to the leftmost leaf),
+        # NaN -> len(bounds) (Spark orders NaN greatest, and NaN > b
+        # is true for every bound).
+        #
+        # Round 14 (guide §1/driver cost): the tree is generated as
+        # ONE SQL string parsed by a single F.expr() call. The
+        # previous F.when/F.otherwise spelling issued ~4 py4j
+        # round-trips per tree node — ~250 ms of driver-side socket
+        # chatter per prefix call at K=32 (profiled on
+        # mlops_kaplan_meier, whose two prefix passes spent 0.5 s of
+        # a 1.2 s plan build here); the parsed CaseWhen tree is
+        # expression-identical, so canonicalization (and the branch
+        # reuse it enables) is unchanged. Literal formatting is
+        # exact: repr(float) is the shortest round-trip form and the
+        # `D` suffix parses it as DOUBLE bit-identically (verified);
+        # ints take `L` (bigint). Non-finite bounds (inf from an
+        # inf-valued key column) fall back to the Column spelling —
+        # SQL has no inf literal.
+        def _fmt(b) -> str | None:
+            if isinstance(b, bool):  # bool is int's subclass; reject
+                return None
+            if isinstance(b, int):
+                return f"{b}L"
+            if isinstance(b, float):
+                import math
 
-        bucket = _tree(0, len(bounds))
+                return f"{b!r}D" if math.isfinite(b) else None
+            return None
+
+        lits = [_fmt(b) for b in bounds]
+        key_sql = f"`{key0}`"
+
+        from .staging import ab_off
+
+        if not ab_off("prefix_sql_tree") and all(
+            s is not None for s in lits
+        ):
+
+            def _tree_sql(lo: int, hi: int) -> str:
+                # bucket index for keys known to land in [lo, hi]
+                if lo == hi:
+                    return str(lo)
+                mid = (lo + hi) // 2
+                return (
+                    f"CASE WHEN {key_sql} > {lits[mid]} "
+                    f"THEN {_tree_sql(mid + 1, hi)} "
+                    f"ELSE {_tree_sql(lo, mid)} END"
+                )
+
+            bucket = F.expr(_tree_sql(0, len(bounds)))
+        else:
+
+            def _tree(lo: int, hi: int):
+                if lo == hi:
+                    return F.lit(lo)
+                mid = (lo + hi) // 2
+                return F.when(
+                    F.col(key0) > F.lit(bounds[mid]), _tree(mid + 1, hi)
+                ).otherwise(_tree(lo, mid))
+
+            bucket = _tree(0, len(bounds))
     else:
         bucket = F.lit(0)
 

@@ -112,8 +112,10 @@ def ab_off(site: str) -> bool:
     touched query to take its PRE-change plan. Lets one session flip a
     single optimization on/off between consecutive runs — the only
     change evidence this host's ±30% session drift accepts. Default
-    (unset) is the optimized plan; losing variants are deleted at round
-    end rather than left toggled."""
+    (unset) is the optimized plan; LOSING variants were deleted at
+    round end, while each kept site retains its toggle so the
+    committed A/B numbers stay reproducible (and as a production
+    escape hatch, like SPARK_GRAFT_NO_FANOUT)."""
     import os
 
     return site in os.environ.get("SPARK_GRAFT_AB_OFF", "").split(",")

@@ -4068,16 +4068,13 @@ def datapipe_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # Round 14 (§2.4): the per-gram document-frequency aggregate and
-    # the join-back probe each re-ran the scan + tokenize + 5-gram
-    # explode. The staged frame is the EXPLODED gram list — a
-    # corpus-scale persist (≈5-gram rows >> doc rows), the heaviest
-    # memory trade in this round's A/B set; MEMORY_AND_DISK spills
-    # rather than recomputes under pressure.
-    from ..operators.staging import ab_off, stage_boundary
-
-    if not ab_off("novelty_stage"):
-        sh = stage_boundary(sh, materialize=False)
+    # Round 14, examined and reverted: staging the exploded gram
+    # frame (so the document-frequency aggregate and the join-back
+    # share one pass) A/B'd 0.87x at sf0.1, and at 100 TB the persist
+    # is WORSE than the rescan by construction — the exploded 5-gram
+    # frame is several times the corpus bytes, so caching it trades a
+    # column-pruned parquet re-read for a larger decompressed write.
+    # The docs x2 is the right plan at every scale here.
     gd = sh.groupBy("gram").agg(F.countDistinct("doc_id").alias("nd"))
     shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
     return (
@@ -5767,15 +5764,12 @@ def datapipe_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("chunk")
     )
-    # Round 14 (§2.4): the per-chunk document-frequency aggregate and
-    # the join-back probe each re-ran scan + posexplode + window +
-    # chunk re-assembly (the expensive part). The staged frame holds
-    # the chunk TEXT — roughly corpus-sized; MEMORY_AND_DISK spills
-    # rather than recomputes under pressure.
-    from ..operators.staging import ab_off, stage_boundary
-
-    if not ab_off("cdc_stage"):
-        chunks = stage_boundary(chunks, materialize=False)
+    # Round 14, examined and reverted: staging the re-assembled chunk
+    # frame (so the chunk-frequency aggregate and the join-back share
+    # one pass) A/B'd 0.71x at sf0.1 — the worst loser of the round's
+    # staging candidates: the chunk column carries the full document
+    # text, so the persist writes ~corpus bytes to save a re-read of
+    # the same bytes. The docs x2 stays at every scale.
     nd = chunks.groupBy("chunk").agg(
         F.countDistinct("doc_id").alias("ndocs")
     )

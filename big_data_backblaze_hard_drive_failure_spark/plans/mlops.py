@@ -1710,7 +1710,7 @@ def mlops_conformal_interval(
 )
 def mlops_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix import global_prefix_sum
-    from ..operators.staging import ab_off, stage_boundary
+    from ..operators.staging import stage_boundary
 
     ev = load(spark, sf_dir, "events")
     # ONE corpus pass (was two): the per-user reduce also carries
@@ -1721,29 +1721,29 @@ def mlops_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # paths) — instead of the old separate `ev.agg(max(ts))` full
     # events scan (round-13 scan sweep: events x2 in this plan).
     #
-    # Round 14: this is the ONLY persist in the plan, and it is
-    # narrowed — user_id is dropped after the reduce (nothing
-    # downstream reads it), so the cached frame is 3 timestamp
-    # columns instead of 4 with the widest (user key) removed. The
-    # round-13 version staged a SECOND frame (dur) too; the driver
-    # bench regressed 0.68x. dur is a narrow crossJoin+select over
-    # the already-cached per-user frame, so each downstream branch
-    # can recompute it from memory for less than the second cache
-    # write cost — and dropping that persist changes no scan count
-    # (events is read ONCE either way; the rescan budget still
-    # holds). A/B numbers in OPTIMIZATION_r14.md.
-    per_user_agg = ev.groupBy("user_id").agg(
-        F.min("ts").alias("first_ts"),
-        F.min(
-            F.when(F.col("event_type") == "error", F.col("ts"))
-        ).alias("err_ts"),
-        F.max("ts").alias("_user_max_ts"),
+    # Round 14, examined with interleaved A/B and left in the
+    # round-13 shape: dropping the second (dur) persist lost 0.89x
+    # (each of dur's four consumers re-ran the crossJoin + broadcast
+    # horizon build from the per-user cache, costing more than the
+    # one cache write it saved), and narrowing this staged reduce by
+    # dropping user_id lost 0.92x (the extra Project under the
+    # InMemoryRelation outweighed the saved column at this scale).
+    # Numbers in OPTIMIZATION_r14.md. The round-13 driver-bench
+    # regression (0.68x) is attributed to the warm-cache bench
+    # artifact fixed this round plus session drift — this round's
+    # cache-clean A/B shows the r13 plan at parity or better than
+    # both structural alternatives, and the prefix.py SQL-tree fix
+    # below cuts ~0.5s of this query's plan-build time regardless.
+    per_user = stage_boundary(
+        ev.groupBy("user_id").agg(
+            F.min("ts").alias("first_ts"),
+            F.min(
+                F.when(F.col("event_type") == "error", F.col("ts"))
+            ).alias("err_ts"),
+            F.max("ts").alias("_user_max_ts"),
+        ),
+        materialize=False,
     )
-    if not ab_off("km_single_stage"):
-        per_user_agg = per_user_agg.select(
-            "first_ts", "err_ts", "_user_max_ts"
-        )
-    per_user = stage_boundary(per_user_agg, materialize=False)
     horizon = per_user.agg(F.max("_user_max_ts").alias("end_ts"))
     dur = per_user.crossJoin(F.broadcast(horizon)).select(
         F.when(
@@ -1757,8 +1757,10 @@ def mlops_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t"),
         F.col("err_ts").isNotNull().cast("long").alias("failed"),
     )
-    if ab_off("km_single_stage"):
-        dur = stage_boundary(dur, materialize=False)
+    # stage boundary at the per-user duration frame (O(users) rows):
+    # both prefix passes, the life table and the total count branch
+    # from here — kept after the round-14 A/B (see note above).
+    dur = stage_boundary(dur, materialize=False)
     grp = dur.groupBy("t").agg(
         F.count(F.lit(1)).alias("n_all"),
         F.sum("failed").alias("n_fail"),
@@ -2344,20 +2346,18 @@ def mlops_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mlops_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Round 14 (§2.4): the span aggregate and the cell assignment each
-    # read their own events scan — staging the shared 3-column
-    # projection (day, treated, cents) makes it one corpus pass; the
-    # day/treated/cents derivations are identical expressions hoisted,
-    # not changed.
-    from ..operators.staging import ab_off, stage_boundary
-
+    # Round 14, examined and reverted: staging this shared 3-column
+    # projection (so the span aggregate and the cell assignment share
+    # one scan) A/B'd 0.87x at sf0.1 — the O(events) persist costs
+    # more than the second column-pruned scan, and the span (a global
+    # min/max) cannot be derived from the per-cell aggregate because
+    # the cells themselves depend on it. The hoisted projection is
+    # kept (same expressions, one place); events x2 stays.
     base = load(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"),
         (F.col("user_id") % 2 == 0).cast("int").alias("treated"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    if not ab_off("did_stage"):
-        base = stage_boundary(base, materialize=False)
     span = base.agg(
         F.min("day").alias("d0"),
         (F.datediff(F.max("day"), F.min("day")) / 2)
@@ -2848,13 +2848,15 @@ def mlops_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("value") > 50, 1).otherwise(0).alias("y"),
         )
     )
-    # Round 14 (§2.4): r feeds the per-type encoder aggregate AND the
-    # join-back — unstaged, events was scanned twice. Staged: one
-    # pass over a 3-column projection.
-    from ..operators.staging import ab_off, stage_boundary
-
-    if not ab_off("loo_stage"):
-        r = stage_boundary(r, materialize=False)
+    # Round 14, examined and reverted: staging r (the 3-column
+    # O(events) projection) to collapse the encoder aggregate and the
+    # join-back into one scan A/B'd 0.76x at sf0.1 — the O(events)
+    # persist costs more than the second column-pruned scan, and
+    # unlike the woe totals the LOO output needs every row, so
+    # nothing can be derived from the aggregate. The events x2 stays
+    # as the better plan locally; at 100 TB the trade reverses only
+    # if a corpus re-read costs more than an O(corpus) cache write
+    # (numbers in OPTIMIZATION_r14.md).
     enc = r.groupBy("event_type").agg(
         F.sum("y").alias("s"), F.count(F.lit(1)).alias("n")
     )
@@ -3299,14 +3301,18 @@ def mlops_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y"),
         )
     )
-    # Round 14 (§2.4): r feeds the 1-row totals aggregate AND the
-    # per-bin group-by — unstaged, events was scanned twice. The
-    # staged frame is the 2-column (bin, y) projection: ~the
-    # narrowest possible O(events) persist.
-    from ..operators.staging import ab_off, stage_boundary
-
-    if not ab_off("woe_stage"):
-        r = stage_boundary(r, materialize=False)
+    # Round 14, examined and reverted (three variants, numbers in
+    # OPTIMIZATION_r14.md): (1) staging the O(events) (bin, y)
+    # projection so totals + bins share one scan — 0.81x, the persist
+    # costs more than the second column-pruned scan; (2) staging the
+    # O(bins) rollup and deriving tot = column sums over it — 0.83x,
+    # the InMemoryTableScan boundary costs more than the ~40-row
+    # recompute; (3) deriving tot from bins WITHOUT a persist — no
+    # win available: column pruning drops `n` from the totals branch,
+    # the two bins exchanges stop canonicalizing equal, and the
+    # executed adaptive plan shows no ReusedExchange (verified), i.e.
+    # still two corpus passes but with a heavier second aggregate.
+    # The r13 shape (independent 1-column totals scan) stays.
     tot = r.agg(
         F.sum("y").alias("g"), F.sum(1 - F.col("y")).alias("b")
     )

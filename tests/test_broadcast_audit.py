@@ -176,6 +176,7 @@ def test_empty_key_groups_never_reported(bad):
     assert broadcast_entries(plan) == []
 
 
+@pytest.mark.slow
 def test_audits_fail_closed_on_planerr(spark, monkeypatch, tmp_path):
     """Round-13 ADVICE fix, both audits: a query that fails to PLAN
     was not audited, so the sweep must exit NONZERO — previously a
